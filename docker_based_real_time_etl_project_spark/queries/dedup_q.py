@@ -1,0 +1,139 @@
+"""Dedup query surface: exact (SQL-oracled), MinHash-LSH / SimHash
+(rows-only -- Spark hash functions are engine-specific), n-gram
+Jaccard (SQL-oracled: exact set math, no hashing), embedding
+near-dup (SQL-oracled with label blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.operators.dedup import (
+    exact_jaccard, hamming64, minhash_neardup_pairs, shingles, simhash64,
+)
+from docker_based_real_time_etl_project_spark.operators.similarity import cosine
+from docker_based_real_time_etl_project_spark.queries.registry import register, table
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text. Hash-groupBy: the fingerprint shuffles, not the text
+    -- at 100 TB group on the md5, never the document body."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register("q_dedup_minhash", oracle=None, tags=("dedup", "sketch"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (shingle k=3, 64 hashes, 16
+    bands, Jaccard >= 0.4 verify). Rows-only: bucket hashes are
+    Spark-specific; the Jaccard *verification* math is exact and is
+    unit-tested against literal fixtures."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(d, threshold=0.4)
+
+
+@register("q_dedup_simhash", oracle=None, tags=("dedup", "sketch"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 per document + near-dup pairs at Hamming distance <= 8,
+    blocked by the top-16-bit prefix so the self-join is bucket-local
+    rather than O(n^2)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", simhash64("text").alias("sh")
+    )
+    d = d.withColumn("block", F.shiftright("sh", 47))  # top 16 of 63 bits
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("block").alias("block_b"))
+    return (
+        a.join(b, (a.block == b.block_b) & (a.id_a < b.id_b))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.grams, b.grams))
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) >= 0.3
+    """,
+    tags=("dedup",),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for document pairs, blocked by
+    source (the blocking key bounds the pair space -- at scale the block
+    would be an LSH bucket, q_dedup_minhash). Set math only: oracled."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("grams").alias("g_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("grams").alias("g_b"))
+    jac = exact_jaccard(F.col("g_a"), F.col("g_b"))
+    return (
+        a.join(b, (a.src_a == b.src_b) & (a.id_a < b.id_b))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.8
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    cluster id stands in for an LSH bucket at scale): exact cosine
+    within block, threshold 0.8."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lab_a"), F.col("embedding").alias("e_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lab_b"), F.col("embedding").alias("e_b"))
+    cos = cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, (a.lab_a == b.lab_b) & (a.id_a < b.id_b))
+        .withColumn("cosine_sim", F.round(cos, 6))
+        .filter(F.col("cosine_sim") >= 0.8)
+        .select("id_a", "id_b", "cosine_sim")
+    )

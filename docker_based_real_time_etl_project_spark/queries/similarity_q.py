@@ -1,0 +1,65 @@
+"""Similarity-search query surface: brute-force cosine top-k
+(SQL-oracled -- exact math with stable rounding + tiebreak) and the
+LSH-bucketed approximate variant (rows-only: bucketing is
+seed/engine-specific even though the re-rank math is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.operators.similarity import brute_force_topk, hyperplanes, lsh_topk
+from docker_based_real_time_etl_project_spark.queries.registry import register, table
+
+# fixed query set: every 100th vector -- deterministic, scales with corpus
+_QUERY_IDS = (0, 100, 200, 300, 400)
+_Q_SQL = "(" + ", ".join(str(i) for i in _QUERY_IDS) + ")"
+
+
+def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id IN {_Q_SQL}),
+    scored AS (
+      SELECT q.q_id, v.vec_id,
+             ROUND(list_dot_product(v.e, q.qe)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+                   6) AS cosine_sim
+      FROM v, q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine_sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    tags=("similarity", "flagship"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-10 cosine neighbors for 5 fixed query
+    vectors. Query side broadcast; corpus scanned once; ranking on
+    rounded cosine with vec_id tiebreak is cross-engine deterministic."""
+    e = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, _query_df(spark, sf_dir), k=10)
+
+
+@register("q_ann_lsh", oracle=None, tags=("similarity", "approx"))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via 8-plane sign-LSH bucketing + exact re-rank
+    within the matched bucket. Recall vs brute force is pytest-checked;
+    rows-only here (bucket membership is seed-specific)."""
+    e = table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(dim=64, n_planes=8, seed=42)
+    return lsh_topk(e, _query_df(spark, sf_dir), planes, k=10)

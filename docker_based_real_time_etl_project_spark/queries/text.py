@@ -1,0 +1,195 @@
+"""Text-analysis surface on the documents table (north-star: the text
+half of a training-data pipeline -- SURVEY.md 2.4 last rows).
+
+language-ID (stopword-ratio heuristic), quality scoring, token
+counting (whitespace + regex), fingerprinting (md5 -- cross-engine
+deterministic, unlike murmur/xxhash), tokenize+count. All pure
+built-ins; per-document work is embarrassingly parallel and the
+aggregates shuffle only small key spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import davg, dsum, register, sql_davg, sql_dsum, table
+
+# tiny deterministic English-stopword list shared verbatim with the oracle SQL
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "q_text_tokenize",
+    oracle="""
+    SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("text",),
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode + word count: the inverted-index / vocabulary
+    primitive. Map-side partial counts keep the shuffle at vocabulary
+    size, not corpus size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "q_doc_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           {sql_dsum("len(string_split(text, ' '))")} AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text",),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc counts, char stats, token
+    totals."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        dsum(F.size(F.split("text", " ")).cast("double")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex pass
+    (alpha runs + digit runs) -- the per-document token-budget primitive."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+"), 0)).alias("re_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_declared,
+           ROUND(len(list_filter(string_split(text, ' '), w -> list_contains({_SW_SQL}, w)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS en_stopword_ratio,
+           CASE WHEN len(list_filter(string_split(text, ' '), w -> list_contains({_SW_SQL}, w)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English-stopword token ratio with a fixed
+    threshold. (A real n-gram model is a broadcast lookup + the same
+    ratio shape -- this declares the operator; the word-soup fixture has
+    no genuinely foreign text to discriminate.)"""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    ratio = n_sw / F.size(words).cast("double")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           n_tokens,
+           ROUND(avg_word_len, 6) AS avg_word_len,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 10000
+                 AND avg_word_len BETWEEN 2 AND 12
+                 AND punct_ratio < 0.2 THEN 1 ELSE 0 END AS passes_quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS avg_word_len,
+             (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) AS punct_ratio
+      FROM documents)
+    """,
+    tags=("text",),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality gate: token count, mean word length, punctuation
+    ratio -> boolean keep/drop -- the pre-training filter primitive."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    avg_word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens.cast("double")
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when(
+            n_tokens.between(20, 10000)
+            & avg_word_len.between(2, 12)
+            & (punct_ratio < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_normalized
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 + whitespace/case-normalized md5
+    (md5 is identical across engines; murmur/xxhash are not, so those
+    power the rows-only sketch operators instead)."""
+    d = table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        F.md5(normalized.cast("binary")).alias("fp_normalized"),
+    )

@@ -1,0 +1,69 @@
+"""Parquet catalog for the driver testdata.
+
+Scans are declared with explicit schemas (no inference pass over
+footers at plan time beyond pruning) so column pruning and predicate
+pushdown reach the parquet reader -- verify with
+``df.explain("formatted")``: look for ``PushedFilters`` and a narrow
+``ReadSchema``.
+
+At 100 TB these tables would be directory-partitioned (e.g. lineitem
+by ship month); `load_table` takes any path so a partitioned layout
+drops in without query changes -- partition pruning is then free via
+Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docker_based_real_time_etl_project_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long (with
+# spark.sql.legacy.parquet.nanosAsLong) and the loader truncates ns -> us,
+# matching DuckDB's read of the same column.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its declared schema."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = TESTDATA_SCHEMAS.get(name)
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    reader = spark.read
+    if schema is not None:
+        if nanos_cols:
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Read several tables; only the ones present on disk."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
