@@ -1,10 +1,13 @@
 """Query surface: importing this package populates the registry."""
 
 from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
+    cdc_q,
     dedup_q,
+    flows_q,
     functions_q,
     relational,
     similarity_q,
+    streaming_q,
     text,
     windows,
 )

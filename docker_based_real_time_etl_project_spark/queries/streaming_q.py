@@ -1,0 +1,151 @@
+"""Streaming query surface (SURVEY.md M2): each query replays the
+events table as a real multi-micro-batch file stream and runs a
+Structured Streaming pipeline with availableNow.
+
+Complete-mode windowed aggregations are deterministic (state merge is
+commutative; float sums are avoided via exact integer-cent
+accumulation), so the tumbling/sliding/stateful queries carry full
+DuckDB oracles -- the streaming engine is held to the same
+hash-equality bar as the batch engine. Append-mode queries whose
+output depends on watermark cut points or arrival order (sessions,
+first-seen dedup) are rows-only, with batch-equivalence asserted in
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import register
+from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+    dedup_latest_stream,
+    ohlcv_stream,
+    run_to_memory,
+    session_agg_stream,
+    sliding_agg_stream,
+)
+from docker_based_real_time_etl_project_spark.streaming.replay import (
+    replay_events,
+    slice_events_to_dir,
+)
+from docker_based_real_time_etl_project_spark.streaming.stateful import (
+    final_totals,
+    running_totals_stream,
+)
+
+# Exact cent-sum of `value` (two-decimal data): associative, so identical
+# across micro-batch splits, state merges, and engines.
+CENT_SUM_SQL = "SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0"
+
+
+# One slicing pass per (sf_dir, n_slices) per session: the replay input
+# is immutable, so every streaming query reuses the same slice dir.
+_SLICE_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _slices(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> str:
+    key = (sf_dir, n_slices)
+    if key not in _SLICE_CACHE:
+        _SLICE_CACHE[key] = slice_events_to_dir(spark, sf_dir, n_slices=n_slices)
+    return _SLICE_CACHE[key]
+
+
+def _stream(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> DataFrame:
+    return replay_events(spark, _slices(spark, sf_dir, n_slices))
+
+
+@register(
+    "q_stream_ohlcv_1h",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS open_time,
+           MIN_BY(value, ts) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX_BY(value, ts) AS close_value,
+           {CENT_SUM_SQL} AS volume,
+           COUNT(*) AS n_trades
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a STREAM: tumbling 1 h OHLCV over 8 replayed micro-batches,
+    complete output mode. Hash-matches the same SQL as the batch analog
+    -- the streaming state machine must agree with DuckDB exactly."""
+    out = ohlcv_stream(_stream(spark, sf_dir), watermark=None, exact_cents=True)
+    return run_to_memory(out, output_mode="complete")
+
+
+@register(
+    "q_stream_sliding_24h",
+    oracle=f"""
+    SELECT e.event_type,
+           strftime(s.win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           MAX_BY(e.value, e.ts) AS last_value,
+           MIN_BY(e.value, e.ts) AS prev_value,
+           {CENT_SUM_SQL.replace('value', 'e.value')} AS volume,
+           COUNT(*) AS n_events
+    FROM events e,
+         unnest(generate_series(date_trunc('hour', e.ts) - INTERVAL 23 HOUR,
+                                date_trunc('hour', e.ts),
+                                INTERVAL 1 HOUR)) AS s(win_start)
+    GROUP BY e.event_type, s.win_start
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_sliding_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as a STREAM: sliding 24 h window, 1 h slide (ticker_24hr
+    semantics) -- each event fans out to 24 window states. The oracle
+    reconstructs the window assignment with generate_series."""
+    out = sliding_agg_stream(_stream(spark, sf_dir), watermark=None, exact_cents=True)
+    return run_to_memory(out, output_mode="complete")
+
+
+@register(
+    "q_stream_stateful_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {CENT_SUM_SQL} AS value_sum
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) computing
+    running per-user totals across micro-batches; the final emitted
+    totals per key hash-match the batch aggregate because the state
+    accumulates exact integer cents."""
+    emitted = run_to_memory(
+        running_totals_stream(_stream(spark, sf_dir, n_slices=4)), output_mode="update"
+    )
+    return final_totals(emitted)
+
+
+@register("q_stream_session_window", oracle=None, tags=("streaming", "window"))
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30 min gap) in append mode: emission
+    happens as the watermark passes each session's end. Rows-only here
+    (the emitted subset depends on the final watermark cut);
+    tests/test_streaming.py asserts agreement with the batch
+    session_window aggregation on the emitted keys."""
+    out = session_agg_stream(_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours")
+    return run_to_memory(out, output_mode="append")
+
+
+@register("q_stream_dedup_latest", oracle=None, tags=("streaming", "stateful"))
+def q_stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 streaming repair of at-least-once delivery: every event is
+    delivered TWICE (union of two replays of the same slices -- the
+    at-least-once double-delivery the reference absorbs via Cassandra
+    PK upserts), and dropDuplicatesWithinWatermark keeps one copy per
+    event_id. Counts equal the distinct-id counts; which copy survives
+    is arrival-order dependent, hence rows-only."""
+    base = _slices(spark, sf_dir)
+    doubled = replay_events(spark, base).unionByName(replay_events(spark, base))
+    out = dedup_latest_stream(doubled)
+    return run_to_memory(out, output_mode="append").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )

@@ -1,0 +1,155 @@
+"""Streaming pipelines: A1/A2/A4 + session windows as Structured
+Streaming transformations, and the run helper tests/queries share.
+
+Each builder takes the streaming events DataFrame and returns the
+transformed streaming DataFrame; the decision of trigger/sink/output
+mode stays with the caller (60 s ``processingTime`` against Kafka in
+production -- reference cadence ``etl.py:240`` -- vs ``availableNow``
++ memory sink in tests and t2 queries).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _value_sum(exact_cents: bool):
+    """Volume aggregate: float sum, or exact integer-cent sum (two-decimal
+    data) whose result is identical however micro-batches split/merge --
+    the trick that lets complete-mode streaming aggs be hash-oracled."""
+    if exact_cents:
+        return (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+    return F.sum("value")
+
+
+def ohlcv_stream(
+    events: DataFrame,
+    watermark: str | None = "2 hours",
+    window_duration: str = "1 hour",
+    exact_cents: bool = False,
+) -> DataFrame:
+    """A1 streaming: tumbling OHLCV per event_type (klines computed
+    natively from the raw stream; fields init-db.sql:27-38).
+
+    min_by/max_by(value, ts) work in streaming aggregation state, so
+    open/close are event-time-correct however batches interleave. The
+    watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted (append mode emits exactly
+    then). ``watermark=None`` -> complete-mode use (unbounded state;
+    only for tests/small replays).
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    w = F.window("ts", window_duration)
+    return (
+        events.groupBy(F.col("event_type"), w.alias("w"))
+        .agg(
+            F.min_by("value", "ts").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", "ts").alias("close_value"),
+            _value_sum(exact_cents).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("open_time"),
+            "open_value", "high_value", "low_value", "close_value",
+            "volume", "n_trades",
+        )
+    )
+
+
+def sliding_agg_stream(
+    events: DataFrame,
+    watermark: str | None = "2 hours",
+    window_duration: str = "24 hours",
+    slide: str = "1 hour",
+    exact_cents: bool = False,
+) -> DataFrame:
+    """A2 streaming: sliding-window stats per event_type (ticker_24hr
+    semantics, init-db.sql:39-49): each event lands in
+    window/slide = 24 overlapping windows; Spark's Expand does the
+    fan-out before the shuffle, state holds one row per (key, window).
+    At 100 TB the slide count is the state multiplier to budget for.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    w = F.window("ts", window_duration, slide)
+    return (
+        events.groupBy(F.col("event_type"), w.alias("w"))
+        .agg(
+            F.max_by("value", "ts").alias("last_value"),
+            F.min_by("value", "ts").alias("prev_value"),
+            _value_sum(exact_cents).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "last_value", "prev_value", "volume", "n_events",
+        )
+    )
+
+
+def session_agg_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session extends while successive
+    events are < `gap` apart (no batch analog in the reference -- this
+    is the streaming-native windowing the prompt's category table
+    requires). State merges adjacent sessions as late events bridge
+    them, so output is only stable past the watermark (append mode).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def dedup_latest_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """A4 streaming: drop re-deliveries of the same event_id within the
+    watermark horizon (the at-least-once repair the reference never does
+    -- its Cassandra PK upsert is the analogous idempotence,
+    cassandra-init.cql:4). State = one entry per id seen within the
+    horizon, evicted as the watermark passes: bounded, unlike plain
+    ``dropDuplicates`` whose state grows forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame with availableNow into a memory
+    sink; block until drained; return the sink table as a batch
+    DataFrame. The driver's rows-only check and pytest both consume
+    this."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    spark = sdf.sparkSession
+    return spark.table(name)

@@ -1,0 +1,75 @@
+"""CDC round-trip + upsert-store edge cases (SURVEY.md 5.2 item 5):
+envelope encode/decode fidelity, delete tombstones, idempotent replay.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docker_based_real_time_etl_project_spark.cdc import (
+    decode_envelope,
+    encode_envelope,
+    materialize_latest,
+)
+from docker_based_real_time_etl_project_spark.sinks import read_state, upsert_parquet_sink
+
+ROW = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+)
+
+
+def _envelopes(spark, rows):
+    """rows: (k, v, op, ts_ms, lsn)"""
+    df = spark.createDataFrame(rows, "k long, v double, op string, ts_ms long, lsn long")
+    return encode_envelope(
+        df, ["k", "v"], op=F.col("op"), ts_ms=F.col("ts_ms"), lsn=F.col("lsn"), table="t"
+    )
+
+
+def test_envelope_roundtrip_preserves_delete_image(spark):
+    env = _envelopes(spark, [(1, 10.0, "c", 100, 1), (1, 10.0, "d", 200, 2)])
+    decoded = decode_envelope(env, ROW).orderBy("_lsn").collect()
+    assert decoded[0]["_op"] == "c" and decoded[0]["v"] == 10.0
+    # delete keeps the before-image keyed fields (the SMT would drop it)
+    assert decoded[1]["_op"] == "d" and decoded[1]["k"] == 1 and decoded[1]["v"] == 10.0
+
+
+def test_materialize_last_writer_wins_and_deletes(spark):
+    env = _envelopes(
+        spark,
+        [
+            (1, 10.0, "c", 100, 1),
+            (1, 11.0, "u", 200, 2),
+            (2, 20.0, "c", 100, 3),
+            (2, 20.0, "d", 300, 4),
+            (3, 30.0, "c", 300, 5),
+            (3, 31.0, "u", 300, 6),  # same ts_ms: lsn breaks the tie
+        ],
+    )
+    state = materialize_latest(decode_envelope(env, ROW), ["k"]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in state] == [(1, 11.0), (3, 31.0)]  # 2 deleted
+
+
+def test_upsert_store_absorbs_out_of_order_replay(spark):
+    """A delete must survive a later-arriving OLDER update (tombstone),
+    and re-delivering a whole batch must not change the state."""
+    state_dir = tempfile.mkdtemp(prefix="cdc_ut_")
+    sink = upsert_parquet_sink(state_dir, ["k"])
+    b1 = decode_envelope(
+        _envelopes(spark, [(1, 10.0, "c", 100, 1), (2, 20.0, "c", 100, 2), (2, 20.0, "d", 300, 5)]),
+        ROW,
+    )
+    b2 = decode_envelope(
+        _envelopes(spark, [(2, 25.0, "u", 200, 3), (1, 12.0, "u", 400, 6)]),  # k=2 update OLDER than its delete
+        ROW,
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    got = {(r.k, r.v) for r in read_state(spark, state_dir).collect()}
+    assert got == {(1, 12.0)}  # k=2 stays deleted despite late old update
+    sink(b2, 2)  # exact re-delivery (restart replay): idempotent
+    got2 = {(r.k, r.v) for r in read_state(spark, state_dir).collect()}
+    assert got2 == got

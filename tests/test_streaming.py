@@ -1,0 +1,137 @@
+"""M2 streaming behavior that the registry's rows-only checks can't
+express: watermark late-data semantics, checkpointed exactly-once
+restart, and batch-vs-stream equivalence for sessions and dedup.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.sources.parquet import load_table
+from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+    dedup_latest_stream,
+    ohlcv_stream,
+    run_to_memory,
+    session_agg_stream,
+)
+from docker_based_real_time_etl_project_spark.streaming.replay import (
+    replay_events,
+    slice_events_to_dir,
+)
+
+
+def test_watermark_drops_late_slice(spark, sf_dir):
+    """Hold back a mid-stream time slice so it arrives after the
+    watermark has advanced past it: append-mode output must exclude
+    (at least some of) its windows, and a no-watermark complete run
+    over the same files must include them all."""
+    out_dir = tempfile.mkdtemp(prefix="late_")
+    # write slices 0-7 except 2-3; then write 2-3 AFTER (mtime order =
+    # arrival order for the file source)
+    slice_events_to_dir(spark, sf_dir, n_slices=8, out_dir=out_dir, hold_back_range=(2, 3))
+    slice_events_to_dir(spark, sf_dir, n_slices=8, out_dir=out_dir + "/late", hold_back_range=None)
+    # keep only slices 2-3 from the second pass, placed under the same root
+    import shutil
+
+    for i in (2, 3):
+        shutil.move(f"{out_dir}/late/slice={i:03d}", f"{out_dir}/slice={i:03d}")
+    shutil.rmtree(out_dir + "/late")
+
+    stream = replay_events(spark, out_dir)
+    appended = run_to_memory(
+        ohlcv_stream(stream, watermark="1 hour"), output_mode="append"
+    )
+    complete = run_to_memory(
+        ohlcv_stream(replay_events(spark, out_dir), watermark=None),
+        output_mode="complete",
+    )
+    # late slice's windows: present in complete, missing from append
+    # (their windows were finalized before the late files arrived)
+    n_append, n_complete = appended.count(), complete.count()
+    assert n_append < n_complete, (n_append, n_complete)
+    # the emitted window SET is a subset of the full recompute's windows
+    join_cols = ["event_type", "open_time"]
+    assert (
+        appended.select(*join_cols).exceptAll(complete.select(*join_cols)).count() == 0
+    )
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir):
+    """S3/S10: kill-and-restart from checkpoint must neither lose nor
+    duplicate rows. Run availableNow over half the slices, then add the
+    rest and restart with the SAME checkpoint: the parquet sink ends up
+    with every event exactly once."""
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    sink = tempfile.mkdtemp(prefix="restart_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    slice_events_to_dir(spark, sf_dir, n_slices=8, out_dir=src, hold_back_range=(4, 7))
+
+    def run_once():
+        q = (
+            replay_events(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    # deliver the held-back half, restart from the same checkpoint
+    tmp2 = tempfile.mkdtemp(prefix="restart_more_")
+    slice_events_to_dir(spark, sf_dir, n_slices=8, out_dir=tmp2, hold_back_range=(0, 3))
+    import shutil
+
+    for i in range(4, 8):
+        shutil.move(f"{tmp2}/slice={i:03d}", f"{src}/slice={i:03d}")
+    run_once()
+
+    total_events = load_table(spark, sf_dir, "events").count()
+    sunk = spark.read.parquet(sink)
+    assert first < total_events
+    assert sunk.count() == total_events  # nothing lost, nothing doubled
+    assert sunk.select("event_id").distinct().count() == total_events
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    """Emitted (finalized) streaming sessions must equal the batch
+    session_window aggregation for the same keys/starts."""
+    src = slice_events_to_dir(spark, sf_dir, n_slices=6)
+    emitted = run_to_memory(
+        session_agg_stream(replay_events(spark, src), gap="30 minutes", watermark="1 hour"),
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    assert emitted.count() > 0
+    # every emitted session matches a batch session exactly (keys+bounds+count)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert emitted.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+
+
+def test_stream_dedup_equals_distinct(spark, sf_dir):
+    """Doubled delivery + dropDuplicatesWithinWatermark == distinct ids."""
+    src = slice_events_to_dir(spark, sf_dir, n_slices=4)
+    doubled = replay_events(spark, src).unionByName(replay_events(spark, src))
+    out = run_to_memory(dedup_latest_stream(doubled), output_mode="append")
+    total = load_table(spark, sf_dir, "events").count()
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
