@@ -37,7 +37,11 @@ def shingles(text_col: str | Column, k: int = 3, sep: str = " ") -> Column:
     via sequence + transform (pure expressions, no UDF)."""
     toks = tokens(text_col, sep)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard n < k explicitly: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark, which would feed slice() a zero start and blow up
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
     )

@@ -95,13 +95,13 @@ def zip_positional(
 ) -> DataFrame:
     """T7: pair element i of two parallel arrays into one row (row index =
     depth rank), reproducing the order-book bid/ask pairing
-    (etl.py:128-134). ``arrays_zip`` + ``posexplode`` -- handles ragged
-    sides (shorter array yields nulls), matching the reference's
-    tolerance of short books."""
+    (etl.py:128-134). ``arrays_zip`` pads the shorter side with nulls
+    (the reference's short-book tolerance); the explode is inner, so an
+    empty book yields zero rows, not a null row."""
     zipped = F.arrays_zip(F.col(left_col).alias(left_name), F.col(right_col).alias(right_name))
     other = [c for c in df.columns if c not in (left_col, right_col)]
     return (
-        df.select(*other, F.posexplode_outer(zipped).alias(pos_name, "_pair"))
+        df.select(*other, F.posexplode(zipped).alias(pos_name, "_pair"))
         .select(*other, pos_name, f"_pair.{left_name}", f"_pair.{right_name}")
     )
 

@@ -5,6 +5,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     dedup_q,
     flows_q,
     functions_q,
+    multimodal_q,
     relational,
     similarity_q,
     streaming_q,

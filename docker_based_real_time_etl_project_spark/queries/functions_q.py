@@ -8,6 +8,8 @@ Python executes per row anywhere in this module.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,4 +179,61 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
         F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_udf_scalar: the Pandas-UDF slow path, held to the same hash bar
+# ---------------------------------------------------------------------------
+
+_UDF_ORACLE = """
+WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+SELECT v.vec_id, v.label,
+       list_dot_product(v.e, q.qe)
+         / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS score
+FROM v, q
+"""
+
+
+@register("q_udf_scalar", oracle=_UDF_ORACLE, tags=("udf", "similarity"))
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF scoring every embedding against
+    a fixed query vector (similarity-scoring UDF, the north-star UDF
+    shape). The kernel sums strictly left-to-right per element -- the
+    same association order as F.aggregate and DuckDB's
+    list_dot_product -- so the doubles are bit-identical cross-engine
+    and the query hash-matches WITHOUT rounding. Demonstrates the rule:
+    when Python is unavoidable, it runs on Arrow batches and must not
+    invent its own float semantics (np.dot's SIMD reassociation would
+    break the hash)."""
+    from pyspark.sql.functions import pandas_udf
+
+    e = table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    qnorm_sq = 0.0
+    for x in qvec:
+        qnorm_sq += x * x
+
+    @pandas_udf("double")
+    def cos_to_query(emb: pd.Series) -> pd.Series:
+        import math
+
+        out = []
+        for arr in emb:
+            dot = 0.0
+            nrm = 0.0
+            for a, b in zip(arr, qvec):
+                a = float(a)
+                dot += a * b
+                nrm += a * a
+            out.append(dot / (math.sqrt(nrm) * math.sqrt(qnorm_sq)))
+        return pd.Series(out)
+
+    return e.select(
+        "vec_id", "label", cos_to_query(F.col("embedding").cast("array<double>")).alias("score")
     )
