@@ -10,6 +10,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     similarity_q,
     streaming_q,
     text,
+    udtf_q,
     windows,
 )
 from docker_based_real_time_etl_project_spark.queries.registry import REGISTRY, Query
