@@ -129,3 +129,110 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means cells + probe-N search
+# ---------------------------------------------------------------------------
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array columns (expression-level)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def nearest_centroids(vec_col: Column, centroids: list[list[float]], n: int = 1) -> Column:
+    """Indexes of the n nearest centroids (ascending distance, index
+    tiebreak): array of (dist, idx) structs -> array_sort (struct
+    ordering is field-wise) -> slice -> idx projection. Pure expression,
+    centroids folded into the plan as literals."""
+    scored = F.array(
+        *[
+            F.struct(
+                l2_sq(vec_col, _lit_vec(c)).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["i"])
+
+
+def ivf_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means-lite for the coarse quantizer: init = the
+    n_centroids lowest-id vectors, then `iters` Lloyd rounds of
+    assign (distributed) + mean (distributed agg). Only the centroid
+    matrix (n_centroids x dim doubles) ever reaches the driver --
+    index *training* is the one legitimately iterative, driver-steered
+    step; assignment and search stay fully distributed."""
+    init = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        cell = nearest_centroids(F.col(vec_col), centroids, 1)[0]
+        means = (
+            df.select(cell.alias("_cell"), F.col(vec_col).cast("array<double>").alias("v"))
+            .groupBy("_cell")
+            .agg(
+                *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["_cell"]] = [r[f"m{i}"] for i in range(dim)]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF search: corpus partitioned by nearest-centroid cell (at scale:
+    written out partitioned by `_cell`, so a query scans n_probe cells'
+    files, not the corpus); queries probe their n_probe nearest cells;
+    exact cosine re-rank inside the probed cells."""
+    from pyspark.sql import Window
+
+    corpus = df.select(
+        id_col, vec_col, nearest_centroids(F.col(vec_col), centroids, 1)[0].alias("_cell")
+    )
+    probes = query_df.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(nearest_centroids(F.col(query_vec_col), centroids, n_probe)).alias("_cell"),
+    )
+    scored = corpus.join(F.broadcast(probes), "_cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rnk")
+    )

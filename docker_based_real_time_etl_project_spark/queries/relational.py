@@ -460,3 +460,29 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@register(
+    "q_agg_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {sql_dsum('l.l_extendedprice')} AS sum_value,
+           COUNT(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("agg", "skew"),
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase (salted) aggregation over a 5-value key --
+    the shape where one hot key would otherwise own a single reducer.
+    The oracle is the PLAIN group-by: salting must be a pure execution
+    strategy with zero semantic effect (decimal associativity)."""
+    from docker_based_real_time_etl_project_spark.operators.skew import salted_sum_count
+
+    li, o = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return salted_sum_count(
+        j, ["o_orderpriority"], "l_extendedprice",
+        salt_from=["l_orderkey", "l_linenumber"], n_salts=16,
+    )

@@ -63,3 +63,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     planes = hyperplanes(dim=64, n_planes=8, seed=42)
     return lsh_topk(e, _query_df(spark, sf_dir), planes, k=10)
+
+
+@register("q_ann_ivf", oracle=None, tags=("similarity", "approx"))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (8 cells, 3 Lloyd
+    rounds), probe-2 search, exact re-rank inside probed cells. At scale
+    the corpus is laid out partitioned by cell so each query reads
+    n_probe partitions. Rows-only (cell boundaries are engine-side);
+    recall vs brute force is pytest-gated."""
+    from docker_based_real_time_etl_project_spark.operators.similarity import ivf_topk, ivf_train
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids = ivf_train(e, n_centroids=8, iters=3)
+    return ivf_topk(e, _query_df(spark, sf_dir), centroids, n_probe=2, k=10)
