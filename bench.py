@@ -40,6 +40,10 @@ HEADLINE = [
     "q_dedup_minhash",     # MinHash-LSH near-dup join
     "q_cosine_topk",       # brute-force cosine top-k
     "q_text_tokenize",     # split+explode word counts
+    "q_agg_salted",        # skew-proof two-phase aggregation
+    "q_udf_scalar",        # Arrow pandas-UDF scoring (Python slow path)
+    "q_media_features",    # mapInPandas multimodal feature extraction
+    "q_cdc_materialize",   # JSON envelope decode + changelog compaction
 ]
 
 

@@ -7,6 +7,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     functions_q,
     multimodal_q,
     relational,
+    relational2,
     similarity_q,
     streaming_q,
     text,

@@ -1,0 +1,183 @@
+"""Second relational batch: subqueries (EXISTS / scalar -- Catalyst
+rewrites both to joins), PIVOT, date arithmetic, null-handling
+semantics, and ordered array aggregation. Rounds out the "every
+operator a reference user could ask for" surface (SURVEY.md 2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    dsum, register, sql_dsum, table,
+)
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    tags=("join", "subquery"),
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS: Catalyst plans these as left-semi
+    and left-anti joins -- written as SQL to exercise the subquery
+    rewrite path rather than the explicit join API (q_join_semi/anti)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a broadcast single-row
+    join): orders above the global average price. COUNT-only output, so
+    the avg's float value never reaches the hash."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event_type counts spread to columns per user bucket. The
+    pivot values are declared explicitly -- at scale an undeclared pivot
+    triggers a distinct-scan planning pass you don't want."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS VARCHAR) AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+           CAST(strftime(last_day(o_orderdate), '%Y-%m-%d') AS VARCHAR) AS month_end,
+           CAST(date_part('dow', o_orderdate) AS INT) AS dow,
+           CAST(date_part('quarter', o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+    tags=("date",),
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic kernel: interval add, day difference, month end,
+    day-of-week, quarter (T12-adjacent). Dates rendered as strings so
+    the comparison is calendar math, not timestamp encoding."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("bigint").alias("days_since_95"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),  # Spark 1=Sun -> 0=Sun
+        F.quarter(d).cast("int").alias("qtr"),
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           (CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / NULLIF(l_discount, 0) END)
+             IS NULL AS qty_per_disc_null,
+           IFNULL(NULLIF(CAST(l_quantity AS BIGINT), 0), -1) AS qty_or_neg1,
+           CASE WHEN l_tax > 0.05 THEN 'high' WHEN l_tax > 0.02 THEN 'mid' ELSE 'low' END AS tax_band
+    FROM lineitem
+    """,
+    tags=("transform", "null"),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics kernel: coalesce/nullif/ifnull and multi-branch
+    CASE -- the null-propagation contract every transform in the
+    reference implicitly relies on (pandas NaN vs SQL NULL is a classic
+    porting bug; here the engine is held to SQL NULL rules exactly)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_per_disc = F.when(F.col("l_discount") == 0, F.lit(None)).otherwise(
+        F.col("l_quantity") / F.nullif(F.col("l_discount"), F.lit(0))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_or_none"),
+        qty_per_disc.isNull().alias("qty_per_disc_null"),
+        F.ifnull(F.nullif(F.col("l_quantity").cast("bigint"), F.lit(0)), F.lit(-1)).alias("qty_or_neg1"),
+        F.when(F.col("l_tax") > 0.05, "high")
+        .when(F.col("l_tax") > 0.02, "mid")
+        .otherwise("low")
+        .alias("tax_band"),
+    )
+
+
+@register(
+    "q_array_agg_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("agg", "array"),
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: collect_list is shuffle-order-dependent,
+    so determinism comes from array_sort before rendering -- the only
+    safe way to oracle a collected array."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
