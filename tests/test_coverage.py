@@ -1,0 +1,71 @@
+"""Surface-completeness gate: every SURVEY.md §2.4 category must keep
+at least one registered query, and the oracle ratio must not silently
+erode (rows-only is the exception that needs a reason, not the norm).
+"""
+
+from __future__ import annotations
+
+from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+REQUIRED_PREFIXES = {
+    "join": ("q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
+             "q_join_anti", "q_join_range"),
+    "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
+            "q_grouping_sets", "q_pivot", "q_agg_salted"),
+    "window": ("q_win_rank", "q_win_lag", "q_win_moving"),
+    "setop": ("q_union_all", "q_intersect", "q_except"),
+    "sort": ("q_topk_orders",),
+    "string": ("q_str_funcs",),
+    "date": ("q_date_trunc_extract", "q_date_arith"),
+    "math": ("q_math_round_pct",),
+    "array": ("q_arr_elem", "q_arr_explode", "q_arr_zip"),
+    "json": ("q_json_extract",),
+    "timeseries": ("q_ohlcv_1h", "q_ticker_24h", "q_dedup_latest"),
+    "streaming": ("q_stream_ohlcv_1h", "q_stream_sliding_24h",
+                  "q_stream_session_window", "q_stream_dedup_latest",
+                  "q_stream_stateful_totals"),
+    "cdc": ("q_cdc_materialize", "q_cdc_stream_upsert"),
+    "etl": ("q_etl_poll_cycle",),
+    "dedup": ("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+              "q_ngram_jaccard", "q_dedup_embedding"),
+    "similarity": ("q_cosine_topk", "q_ann_lsh", "q_ann_ivf"),
+    "text": ("q_text_tokenize", "q_doc_stats", "q_token_count",
+             "q_lang_id", "q_quality_score", "q_fingerprint"),
+    "multimodal": ("q_media_meta_stats", "q_media_resize_meta",
+                   "q_media_frame_sample", "q_media_features"),
+    "udf": ("q_udf_scalar", "q_udtf_chunk"),
+    "subquery": ("q_exists_subquery", "q_scalar_subquery"),
+}
+
+# rows-only needs a justification (documented in COVERAGE.md); anything
+# newly added without an oracle must be added here CONSCIOUSLY
+ALLOWED_ROWS_ONLY = {
+    "q_agg_approx_distinct",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_media_features",
+    "q_stream_session_window",
+    "q_stream_dedup_latest",
+}
+
+
+def test_every_category_covered():
+    missing = [
+        q
+        for names in REQUIRED_PREFIXES.values()
+        for q in names
+        if q not in REGISTRY
+    ]
+    assert not missing, f"queries vanished from the registry: {missing}"
+
+
+def test_rows_only_is_exceptional():
+    rows_only = {n for n, q in REGISTRY.items() if q.oracle is None}
+    undeclared = rows_only - ALLOWED_ROWS_ONLY
+    assert not undeclared, (
+        f"new rows-only queries need a documented reason: {undeclared}"
+    )
+    # and the surface stays overwhelmingly oracled
+    assert len(rows_only) / len(REGISTRY) < 0.2
