@@ -67,10 +67,21 @@ def join_strategies(df: DataFrame) -> dict[str, int]:
     }
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (broadcast exchanges excluded):
-    the number every scale review starts from."""
+def count_exchanges(df: DataFrame, include_repartition: bool = False) -> int:
+    """Semantic shuffle exchanges in the plan (broadcast exchanges
+    excluded): the number every scale review starts from.
+
+    Exchanges whose origin is an explicit repartition
+    (REPARTITION_BY_NUM/_COL -- e.g. the loader's degenerate-input
+    conditioning) are input plumbing, not query shuffles, and are
+    excluded unless `include_repartition`."""
     plan = formatted_plan(df)
-    # formatted mode names shuffle nodes "(N) Exchange" (broadcast ones
-    # are "(N) BroadcastExchange", excluded by the word boundary)
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+    # formatted mode: "(N) Exchange" detail header, Arguments a couple
+    # of lines below carry the partitioning + shuffle origin
+    count = 0
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for b in blocks:
+        if re.match(r"\(\d+\) Exchange\b", b):
+            if include_repartition or "REPARTITION_BY" not in b:
+                count += 1
+    return count

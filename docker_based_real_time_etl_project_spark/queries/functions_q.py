@@ -221,18 +221,20 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def cos_to_query(emb: pd.Series) -> pd.Series:
-        import math
+        import numpy as np
 
-        out = []
-        for arr in emb:
-            dot = 0.0
-            nrm = 0.0
-            for a, b in zip(arr, qvec):
-                a = float(a)
-                dot += a * b
-                nrm += a * a
-            out.append(dot / (math.sqrt(nrm) * math.sqrt(qnorm_sq)))
-        return pd.Series(out)
+        # vectorize across ROWS, loop over the 64 dims: each row's
+        # accumulation stays strictly left-to-right (the hash-exact
+        # association), but the batch does 64 numpy ops instead of
+        # n_rows x 64 Python ops (~100x)
+        m = np.stack(emb.to_numpy())  # (n, 64) float64
+        dot = np.zeros(len(m))
+        nrm = np.zeros(len(m))
+        for i in range(m.shape[1]):
+            c = m[:, i]
+            dot += c * qvec[i]
+            nrm += c * c
+        return pd.Series(dot / (np.sqrt(nrm) * np.sqrt(qnorm_sq)))
 
     return e.select(
         "vec_id", "label", cos_to_query(F.col("embedding").cast("array<double>")).alias("score")

@@ -49,6 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ensure_parallelism(spark, df)
+
+
+def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The driver testdata is one single-row-group file per table, which
+    Spark reads as ONE scan task -- serializing every pre-shuffle
+    expression (filters, casts, shingles, dot products) on one core.
+    Repartition to the session's parallelism when the scan is that
+    degenerate. On a real multi-file/multi-row-group layout (the 100 TB
+    case) the condition never fires, so no gratuitous full-table
+    shuffle is introduced there; explicit repartition(N) is exempt from
+    AQE coalescing, so the parallelism sticks."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
     return df
 
 
