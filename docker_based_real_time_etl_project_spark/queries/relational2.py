@@ -181,3 +181,32 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias("line_numbers"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(CAST(l_quantity AS BIGINT)) AS median_qty,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25_qty,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.90) AS p90_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) on integer
+    quantities -- interpolation arithmetic on exact ints is
+    cross-engine stable where it would NOT be on arbitrary doubles.
+    The approximate variant (approx_percentile / KLL at scale) stays
+    rows-only like q_agg_approx_distinct."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("median_qty"),
+        F.percentile(q, F.lit(0.25)).alias("p25_qty"),
+        F.percentile(q, F.lit(0.90)).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

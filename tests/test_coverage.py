@@ -11,7 +11,7 @@ REQUIRED_PREFIXES = {
     "join": ("q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
              "q_join_anti", "q_join_range"),
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
-            "q_grouping_sets", "q_pivot", "q_agg_salted"),
+            "q_grouping_sets", "q_pivot", "q_agg_salted", "q_percentiles"),
     "window": ("q_win_rank", "q_win_lag", "q_win_moving"),
     "setop": ("q_union_all", "q_intersect", "q_except"),
     "sort": ("q_topk_orders",),
