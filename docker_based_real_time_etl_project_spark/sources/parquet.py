@@ -33,6 +33,12 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its declared schema."""
+    # the driver calls queries() with ITS OWN SparkSession; pin the two
+    # runtime confs whose defaults would change RESULTS (not just speed)
+    # if that session was built plain: event-time bucketing/rendering
+    # must be UTC, and nanos timestamps must read as longs
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = TESTDATA_SCHEMAS.get(name)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
