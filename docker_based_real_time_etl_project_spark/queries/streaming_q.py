@@ -149,3 +149,31 @@ def q_stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, output_mode="append").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_events")
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with two-sided watermarks: every click
+    attributed to same-user purchases within the following hour, both
+    sides replayed as independent 8-batch streams. Hash-matches the
+    batch self-join -- the stream-stream state machine (buffer, match
+    across batches, evict past watermark) must reproduce it exactly."""
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import stream_stream_join
+
+    src = _slices(spark, sf_dir)
+    clicks = replay_events(spark, src).filter(F.col("event_type") == "click")
+    purchases = replay_events(spark, src).filter(F.col("event_type") == "purchase")
+    out = stream_stream_join(clicks, purchases)
+    return run_to_memory(out, output_mode="append")

@@ -153,3 +153,40 @@ def run_to_memory(
     q.awaitTermination(600)
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: click -> subsequent purchase by the
+    same user within `max_gap` (attribution-join shape). Both sides
+    carry watermarks and the join has a two-sided event-time range, so
+    state for unmatched rows is evicted once the other side's watermark
+    passes -- the combination Structured Streaming requires to bound
+    stream-stream join state. Inner + time-bounded means the drained
+    (availableNow) result is independent of micro-batch slicing, hence
+    SQL-oracle-able."""
+    l = (
+        left.select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return l.join(
+        r,
+        (l.user_id == r.r_user_id)
+        & (r.purchase_ts > l.click_ts)
+        & (r.purchase_ts <= l.click_ts + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
