@@ -114,3 +114,18 @@ def test_streaming_source_advances_polls(spark):
         "price", "depth", "trades", "klines", "ticker24h"
     }
     assert got.select("poll_id").distinct().collect()[0][0] == 0
+
+
+def test_fetch_failure_skips_endpoint_not_batch(spark):
+    """S1/S3: a failing endpoint (fetcher returns None, like etl.py:111)
+    drops that endpoint's rows; the other four flows still deliver."""
+    register_rest_source(spark)
+    raw = (
+        spark.read.format("rest_poll")
+        .option("symbols", "BTCUSDT")
+        .option("fetcher", "tests.fetchers.depth_down_fetch")
+        .load()
+    )
+    got = {r.endpoint for r in raw.select("endpoint").distinct().collect()}
+    assert got == {"price", "trades", "klines", "ticker24h"}  # no depth
+    assert raw.count() == 4

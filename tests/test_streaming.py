@@ -135,3 +135,26 @@ def test_stream_dedup_equals_distinct(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     assert out.count() == total
     assert out.select("event_id").distinct().count() == total
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The at-scale state backend: the same windowed aggregation runs on
+    RocksDB state (the provider SCALE.md prescribes once state exceeds
+    executor heap) and produces the same windows as the default
+    HDFS-backed store."""
+    src = slice_events_to_dir(spark, sf_dir, n_slices=4)
+    default_out = run_to_memory(
+        ohlcv_stream(replay_events(spark, src), watermark=None), output_mode="complete"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_out = run_to_memory(
+            ohlcv_stream(replay_events(spark, src), watermark=None), output_mode="complete"
+        )
+        assert rocks_out.count() == default_out.count()
+        assert rocks_out.exceptAll(default_out).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
