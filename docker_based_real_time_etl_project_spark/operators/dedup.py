@@ -214,3 +214,48 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) ->
     from docker_based_real_time_etl_project_spark.operators.aggregates import latest_per_key
 
     return latest_per_key(df, key_cols, order_cols)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> clusters: min-label propagation to a fixpoint
+    (each node's label becomes the smallest id reachable from it),
+    converging in <= graph-diameter iterations -- dedup similarity
+    clusters are shallow, so a handful of joins, not a GraphX job.
+
+    Iterative DataFrame algorithm done right for scale: per-iteration
+    localCheckpoint truncates the exploding join lineage (else the plan
+    doubles every round), and convergence is detected with a LIMIT 1
+    existence check, not a full count. The driver only steers; all data
+    movement is joins/aggregates on the cluster.
+    """
+    bidir = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = bidir.join(labels, bidir.dst == labels.id).select(
+            F.col("src").alias("id"), "rep"
+        )
+        new = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("rep").alias("rep"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.operators.dedup import (
-    exact_jaccard, hamming64, minhash_neardup_pairs, shingles, simhash64,
+    connected_components, exact_jaccard, hamming64, minhash_neardup_pairs,
+    shingles, simhash64,
 )
 from docker_based_real_time_etl_project_spark.operators.similarity import cosine
 from docker_based_real_time_etl_project_spark.queries.registry import register, table
@@ -136,4 +137,64 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine_sim", F.round(cos, 6))
         .filter(F.col("cosine_sim") >= 0.8)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+         )) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+        / CAST(len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+reps AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(r.rep, d.doc_id) AS cluster_rep,
+       COALESCE(r.rep, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+"""
+
+
+@register("q_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("dedup", "graph"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data dedup decision: near-dup pairs (exact
+    3-gram Jaccard >= 0.3, source-blocked) -> connected components
+    (iterative min-label propagation) -> keep exactly one doc (the
+    smallest id) per cluster. Oracled against a DuckDB recursive-CTE
+    transitive closure -- the iterative DataFrame fixpoint must land on
+    the identical clustering."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("grams").alias("g_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("grams").alias("g_b"))
+    pairs = (
+        a.join(b, (a.src_a == b.src_b) & (a.id_a < b.id_b))
+        .filter(exact_jaccard(F.col("g_a"), F.col("g_b")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(d, pairs, id_col="doc_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("rep").alias("cluster_rep"),
+        (F.col("id") == F.col("rep")).alias("is_kept"),
     )

@@ -27,7 +27,7 @@ REQUIRED_PREFIXES = {
     "cdc": ("q_cdc_materialize", "q_cdc_stream_upsert"),
     "etl": ("q_etl_poll_cycle",),
     "dedup": ("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-              "q_ngram_jaccard", "q_dedup_embedding"),
+              "q_ngram_jaccard", "q_dedup_embedding", "q_dedup_clusters"),
     "similarity": ("q_cosine_topk", "q_ann_lsh", "q_ann_ivf"),
     "text": ("q_text_tokenize", "q_doc_stats", "q_token_count",
              "q_lang_id", "q_quality_score", "q_fingerprint"),
