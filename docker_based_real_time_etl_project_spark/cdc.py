@@ -120,3 +120,16 @@ def materialize_latest(
     # final/read-side materialization drops them.
     out = latest if keep_tombstones else latest.filter(F.col("_op") != "d")
     return out.drop("_op", "_ts_ms", "_lsn") if drop_meta else out
+
+
+def snapshot_envelopes(
+    df: DataFrame, row_cols: Sequence[str], lsn: Column, table: str
+) -> DataFrame:
+    """S6 snapshot.mode=initial: the connector first emits every existing
+    row as a read event (op='r', ts_ms=0 -- before any WAL change), then
+    streams changes. Feeding these through the same upsert store gives
+    backfill-then-stream: the snapshot seeds state and any subsequent
+    change (real ts_ms > 0) wins by the (ts_ms, lsn) order."""
+    return encode_envelope(
+        df, row_cols, op=F.lit("r"), ts_ms=F.lit(0).cast("long"), lsn=lsn, table=table
+    )

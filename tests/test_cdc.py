@@ -73,3 +73,31 @@ def test_upsert_store_absorbs_out_of_order_replay(spark):
     sink(b2, 2)  # exact re-delivery (restart replay): idempotent
     got2 = {(r.k, r.v) for r in read_state(spark, state_dir).collect()}
     assert got2 == got
+
+
+def test_snapshot_then_stream_backfill(spark):
+    """S6 snapshot.mode=initial: snapshot (op='r', ts_ms=0) seeds the
+    store; later WAL changes override; an unchanged snapshot row
+    survives. Exactly Debezium's backfill-then-stream contract."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.cdc import snapshot_envelopes
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_snap_")
+    sink = upsert_parquet_sink(state_dir, ["k"])
+    # snapshot of current table state: k=1 -> 10.0, k=2 -> 20.0
+    snap_df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    snap = decode_envelope(
+        snapshot_envelopes(snap_df, ["k", "v"], lsn=F.col("k"), table="t"), ROW
+    )
+    sink(snap, 0)
+    # then the WAL stream: k=1 updated, k=3 created, k=2 deleted
+    wal = decode_envelope(
+        _envelopes(spark, [(1, 11.0, "u", 100, 10), (3, 30.0, "c", 150, 11), (2, 20.0, "d", 200, 12)]),
+        ROW,
+    )
+    sink(wal, 1)
+    got = {(r.k, r.v) for r in read_state(spark, state_dir).collect()}
+    assert got == {(1, 11.0), (3, 30.0)}  # k=2 deleted, k=1 updated, k=3 new

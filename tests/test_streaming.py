@@ -158,3 +158,31 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
         assert rocks_out.exceptAll(default_out).count() == 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_concurrent_streaming_queries(spark, sf_dir):
+    """The reference runs its five flows sequentially in one loop
+    (etl.py:210-237); the engine runs flows as CONCURRENT streaming
+    queries on one session -- both must drain fully while overlapping."""
+    import uuid
+
+    src = slice_events_to_dir(spark, sf_dir, n_slices=4)
+    names = [f"conc_{uuid.uuid4().hex[:6]}_{i}" for i in range(2)]
+    q1 = (
+        ohlcv_stream(replay_events(spark, src), watermark=None)
+        .writeStream.format("memory").queryName(names[0])
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="c1_")).start()
+    )
+    q2 = (
+        dedup_latest_stream(replay_events(spark, src))
+        .writeStream.format("memory").queryName(names[1])
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="c2_")).start()
+    )
+    # both run at once; both must finish
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    total = load_table(spark, sf_dir, "events").count()
+    assert spark.table(names[1]).count() == total
+    assert spark.table(names[0]).count() > 0
