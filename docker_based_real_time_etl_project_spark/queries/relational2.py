@@ -210,3 +210,73 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(q, F.lit(0.90)).alias("p90_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) vs the UNION ALL of q_union_all: dedup across
+    the branches -- planned as union + hash aggregate."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_filtered_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           {sql_dsum('l_extendedprice').replace('SUM(', 'SUM(').replace('CAST(SUM', 'CAST(SUM')} AS sum_all,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10)))
+                FILTER (WHERE l_discount > 0.05) AS VARCHAR) AS DOUBLE) AS sum_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (conditional aggregation without CASE
+    gymnastics), decimal-exact where doubles are summed."""
+    from docker_based_real_time_etl_project_spark.functions import DEC, _dec_to_double
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        dsum("l_extendedprice").alias("sum_all"),
+        _dec_to_double(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC)))
+        ).alias("sum_discounted"),
+    )
+
+
+@register(
+    "q_regexp_all",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+') AS words,
+           len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+           regexp_matches(p_name, '^[a-z]') AS starts_lower
+    FROM part
+    """,
+    tags=("string",),
+)
+def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp kernel: extract-all (array result), global replace, match
+    test. Complements q_str_funcs' single-capture extract."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0).alias("words"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0)).alias("n_words"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
+        F.col("p_name").rlike("^[a-z]").alias("starts_lower"),
+    )

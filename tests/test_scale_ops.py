@@ -93,3 +93,27 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     assert "Exchange" not in plan, plan[:2000]
     # and it computes the same row count as the unbucketed join
     assert joined.count() > 0
+
+
+def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
+    """SCALE.md's layout claim, demonstrated: events written partitioned
+    by date, a one-day query must scan only that day's partition
+    (partition filters in the scan, file count = that partition's)."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(out)
+
+    part = spark.read.parquet(out)
+    one_day = part.filter(F.col("day") == "2024-01-05")
+    from docker_based_real_time_etl_project_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    # the scan's input files are only the pruned partition's
+    files = one_day.select(F.input_file_name()).distinct().collect()
+    assert all("day=2024-01-05" in r[0] for r in files)
+    # and the pruned read returns exactly the day's rows
+    expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expected > 0
