@@ -259,3 +259,12 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard from two MinHash signatures: the fraction of
+    agreeing components (the estimator whose E[.] = true Jaccard).
+    Used for cheap pre-filtering before the exact verify join at scale;
+    its accuracy contract (stderr ~ 1/sqrt(n_hashes)) is pytest-gated."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+    return agree.cast("double") / F.size(sig_a)

@@ -108,3 +108,40 @@ def test_jaccard_bounds_and_symmetry(spark, a, b):
     assert abs(r.ab - r.ba) < 1e-12
     if set(a) == set(b):
         assert r.ab == 1.0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The sketch's statistical contract: signature-agreement fraction
+    estimates true Jaccard with stderr ~ 1/sqrt(64) ~ 0.125; mean |err|
+    over real document pairs must stay well inside that."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures_agg,
+    )
+    from docker_based_real_time_etl_project_spark.sources.parquet import load_table
+
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    sh = d.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(shingles("text", 3)).alias("_sh"),
+    ).withColumn("_rank", F.row_number().over(Window.orderBy("_id")))
+    sigs = minhash_signatures_agg(sh.drop("_rank"), "_id", "_sh", 64)
+    both = sh.join(sigs, "_id")
+    a = both.select(F.col("_rank").alias("ia"), F.col("_sh").alias("sa"), F.col("sig").alias("ga"))
+    b = both.select(F.col("_rank").alias("ib"), F.col("_sh").alias("sb"), F.col("sig").alias("gb"))
+    # pair rank-adjacent docs: mix of similar (near-dup seeds) and unrelated
+    pairs = a.join(b, a.ia + 1 == b.ib).select(
+        exact_jaccard(F.col("sa"), F.col("sb")).alias("exact"),
+        minhash_jaccard_estimate(F.col("ga"), F.col("gb")).alias("est"),
+    )
+    rows = pairs.collect()
+    assert len(rows) > 50
+    mae = sum(abs(r.exact - r.est) for r in rows) / len(rows)
+    assert mae < 0.08, f"minhash estimator degraded: MAE={mae:.4f}"
+    # and it NEVER misses a true near-duplicate badly: high-exact pairs
+    # must estimate high
+    for r in rows:
+        if r.exact >= 0.6:
+            assert r.est >= 0.35, (r.exact, r.est)
