@@ -120,14 +120,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS cosine_sim
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.e, b.e)
-          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.8
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
     """,
     tags=("dedup", "similarity"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     cluster id stands in for an LSH bucket at scale): exact cosine
-    within block, threshold 0.8."""
+    within block, threshold 0.4 (0.8 matched zero pairs at test SFs --
+    a vacuous 0=0 oracle pass; 0.4 yields real survivors)."""
     e = table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lab_a"), F.col("embedding").alias("e_a"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lab_b"), F.col("embedding").alias("e_b"))
@@ -135,7 +136,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (a.lab_a == b.lab_b) & (a.id_a < b.id_b))
         .withColumn("cosine_sim", F.round(cos, 6))
-        .filter(F.col("cosine_sim") >= 0.8)
+        .filter(F.col("cosine_sim") >= 0.4)
         .select("id_a", "id_b", "cosine_sim")
     )
 

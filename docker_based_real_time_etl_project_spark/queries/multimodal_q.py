@@ -37,8 +37,8 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_KIND} AS kind,
            COUNT(*) AS n,
            AVG(CASE WHEN {_KIND} <> 'audio' THEN {_W} END) AS avg_width,
-           SUM(CASE WHEN {_KIND} <> 'image' THEN (doc_id % 30 + 1) * 1000 ELSE 0 END) AS total_duration_ms,
-           SUM(32) AS total_bytes  -- sha-256 payload = 32 bytes/row
+           CAST(SUM(CASE WHEN {_KIND} <> 'image' THEN (doc_id % 30 + 1) * 1000 ELSE 0 END) AS BIGINT) AS total_duration_ms,
+           CAST(SUM(32) AS BIGINT) AS total_bytes  -- sha-256 payload = 32 bytes/row
     FROM documents
     GROUP BY 1
     """,

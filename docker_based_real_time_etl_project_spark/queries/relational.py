@@ -233,14 +233,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join = NOT EXISTS: customers that never ordered."""
+    """Left-anti join = NOT EXISTS: customers with no URGENT order (the
+    every-customer-ordered variant is vacuously empty on this data, so
+    the predicate filters the right side to leave real survivors)."""
     c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 @register(
@@ -447,19 +454,20 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT l_shipdate AS d FROM lineitem
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_orderdate FROM orders
     """,
     tags=("setop",),
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference: nations with customers but no suppliers.
-    ``subtract`` is Spark's EXCEPT DISTINCT (exceptAll would keep
-    surviving duplicates)."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Set difference: dates on which items shipped but nothing was
+    ordered (ship dates lag order dates, so the tail survives at every
+    SF -- the nationkey variant was vacuously empty). ``subtract`` is
+    Spark's EXCEPT DISTINCT (exceptAll would keep surviving dups)."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
+    return li.subtract(o)
 
 
 @register(

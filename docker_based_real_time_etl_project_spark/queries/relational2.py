@@ -261,7 +261,7 @@ def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regexp_all",
     oracle=r"""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+') AS words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS words,
            len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
            regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
            regexp_matches(p_name, '^[a-z]') AS starts_lower
@@ -270,13 +270,15 @@ def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("string",),
 )
 def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regexp kernel: extract-all (array result), global replace, match
+    """Regexp kernel: extract-all (joined to a space-delimited string so
+    the driver's pandas canonicalizer can sort the column -- raw
+    array<string> cells are unhashable there), global replace, match
     test. Complements q_str_funcs' single-capture extract."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0).alias("words"),
-        F.size(F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0)).alias("n_words"),
+        F.array_join(F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0), " ").alias("words"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0)).cast("bigint").alias("n_words"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
         F.col("p_name").rlike("^[a-z]").alias("starts_lower"),
     )
