@@ -131,6 +131,79 @@ def lsh_topk(
     )
 
 
+def lsh_tables(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic hyperplane sets for multi-table (OR-amplified) LSH."""
+    return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+
+def lsh_topk_multi(
+    df: DataFrame,
+    query_df: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Multi-table sign-LSH ANN: a candidate qualifies if it co-buckets
+    with the query in ANY of the hash tables (OR-amplification), then
+    exact cosine re-rank. Single-table LSH on unstructured embeddings
+    has catastrophic recall (one 8-plane table measured ~0.1 recall@10
+    on the synthetic corpus); L tables of fewer planes trade candidate
+    volume for recall the standard way: P(hit) = 1 - (1 - p^planes)^L.
+
+    Plan shape for 100 TB: corpus explodes to docs x L (table, bucket)
+    rows -- written out partitioned by (table, bucket) so a query reads
+    L buckets' files; the candidate-id join carries ids only, vectors
+    are re-attached afterward so wide embedding arrays never ride the
+    bucket shuffle; dedup happens BEFORE re-rank so each candidate is
+    scored once."""
+    from pyspark.sql import Window
+
+    def bucket_arr(vcol: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), lsh_bucket(vcol, planes).alias("b")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+
+    corpus_b = df.select(
+        F.col(id_col), F.explode(bucket_arr(F.col(vec_col))).alias("_tb")
+    ).select(id_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    query_b = query_df.select(
+        F.col(query_id_col), F.explode(bucket_arr(F.col(query_vec_col))).alias("_tb")
+    ).select(query_id_col, F.col("_tb.t").alias("_t2"), F.col("_tb.b").alias("_b2"))
+    cand = (
+        corpus_b.join(
+            F.broadcast(query_b),
+            (corpus_b._t == query_b._t2) & (corpus_b._b == query_b._b2),
+        )
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(df.select(id_col, vec_col), id_col)
+        .join(F.broadcast(query_df), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse k-means cells + probe-N search
 # ---------------------------------------------------------------------------

@@ -48,6 +48,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs(d, threshold=0.4)
 
 
+@register(
+    "q_dedup_minhash_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.4
+    """,
+    tags=("dedup", "sketch"),
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs held to a FULL hash oracle: the
+    LSH-surfaced, exact-Jaccard-verified output must equal the all-pairs
+    exact-Jaccard result (DuckDB computes the unblocked n^2 truth; the
+    LSH path must find every qualifying pair). Sound here because the
+    qualifying pairs on this corpus sit at j >= 0.9 where 16x4 banding
+    recall is ~1 - 4e-8 -- measured 100% at sf0.001 and sf0.01. The
+    rows-only q_dedup_minhash remains the under-threshold sketch check."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(d, threshold=0.4)
+
+
 @register("q_dedup_simhash", oracle=None, tags=("dedup", "sketch"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 per document + near-dup pairs at Hamming distance <= 8,
