@@ -50,21 +50,40 @@ def jdbc_append_writer(
     return write
 
 
+def cassandra_sink_options(
+    batch_size_rows: int = 32,
+    concurrent_writes: int = 500,
+    request_timeout_ms: int = 30_000,
+) -> dict[str, str]:
+    """The reference sink's performance knobs (batch size 32 / 500
+    max concurrent requests / 30 s timeout,
+    ``cassandra-sink-config.json:10-12``) surfaced as the Spark
+    Cassandra Connector's public option keys. Kept as a pure function
+    so the mapping is contract-testable without a Cassandra container."""
+    return {
+        "spark.cassandra.output.batch.size.rows": str(batch_size_rows),
+        "spark.cassandra.output.concurrent.writes": str(concurrent_writes),
+        "spark.cassandra.connection.timeoutMS": str(request_timeout_ms),
+    }
+
+
 def cassandra_mapped_writer(
     keyspace: str,
     table: str,
     mapping: Mapping[str, str],
+    sink_options: Mapping[str, str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """S9: column-mapped write via the Spark Cassandra Connector if its
     jar is present (it is not in this environment -- the adapter raises
-    a clear error instead of failing deep inside py4j)."""
+    a clear error instead of failing deep inside py4j).
+    ``sink_options``: see :func:`cassandra_sink_options`."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         projected = mapped_projection(batch_df, mapping)
         try:
             (
                 projected.write.format("org.apache.spark.sql.cassandra")
-                .options(keyspace=keyspace, table=table)
+                .options(keyspace=keyspace, table=table, **(sink_options or {}))
                 .mode("append")
                 .save()
             )
