@@ -124,25 +124,69 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_totals(emitted)
 
 
-@register("q_stream_session_window", oracle=None, tags=("streaming", "window"))
+@register(
+    "q_stream_session_window",
+    oracle=f"""
+    WITH ord AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ord
+    ),
+    agg AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             COUNT(*) AS n_events, {CENT_SUM_SQL} AS session_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, session_value
+    FROM agg
+    WHERE s_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+    tags=("streaming", "window"),
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows (30 min gap) in append mode: emission
-    happens as the watermark passes each session's end. Rows-only here
-    (the emitted subset depends on the final watermark cut);
-    tests/test_streaming.py asserts agreement with the batch
-    session_window aggregation on the emitted keys."""
-    out = session_agg_stream(_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours")
+    """Per-user session windows (30 min gap) in append mode, FULLY
+    oracled: with availableNow replay the final no-data micro-batch
+    advances the watermark to max(ts) - 2 h, so the emitted set is
+    deterministically "sessions whose end <= that cut" -- the oracle
+    reconstructs sessions gaps-and-islands style (break when the gap
+    >= 30 min, Spark's [start, last+gap) semantics) and applies the
+    same cut. Session sums accumulate integer cents so state-merge
+    order cannot shift them."""
+    out = session_agg_stream(
+        _stream(spark, sf_dir), gap="30 minutes", watermark="2 hours", exact_cents=True
+    )
     return run_to_memory(out, output_mode="append")
 
 
-@register("q_stream_dedup_latest", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "q_stream_dedup_latest",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
 def q_stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 streaming repair of at-least-once delivery: every event is
     delivered TWICE (union of two replays of the same slices -- the
     at-least-once double-delivery the reference absorbs via Cassandra
     PK upserts), and dropDuplicatesWithinWatermark keeps one copy per
-    event_id. Counts equal the distinct-id counts; which copy survives
-    is arrival-order dependent, hence rows-only."""
+    event_id. WHICH copy survives is arrival-order dependent, but the
+    emitted per-type counts are exactly the distinct-id counts, so the
+    count projection carries a full oracle."""
     base = _slices(spark, sf_dir)
     doubled = replay_events(spark, base).unionByName(replay_events(spark, base))
     out = dedup_latest_stream(doubled)

@@ -97,18 +97,28 @@ def sliding_agg_stream(
 
 
 def session_agg_stream(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    exact_cents: bool = False,
 ) -> DataFrame:
     """Session windows per user: a session extends while successive
     events are < `gap` apart (no batch analog in the reference -- this
     is the streaming-native windowing the prompt's category table
     requires). State merges adjacent sessions as late events bridge
     them, so output is only stable past the watermark (append mode).
+    ``exact_cents`` accumulates value as integer cents so the session
+    sum is state-merge-order independent (required for the oracle).
     """
+    value_sum = (
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0)
+        if exact_cents
+        else F.sum("value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), value_sum.alias("session_value"))
         .select(
             "user_id",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
