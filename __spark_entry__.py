@@ -39,6 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_ann_lsh", "q_ann_ivf",
     # new this round: oracled MinHash pair contract + ANN recall contracts
     "q_dedup_minhash_pairs", "q_ann_lsh_recall", "q_ann_ivf_recall",
+    "q_approx_distinct_err", "q_percentiles_approx",
     # red/err in r01, fixed this round
     "q_regexp_all", "q_json_extract", "q_media_meta_stats",
     # vacuous 0-row greens in r01, de-vacuized this round

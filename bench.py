@@ -44,6 +44,10 @@ HEADLINE = [
     "q_udf_scalar",        # Arrow pandas-UDF scoring (Python slow path)
     "q_media_features",    # mapInPandas multimodal feature extraction
     "q_cdc_materialize",   # JSON envelope decode + changelog compaction
+    # round 2 additions (the original 16 above are kept stable so
+    # round-over-round comparison holds)
+    "q_dedup_clusters",    # near-dup pairs -> connected components -> keep-one
+    "q_stream_ohlcv_1h",   # 8-micro-batch streaming OHLCV (A1 as a stream)
 ]
 
 

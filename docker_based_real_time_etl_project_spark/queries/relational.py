@@ -322,6 +322,37 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_distinct_err",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_bounds
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "approx"),
+)
+def q_approx_distinct_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error contract for the HLL++ estimate: per group, the rows-only
+    q_agg_approx_distinct's estimate must sit within 5% of the exact
+    distinct count (rsd is configured 2%). The estimate itself is
+    engine-specific; the bound verdict is deterministic, so the driver
+    sees a row go RED if the sketch ever degrades."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_customers") - F.col("exact_customers"))
+        / F.col("exact_customers")
+    )
+    return agg.select(
+        "o_orderstatus", "exact_customers", (rel_err <= 0.05).alias("within_bounds")
+    )
+
+
+@register(
     "q_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

@@ -213,6 +213,39 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(CAST(l_quantity AS BIGINT)) AS exact_median,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.90) AS exact_p90,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "approx"),
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path (q_percentiles' documented scale
+    variant): approx_percentile with accuracy 10000 -- bounded sketch
+    state instead of a per-group sort. Contract shape like
+    q_approx_distinct_err: the sketch values are engine-internal, but
+    |approx - exact| <= 1 on the 1..50 integer quantity scale is a
+    deterministic verdict the oracle pins to TRUE."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("exact_median"),
+        F.percentile(q, F.lit(0.90)).alias("exact_p90"),
+        F.percentile_approx(q, F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx(q, F.lit(0.90), F.lit(10000)).alias("a90"),
+    )
+    ok = (F.abs(F.col("a50") - F.col("exact_median")) <= 1) & (
+        F.abs(F.col("a90") - F.col("exact_p90")) <= 1
+    )
+    return agg.select("l_returnflag", "exact_median", "exact_p90", ok.alias("approx_ok"))
+
+
+@register(
     "q_union_distinct",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

@@ -91,9 +91,14 @@ def _recall_df(approx: DataFrame, exact: DataFrame) -> DataFrame:
     raw hit count is engine-specific (bucket/cell seeds), so only the
     gate verdict is exposed to the hash compare -- but the row goes RED
     in CORRECTNESS if recall ever collapses, which is the contract."""
-    a = approx.select("q_id", F.col("vec_id").alias("a_vec"))
-    hits = exact.join(
-        a, (exact.q_id == a.q_id) & (exact.vec_id == a.a_vec), "left_semi"
+    # approx/exact share lineage (same source DataFrames), so df-attribute
+    # join conditions resolve trivially true -- rename the approx side
+    # to fresh columns and join on unambiguous names instead
+    a = approx.select(F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+    hits = exact.select("q_id", "vec_id").join(
+        a,
+        (F.col("q_id") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vec")),
+        "left_semi",
     )
     n_hits = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit"))
     n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
