@@ -47,6 +47,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # rows-only in r01 (re-run so regressions still surface)
     "q_dedup_minhash", "q_dedup_simhash", "q_media_features",
     "q_agg_approx_distinct",
+    # new this round: as-of join, rollup cascade, batch sessions,
+    # TF-IDF, count-min heavy hitters (all oracled)
+    "q_join_asof", "q_rollup_cascade", "q_session_window",
+    "q_tfidf", "q_heavy_hitters_cms",
 ]
 
 

@@ -100,6 +100,51 @@ def ticker_stats(
     )
 
 
+def rollup_bars(
+    bars: DataFrame,
+    key_cols: Sequence[str],
+    window_duration: str,
+    time_col: str = "open_time",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: re-aggregate finer
+    OHLCV bars into coarser buckets WITHOUT rescanning raw rows (the
+    1m -> 1h -> 1d cascade; the reference ingests only the 1 h grain,
+    etl.py klines interval='1h').
+
+    Correctness hinges on bars existing only for non-empty buckets, so
+    the earliest finer bar (by bucket start) contains the coarse open
+    and the latest contains the coarse close -- ``min_by/max_by`` on
+    ``open_time`` needs no raw timestamps. At 100 TB this is the whole
+    point: each cascade level aggregates the level below (a table
+    ~1000x smaller than raw), and partial aggregation keeps the shuffle
+    at one row per (key, coarse bucket). Volume re-sums exactly (and
+    order-independently) when the finer level kept DECIMAL partials --
+    ``sum(decimal)`` stays decimal, so a cascade only casts to double
+    at the final emit.
+    """
+    t = F.col(time_col)
+    win = F.window(t, window_duration)
+    vol = F.sum(F.col("volume"))
+    return (
+        bars.groupBy(*key_cols, win.alias("w"))
+        .agg(
+            F.min_by("open_price", t).alias("open_price"),
+            F.max("high_price").alias("high_price"),
+            F.min("low_price").alias("low_price"),
+            F.max_by("close_price", t).alias("close_price"),
+            vol.alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+        .select(
+            *key_cols,
+            F.col("w.start").alias("open_time"),
+            F.col("w.end").alias("close_time"),
+            "open_price", "high_price", "low_price", "close_price",
+            "volume", "n_trades",
+        )
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -1,0 +1,88 @@
+"""As-of (point-in-time) join: for every left row, attach the most
+recent right row with ``right.ts <= left.ts`` per key.
+
+The reference joins its streams only implicitly -- each Binance
+payload already carries the latest quote snapshot at poll time
+(etl.py "ticker" flows); computing that pairing from raw rows is the
+as-of join. Spark has no built-in ASOF JOIN, and the naive
+formulations both fall over at scale:
+
+- equi-join on key + ``r.ts <= l.ts`` + latest-per-pair explodes to
+  O(|L| * |R|) intermediate rows per key before pruning;
+- a range/bucket join caps the lookback but silently drops matches
+  older than the bucket width.
+
+This implementation is the union-and-carry-forward form: tag both
+sides, union by schema, and run one ``last(value, ignorenulls=True)``
+window per carried column over (key, ts, side). Cost is a SINGLE
+shuffle of |L| + |R| rows on the key -- the same price as the
+equi-join Spark would run anyway -- and no intermediate blow-up, so
+it survives 100 TB with skew handled by AQE like any other sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE, _TS, _TB = "_asof_side", "_asof_ts", "_asof_tb"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    carry: Mapping[str, str] = (),
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``carry`` columns from the
+    latest right row at-or-before its timestamp (NULLs when no right
+    row precedes it).
+
+    ``carry`` maps right-side column -> output name (output names must
+    not collide with left columns). ``right_tiebreak`` breaks exact
+    ``ts`` ties deterministically: among right rows sharing the maximal
+    admissible timestamp the one with the greatest tiebreak value wins.
+
+    Right rows sort before left rows at equal timestamps, making the
+    match inclusive (``right.ts <= left.ts``), mirroring
+    ``ASOF JOIN ... ON l.ts >= r.ts``.
+    """
+    carry = dict(carry)
+    bad = set(carry.values()) & set(left.columns)
+    if bad:
+        raise ValueError(f"carry output names collide with left columns: {sorted(bad)}")
+
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    l_tagged = left.select(
+        *left.columns,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType if right_tiebreak else "int").alias(_TB),
+        *[F.lit(None).cast(right.schema[src].dataType).alias(out) for src, out in carry.items()],
+    )
+    # Right rows keep the join keys and NULL the remaining left columns.
+    r_tagged = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        tb.alias(_TB),
+        *[F.col(src).alias(out) for src, out in carry.items()],
+    )
+
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS), F.col(_SIDE), F.col(_TB))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for out in carry.values():
+        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
+    return u.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS, _TB)

@@ -9,8 +9,10 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     relational,
     relational2,
     similarity_q,
+    sketch_q,
     streaming_q,
     text,
+    timeseries_q,
     udtf_q,
     windows,
 )

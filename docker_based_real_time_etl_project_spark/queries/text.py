@@ -10,7 +10,7 @@ aggregates shuffle only small key spaces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.queries.registry import davg, dsum, register, sql_davg, sql_dsum, table
@@ -192,4 +192,71 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),
         F.md5(normalized.cast("binary")).alias("fp_normalized"),
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dfreq AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+             CAST(ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) * 1000000)
+                  AS BIGINT) AS tfidf_micro
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf_micro, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micro DESC, tf DESC, word) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("text",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df). The score is emitted (and ranked) as integer
+    micro-units: per-row double arithmetic is bit-deterministic, but
+    ln() may differ by 1 ulp across engines, so ranking on the raw
+    double could flip mathematically-tied scores (e.g. tf=2,df=N/2 vs
+    tf=1,df=N/4); snapping to 1e-6 collapses ulp noise and the
+    (tf, word) tiebreaks make the order total. Shuffles: tf groupBy on
+    (doc, word), df groupBy on word (vocabulary-sized), one broadcast
+    of the doc count -- corpus-linear, no all-pairs anything."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf_micro",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("tf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf_micro", "rnk")
     )

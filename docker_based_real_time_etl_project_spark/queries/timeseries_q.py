@@ -1,0 +1,190 @@
+"""Advanced time-series surface: as-of join, hypertable-style cascading
+rollup, batch session windows.
+
+The reference's stream pairing is implicit (each poll carries the
+latest quote snapshot at poll time -- etl.py ticker/price flows) and
+its only rollup grain is the pre-computed 1 h kline (etl.py:228
+interval='1h'). Here both are computed from raw rows, in the shapes
+that survive 100 TB: the as-of join shuffles |L|+|R| rows exactly
+once; the rollup cascade re-aggregates bars (not raw events) at each
+coarser grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.operators.aggregates import rollup_bars
+from docker_based_real_time_etl_project_spark.operators.asof import asof_join_backward
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    DEC, dsum, register, sql_dsum, table,
+)
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id AS trade_id, user_id, ts AS trade_ts, value AS trade_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.trade_id, t.user_id,
+           epoch_us(t.trade_ts) AS trade_ts_us, t.trade_value,
+           q.quote_id, q.quote_value,
+           epoch_us(t.trade_ts) - epoch_us(q.ts) AS quote_age_us
+    FROM trades t
+    LEFT JOIN LATERAL (
+      SELECT quote_id, quote_value, ts
+      FROM quotes q
+      WHERE q.user_id = t.user_id AND q.ts <= t.trade_ts
+      ORDER BY q.ts DESC, q.quote_id DESC LIMIT 1
+    ) q ON TRUE
+    """,
+    tags=("join", "timeseries"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase paired with the user's most recent
+    view at-or-before it (the point-in-time quote attach). The oracle
+    is the O(n^2) LATERAL formulation; the engine runs the
+    union-and-carry-forward form -- one shuffle, no pair blow-up
+    (operators/asof.py)."""
+    e = table(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("trade_id"),
+        "user_id",
+        F.col("ts").alias("trade_ts"),
+        F.col("value").alias("trade_value"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"),
+    )
+    out = asof_join_backward(
+        trades,
+        quotes,
+        on=["user_id"],
+        left_ts="trade_ts",
+        right_ts="ts",
+        carry={"quote_id": "quote_id", "quote_value": "quote_value", "ts": "quote_ts"},
+        right_tiebreak="quote_id",
+    )
+    return out.select(
+        "trade_id",
+        "user_id",
+        F.unix_micros("trade_ts").alias("trade_ts_us"),
+        "trade_value",
+        "quote_id",
+        "quote_value",
+        (F.unix_micros("trade_ts") - F.unix_micros("quote_ts")).alias("quote_age_us"),
+    )
+
+
+@register(
+    "q_rollup_cascade",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           MIN_BY(value, ts) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX_BY(value, ts) AS close_value,
+           {sql_dsum('value')} AS volume,
+           COUNT(*) AS n_trades
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    tags=("timeseries", "rollup"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: 1 m bars from raw
+    events, rolled to 1 h, rolled to 1 d -- the daily bars must equal a
+    direct single-pass daily OHLCV (the oracle). Volume stays DECIMAL
+    through both rollups so the re-sums are exact and order-free; each
+    cascade level aggregates a table ~60x smaller than the one below."""
+    e = table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.min_by("value", "ts").alias("open_price"),
+            F.max("value").alias("high_price"),
+            F.min("value").alias("low_price"),
+            F.max_by("value", "ts").alias("close_price"),
+            F.sum(F.col("value").cast(DEC)).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("open_time"),
+            "open_price", "high_price", "low_price", "close_price",
+            "volume", "n_trades",
+        )
+    )
+    hour = rollup_bars(minute, ["event_type"], "1 hour")
+    day = rollup_bars(hour, ["event_type"], "1 day")
+    return day.select(
+        "event_type",
+        F.date_format("open_time", "yyyy-MM-dd").alias("day"),
+        F.col("open_price").alias("open_value"),
+        F.col("high_price").alias("high_value"),
+        F.col("low_price").alias("low_value"),
+        F.col("close_price").alias("close_value"),
+        # decimal -> double via the string hop (see functions.dsum)
+        F.col("volume").cast("string").cast("double").alias("volume"),
+        "n_trades",
+    )
+
+
+@register(
+    "q_session_window",
+    oracle=f"""
+    WITH ord AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ord
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("window", "timeseries"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user activity sessions with a 30 min
+    inactivity gap via ``session_window`` (the streaming twin is
+    q_stream_session_window). The oracle reconstructs identical
+    sessions gaps-and-islands style. One shuffle on user_id; session
+    merge happens inside the aggregate, no self-join."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

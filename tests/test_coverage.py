@@ -20,7 +20,9 @@ REQUIRED_PREFIXES = {
     "math": ("q_math_round_pct",),
     "array": ("q_arr_elem", "q_arr_explode", "q_arr_zip"),
     "json": ("q_json_extract",),
-    "timeseries": ("q_ohlcv_1h", "q_ticker_24h", "q_dedup_latest"),
+    "timeseries": ("q_ohlcv_1h", "q_ticker_24h", "q_dedup_latest",
+                   "q_join_asof", "q_rollup_cascade", "q_session_window"),
+    "sketch": ("q_heavy_hitters_cms",),
     "streaming": ("q_stream_ohlcv_1h", "q_stream_sliding_24h",
                   "q_stream_session_window", "q_stream_dedup_latest",
                   "q_stream_stateful_totals", "q_stream_stream_join"),
@@ -30,7 +32,7 @@ REQUIRED_PREFIXES = {
               "q_ngram_jaccard", "q_dedup_embedding", "q_dedup_clusters"),
     "similarity": ("q_cosine_topk", "q_ann_lsh", "q_ann_ivf"),
     "text": ("q_text_tokenize", "q_doc_stats", "q_token_count",
-             "q_lang_id", "q_quality_score", "q_fingerprint"),
+             "q_lang_id", "q_quality_score", "q_fingerprint", "q_tfidf"),
     "multimodal": ("q_media_meta_stats", "q_media_resize_meta",
                    "q_media_frame_sample", "q_media_features"),
     "udf": ("q_udf_scalar", "q_udtf_chunk"),
