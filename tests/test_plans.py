@@ -66,3 +66,34 @@ def test_minhash_shuffles_are_bounded(spark, sf_dir):
     df = _q("q_dedup_minhash", spark, sf_dir)
     assert join_strategies(df).get("CartesianProduct", 0) == 0
     assert count_exchanges(df) <= 8
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    """The as-of join must stay in its union-and-carry-forward form:
+    ONE exchange on the key, ZERO physical join nodes. A join node
+    appearing means someone rewrote it into the O(|L|*|R|) pair
+    formulation."""
+    df = _q("q_join_asof", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert join_strategies(df) == {}
+
+
+def test_rollup_cascade_one_shuffle_per_level(spark, sf_dir):
+    """1m -> 1h -> 1d: exactly one exchange per cascade level. More
+    would mean a level re-reads raw rows instead of the bars below."""
+    assert count_exchanges(_q("q_rollup_cascade", spark, sf_dir)) == 3
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    assert count_exchanges(_q("q_session_window", spark, sf_dir)) == 1
+
+
+def test_cms_probes_broadcast(spark, sf_dir):
+    """The 40-row probe table must broadcast against the sketch; the
+    sketch itself stays bounded (D*W rows) so every other exchange
+    carries counters, not tokens."""
+    df = _q("q_heavy_hitters_cms", spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.get("BroadcastHashJoin", 0) >= 1
+    assert strategies.get("SortMergeJoin", 0) == 0
+    assert count_exchanges(df) <= 4
