@@ -51,6 +51,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # TF-IDF, count-min heavy hitters (all oracled)
     "q_join_asof", "q_rollup_cascade", "q_session_window",
     "q_tfidf", "q_heavy_hitters_cms",
+    # new this round: deterministic hash sampling / split / corpus mix
+    "q_sample_split", "q_sample_stratified", "q_corpus_mix",
 ]
 
 

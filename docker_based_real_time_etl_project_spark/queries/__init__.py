@@ -8,6 +8,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     multimodal_q,
     relational,
     relational2,
+    sampling_q,
     similarity_q,
     sketch_q,
     streaming_q,

@@ -1,0 +1,149 @@
+"""Sampling / split surface for training-data pipelines.
+
+Random sampling is useless at 100 TB if it is not reproducible: a
+re-run must pick the SAME rows, a join of two sampled tables must
+agree, and a train/val/test split must never leak across re-shards.
+So every operator here derives its randomness from a content hash
+(md5 -- bit-identical across engines and cluster sizes), never from
+an RNG: sampling becomes a pure filter (scan-only, pushdown-friendly,
+ZERO shuffles), and the sample is stable under repartitioning,
+retries, and engine swaps. ``df.sample()``'s per-partition RNG
+guarantees none of that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import register, table
+
+
+def hash_ticket(key: Column, buckets: int = 10000) -> Column:
+    """Deterministic uniform ticket in [0, buckets): the first 8 md5 hex
+    digits of the key, as an integer, mod buckets. conv() and md5 are
+    engine-portable; 8 hex digits (32 bits) keep conv exact."""
+    return F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % buckets
+
+
+def _sql_ticket(expr: str, buckets: int = 10000) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+@register(
+    "q_sample_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             {_sql_ticket('doc_id')} AS ticket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN ticket < 8000 THEN 'train'
+                WHEN ticket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM t
+    WHERE ticket < 2000 OR ticket >= 8000
+    """,
+    tags=("sampling",),
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample of the train split + full val/test
+    splits, assigned by hash ticket on doc_id. A pure per-row filter:
+    no shuffle, no RNG state, identical output at any parallelism --
+    and any other table keyed by doc_id lands in the same split."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+    )
+    return t.filter((F.col("ticket") < 2000) | (F.col("ticket") >= 8000)).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(F.col("ticket") < 8000, "train")
+        .when(F.col("ticket") < 9000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, rnk
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= 25
+    """,
+    tags=("sampling",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: 25 docs per language, chosen by
+    hash order (a deterministic 'reservoir'). One shuffle on the
+    stratum key; at scale the per-stratum sort is bounded by AQE
+    skew-split like any top-k window."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+    )
+
+
+@register(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_sql_ticket('doc_id')} AS ticket
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source
+      FROM t
+      WHERE ticket < CASE
+                       WHEN source IN ('src0', 'src1') THEN 10000
+                       WHEN source IN ('src2', 'src3', 'src4', 'src5') THEN 5000
+                       WHEN source IN ('src6', 'src7', 'src8', 'src9') THEN 2500
+                       ELSE 1000 END
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           SUM(doc_id) AS doc_sum
+    FROM kept
+    GROUP BY source
+    """,
+    tags=("sampling",),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source keep rates (100% / 50% / 25%
+    / 10% tiers) applied as hash-ticket filters -- the domain-
+    reweighting step of a pretraining mix. Still scan-only per row;
+    the aggregate here just summarizes the kept set (doc_sum pins the
+    exact membership for the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), 10000)
+        .when(F.col("source").isin("src2", "src3", "src4", "src5"), 5000)
+        .when(F.col("source").isin("src6", "src7", "src8", "src9"), 2500)
+        .otherwise(1000)
+    )
+    kept = d.select(
+        "doc_id", "source", hash_ticket(F.col("doc_id")).alias("ticket")
+    ).filter(F.col("ticket") < rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("doc_id").alias("doc_sum"),
+    )

@@ -97,3 +97,10 @@ def test_cms_probes_broadcast(spark, sf_dir):
     assert strategies.get("BroadcastHashJoin", 0) >= 1
     assert strategies.get("SortMergeJoin", 0) == 0
     assert count_exchanges(df) <= 4
+
+
+def test_hash_sampling_is_scan_only(spark, sf_dir):
+    """Deterministic sampling must stay a pure filter: zero exchanges.
+    (df.sample()-style RNG sampling was rejected for reproducibility;
+    this pins that the hash form also costs nothing extra.)"""
+    assert count_exchanges(_q("q_sample_split", spark, sf_dir)) == 0
