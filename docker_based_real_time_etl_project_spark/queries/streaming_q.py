@@ -76,7 +76,7 @@ def q_stream_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete output mode. Hash-matches the same SQL as the batch analog
     -- the streaming state machine must agree with DuckDB exactly."""
     out = ohlcv_stream(_stream(spark, sf_dir), watermark=None, exact_cents=True)
-    return run_to_memory(out, output_mode="complete")
+    return run_to_memory(out, output_mode="complete", state_partitions=8)
 
 
 @register(
@@ -101,7 +101,7 @@ def q_stream_sliding_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) -- each event fans out to 24 window states. The oracle
     reconstructs the window assignment with generate_series."""
     out = sliding_agg_stream(_stream(spark, sf_dir), watermark=None, exact_cents=True)
-    return run_to_memory(out, output_mode="complete")
+    return run_to_memory(out, output_mode="complete", state_partitions=8)
 
 
 @register(
@@ -119,7 +119,9 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals per key hash-match the batch aggregate because the state
     accumulates exact integer cents."""
     emitted = run_to_memory(
-        running_totals_stream(_stream(spark, sf_dir, n_slices=4)), output_mode="update"
+        running_totals_stream(_stream(spark, sf_dir, n_slices=4)),
+        output_mode="update",
+        state_partitions=8,
     )
     return final_totals(emitted)
 
@@ -167,7 +169,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = session_agg_stream(
         _stream(spark, sf_dir), gap="30 minutes", watermark="2 hours", exact_cents=True
     )
-    return run_to_memory(out, output_mode="append")
+    return run_to_memory(out, output_mode="append", state_partitions=8)
 
 
 @register(
@@ -190,7 +192,7 @@ def q_stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _slices(spark, sf_dir)
     doubled = replay_events(spark, base).unionByName(replay_events(spark, base))
     out = dedup_latest_stream(doubled)
-    return run_to_memory(out, output_mode="append").groupBy("event_type").agg(
+    return run_to_memory(out, output_mode="append", state_partitions=8).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_events")
     )
 
@@ -220,4 +222,4 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = replay_events(spark, src).filter(F.col("event_type") == "click")
     purchases = replay_events(spark, src).filter(F.col("event_type") == "purchase")
     out = stream_stream_join(clicks, purchases)
-    return run_to_memory(out, output_mode="append")
+    return run_to_memory(out, output_mode="append", state_partitions=8)

@@ -143,25 +143,43 @@ def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory
     sink; block until drained; return the sink table as a batch
     DataFrame. The driver's rows-only check and pytest both consume
-    this."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    this.
+
+    ``state_partitions`` right-sizes the stateful-operator partition
+    count (captured from ``spark.sql.shuffle.partitions`` at stream
+    start and then pinned into the checkpoint): one state store per
+    partition is instantiated EVERY micro-batch, so a 5-key local agg
+    on 32 partitions pays 27 empty stores x n_batches for nothing. At
+    scale the same knob is sized UP to keep per-store state within
+    executor memory. Results are partition-count independent (cent-sum
+    / decimal aggregation throughout). The session value is restored
+    after the stream drains."""
     spark = sdf.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation",
+                checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,26 +35,43 @@ def slice_events_to_dir(
     slice indexes (write them later to model late/out-of-order arrival).
 
     Slices are ntile(ts) ranges written one file each, named so the file
-    source lists them in time order.
+    source lists them in time order. One pass: slice assignment is a
+    when-chain over the quantile bounds, written partitionBy(slice) with
+    a repartition on the slice key so each slice is exactly one file
+    (maxFilesPerTrigger=1 => one slice per micro-batch). The file
+    source orders by modification time, so mtimes are stamped strictly
+    increasing in slice order after the write.
     """
     ev = load_table(spark, sf_dir, "events")
     out = out_dir or tempfile.mkdtemp(prefix="events_stream_")
     bounds = ev.selectExpr(
         f"percentile_approx(cast(ts as double), array({','.join(str((i + 1) / n_slices) for i in range(n_slices - 1))}), 10000) p"
     ).collect()[0]["p"]
-    lo = None
-    for i in range(n_slices):
-        if hold_back_range and hold_back_range[0] <= i <= hold_back_range[1]:
-            lo = bounds[i] if i < n_slices - 1 else None
-            continue
-        hi = bounds[i] if i < n_slices - 1 else None
-        sl = ev
-        if lo is not None:
-            sl = sl.filter(F.col("ts").cast("double") > lo)
-        if hi is not None:
-            sl = sl.filter(F.col("ts").cast("double") <= hi)
-        sl.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, f"slice={i:03d}"))
-        lo = hi
+    tsd = F.col("ts").cast("double")
+    slice_idx = F.lit(n_slices - 1)
+    for i in range(n_slices - 2, -1, -1):
+        slice_idx = F.when(tsd <= bounds[i], i).otherwise(slice_idx)
+    keep = [
+        i
+        for i in range(n_slices)
+        if not (hold_back_range and hold_back_range[0] <= i <= hold_back_range[1])
+    ]
+    (
+        ev.withColumn("slice", F.format_string("%03d", slice_idx))
+        .filter(F.col("slice").isin([f"{i:03d}" for i in keep]))
+        .repartition(n_slices, "slice")
+        .write.partitionBy("slice")
+        .mode("append")
+        .parquet(out)
+    )
+    # strictly increasing mtimes in slice order (2 s apart, newer than
+    # anything already in the dir from a previous call)
+    base = time.time()
+    for rank, i in enumerate(sorted(keep)):
+        d = os.path.join(out, f"slice={i:03d}")
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            os.utime(p, (base + 2 * rank, base + 2 * rank))
     return out
 
 
