@@ -53,6 +53,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_tfidf", "q_heavy_hitters_cms",
     # new this round: deterministic hash sampling / split / corpus mix
     "q_sample_split", "q_sample_stratified", "q_corpus_mix",
+    # new this round: embedding centroids/norms, CSV+JSON source parity
+    "q_embed_centroids", "q_embed_norms", "q_source_csv", "q_source_json",
 ]
 
 

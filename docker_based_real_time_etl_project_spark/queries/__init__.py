@@ -3,6 +3,7 @@
 from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     cdc_q,
     dedup_q,
+    embeddings_q,
     flows_q,
     functions_q,
     multimodal_q,
@@ -11,6 +12,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     sampling_q,
     similarity_q,
     sketch_q,
+    sources_q,
     streaming_q,
     text,
     timeseries_q,

@@ -1,0 +1,126 @@
+"""Source-format parity: CSV and JSON ingest must produce bit-identical
+results to the parquet path.
+
+The reference ingests JSON (REST payloads); a user switching engines
+also brings CSV dumps and JSONL exports. Policy at any scale:
+schema-on-read with the DECLARED schema (schemas.py) -- inference is
+a second full scan AND a correctness hazard (a column of '123's
+infers int, then row 4 billion says 'abc') -- and an explicit
+timestampFormat with microseconds, because the default second
+granularity silently truncates event times.
+
+Each query materializes a text-format copy of the table once per
+(sf_dir, format) into a temp dir (the same write-once pattern the
+streaming replay uses), reads it back through the declared schema,
+and aggregates; the oracle runs the same aggregate on the parquet
+table, so any reader/writer drift (doubles, timestamps, nulls)
+breaks the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    dsum, register, sql_dsum, table,
+)
+from docker_based_real_time_etl_project_spark.schemas import TESTDATA_SCHEMAS
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_COPY_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _text_copy(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+    """Write `name` as CSV/JSON once per session; return the dir."""
+    key = (sf_dir, name, fmt)
+    if key not in _COPY_CACHE:
+        out = tempfile.mkdtemp(prefix=f"{name}_{fmt}_")
+        w = table(spark, sf_dir, name).write.mode("overwrite").option(
+            "timestampFormat", _TS_FMT
+        )
+        if fmt == "csv":
+            w.option("header", "true").csv(out)
+        else:
+            w.json(out)
+        _COPY_CACHE[key] = out
+    return _COPY_CACHE[key]
+
+
+def read_csv(spark: SparkSession, path: str, schema_name: str) -> DataFrame:
+    """CSV with the declared schema: no inference pass, microsecond
+    timestamps, FAILFAST so malformed rows surface instead of nulling."""
+    return (
+        spark.read.schema(TESTDATA_SCHEMAS[schema_name])
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema_name: str) -> DataFrame:
+    return (
+        spark.read.schema(TESTDATA_SCHEMAS[schema_name])
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+
+
+@register(
+    "q_source_csv",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS min_ship,
+           CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("source",),
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem routed through a CSV round-trip, then aggregated: the
+    hash only matches if doubles and timestamps survive text encoding
+    exactly (Java shortest-repr doubles re-parse bit-identically)."""
+    li = read_csv(spark, _text_copy(spark, sf_dir, "lineitem", "csv"), "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("max_ship"),
+    )
+
+
+@register(
+    "q_source_json",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source",),
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events routed through a JSONL round-trip (the reference's native
+    payload format), then aggregated; microsecond timestamps pin the
+    timestampFormat handling."""
+    ev = read_json(spark, _text_copy(spark, sf_dir, "events", "json"), "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
