@@ -44,17 +44,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_regexp_all", "q_json_extract", "q_media_meta_stats",
     # vacuous 0-row greens in r01, de-vacuized this round
     "q_join_anti", "q_except", "q_dedup_embedding",
-    # rows-only in r01 (re-run so regressions still surface)
+    # rows-only in r01 (re-run so regressions still surface;
+    # q_agg_approx_distinct rotates out -- its oracled contract twin
+    # q_approx_distinct_err stays in-window)
     "q_dedup_minhash", "q_dedup_simhash", "q_media_features",
-    "q_agg_approx_distinct",
     # new this round: as-of join, rollup cascade, batch sessions,
     # TF-IDF, count-min heavy hitters (all oracled)
     "q_join_asof", "q_rollup_cascade", "q_session_window",
     "q_tfidf", "q_heavy_hitters_cms",
     # new this round: deterministic hash sampling / split / corpus mix
     "q_sample_split", "q_sample_stratified", "q_corpus_mix",
-    # new this round: embedding centroids/norms, CSV+JSON source parity
+    # new this round: embedding centroids/norms, CSV+JSON source parity,
+    # skew-proof salted join
     "q_embed_centroids", "q_embed_norms", "q_source_csv", "q_source_json",
+    "q_join_salted",
 ]
 
 

@@ -54,3 +54,29 @@ def salted_sum_count(
         _dec_to_double(F.sum("_psum")).alias(sum_name),
         F.sum("_pn").alias(count_name),
     )
+
+
+def salted_broadcast_free_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    salt_from: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-proof equi-join when the dim is too big to broadcast and a
+    fact key is hot: the fact side gets a deterministic salt from its
+    own high-cardinality columns; the dim side is exploded n_salts ways;
+    the join runs on (key, salt), spreading the hot key's rows over
+    n_salts reducers. Identical row multiset to the plain join (each
+    fact row matches exactly the one dim replica carrying its salt).
+
+    Cost: dim shuffles n_salts x -- worth it only when dim << fact and a
+    key is genuinely hot; AQE's skew-join split is the first resort,
+    this is the deterministic fallback for when AQE's split heuristics
+    miss (e.g. pre-shuffled inputs or non-sort-merge plans).
+    """
+    if not salt_from:
+        raise ValueError("salt_from must name high-cardinality fact columns")
+    f = with_salt(fact, salt_from, n_salts)
+    d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return f.join(d, [*on, "_salt"]).drop("_salt")

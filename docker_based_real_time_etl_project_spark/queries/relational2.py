@@ -315,3 +315,43 @@ def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
         F.col("p_name").rlike("^[a-z]").alias("starts_lower"),
     )
+
+
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "scale"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/skew.py
+    salted_broadcast_free_join): fact salted from its own unique key,
+    dim exploded n_salts ways, join on (key, salt). The oracle is the
+    PLAIN join -- salting must be invisible in the result. Completes
+    the skew toolbox next to q_agg_salted (AQE splits skewed
+    sort-merge joins, but not pre-shuffled or non-SMJ plans; salting
+    is the deterministic fallback)."""
+    from docker_based_real_time_etl_project_spark.operators.skew import (
+        salted_broadcast_free_join,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    # merge hint keeps the demo on the shuffle path (broadcast would
+    # make salting moot -- the operator exists for dims too big for it)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").hint("merge")
+    joined = salted_broadcast_free_join(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"),
+        c,
+        on=["c_custkey"],
+        n_salts=16,
+        salt_from=["o_orderkey"],
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -9,7 +9,7 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY
 
 REQUIRED_PREFIXES = {
     "join": ("q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
-             "q_join_anti", "q_join_range"),
+             "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted"),
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
             "q_grouping_sets", "q_pivot", "q_agg_salted", "q_percentiles"),
     "window": ("q_win_rank", "q_win_lag", "q_win_moving"),

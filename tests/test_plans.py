@@ -104,3 +104,15 @@ def test_hash_sampling_is_scan_only(spark, sf_dir):
     (df.sample()-style RNG sampling was rejected for reproducibility;
     this pins that the hash form also costs nothing extra.)"""
     assert count_exchanges(_q("q_sample_split", spark, sf_dir)) == 0
+
+
+def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
+    """The salted join exists precisely for the no-broadcast case; the
+    demo query must exercise the shuffle path (a broadcast would make
+    the salt moot) and produce no nested-loop fallback."""
+    strategies = join_strategies(_q("q_join_salted", spark, sf_dir))
+    assert strategies.get("BroadcastNestedLoopJoin", 0) == 0
+    assert strategies.get("CartesianProduct", 0) == 0
+    assert (
+        strategies.get("SortMergeJoin", 0) + strategies.get("ShuffledHashJoin", 0) >= 1
+    )
