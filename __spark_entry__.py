@@ -45,9 +45,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # vacuous 0-row greens in r01, de-vacuized this round
     "q_join_anti", "q_except", "q_dedup_embedding",
     # rows-only in r01 (re-run so regressions still surface;
-    # q_agg_approx_distinct rotates out -- its oracled contract twin
-    # q_approx_distinct_err stays in-window)
-    "q_dedup_minhash", "q_dedup_simhash", "q_media_features",
+    # q_agg_approx_distinct and q_dedup_simhash rotate out this round --
+    # rows-only checks are low-signal and their invariants are covered
+    # by q_approx_distinct_err and the pytest sketch contracts)
+    "q_dedup_minhash", "q_media_features",
     # new this round: as-of join, rollup cascade, batch sessions,
     # TF-IDF, count-min heavy hitters (all oracled)
     "q_join_asof", "q_rollup_cascade", "q_session_window",
@@ -57,7 +58,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new this round: embedding centroids/norms, CSV+JSON source parity,
     # skew-proof salted join
     "q_embed_centroids", "q_embed_norms", "q_source_csv", "q_source_json",
-    "q_join_salted",
+    "q_join_salted", "q_udaf_median",
 ]
 
 

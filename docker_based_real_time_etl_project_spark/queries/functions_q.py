@@ -239,3 +239,44 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", cos_to_query(F.col("embedding").cast("array<double>")).alias("score")
     )
+
+
+@register(
+    "q_udaf_median",
+    oracle="""
+    SELECT event_type,
+           MEDIAN(value) AS median_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf", "agg"),
+)
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (pandas GROUPED_AGG UDAF): exact per-group
+    median. Completes the user-defined family next to the scalar UDF
+    (q_udf_scalar), the UDTF (q_udtf_chunk), and the stateful map
+    (q_stream_stateful_totals). Deterministic cross-engine: the median
+    is order-free by definition (sort inside the kernel), and the
+    even-count interpolation (mean of the two middles) matches DuckDB's
+    MEDIAN. Scale note: a grouped-agg pandas UDAF materializes each
+    group in memory on one executor -- right for bounded groups like
+    these 5 event types; unbounded groups belong to the approx
+    percentile sketch instead (q_percentiles_approx)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        return float(v.sort_values(ignore_index=True).median())
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg(), so the row count is a (one-line) second UDAF
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        exact_median("value").alias("median_value"),
+        n_rows("value").alias("n"),
+    )

@@ -38,7 +38,7 @@ REQUIRED_PREFIXES = {
              "q_lang_id", "q_quality_score", "q_fingerprint", "q_tfidf"),
     "multimodal": ("q_media_meta_stats", "q_media_resize_meta",
                    "q_media_frame_sample", "q_media_features"),
-    "udf": ("q_udf_scalar", "q_udtf_chunk"),
+    "udf": ("q_udf_scalar", "q_udtf_chunk", "q_udaf_median"),
     "subquery": ("q_exists_subquery", "q_scalar_subquery"),
 }
 
