@@ -239,6 +239,10 @@ def connected_components(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     )
+    # the edge list joins against labels EVERY iteration -- checkpoint it
+    # once so an expensive upstream pair-generation pipeline (LSH,
+    # all-pairs verify) is not re-evaluated per round
+    bidir = bidir.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):

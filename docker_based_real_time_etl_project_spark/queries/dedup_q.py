@@ -222,8 +222,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("grams").alias("g_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("grams").alias("g_b"))
+    # size-ratio bound prunes BEFORE the expensive array_intersect:
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs failing the ratio
+    # can never reach the threshold -- semantics-free (oracle-checked)
+    sa, sb = F.size("g_a").cast("double"), F.size("g_b").cast("double")
     pairs = (
         a.join(b, (a.src_a == b.src_b) & (a.id_a < b.id_b))
+        .filter(F.least(sa, sb) >= 0.3 * F.greatest(sa, sb))
         .filter(exact_jaccard(F.col("g_a"), F.col("g_b")) >= 0.3)
         .select("id_a", "id_b")
     )

@@ -274,3 +274,42 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS trailing_1h_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS n_in_hour
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-event trailing 1 h sum/count (the
+    per-row continuous version of the sliding ticker, A2) -- RANGE
+    frames bound by event-time interval, not row count, so ties and
+    gaps are handled by time semantics. The frame sum accumulates
+    integer cents: a range frame recomputes sub-sums in engine-chosen
+    order, so float addition would drift cross-engine. Rows with equal
+    (user_id, ts) get identical frames in both engines (RANGE treats
+    peers as one group), so the output needs no unique tiebreak."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+    )

@@ -116,3 +116,21 @@ def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
     assert (
         strategies.get("SortMergeJoin", 0) + strategies.get("ShuffledHashJoin", 0) >= 1
     )
+
+
+def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
+    """TPC-H Q3 shape: the selective customer dim must broadcast and the
+    LIMIT 10 must ride TakeOrderedAndProject, not a global sort."""
+    df = _q("q_shipping_priority", spark, sf_dir)
+    assert join_strategies(df).get("BroadcastHashJoin", 0) >= 1
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_supplier_volume_dims_all_broadcast(spark, sf_dir):
+    """TPC-H Q5 shape: the region->nation->supplier snowflake collapses
+    via broadcasts; the fact side must not shuffle for any join (its
+    single exchange is the final aggregate)."""
+    df = _q("q_local_supplier_volume", spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.get("BroadcastHashJoin", 0) == 3
+    assert strategies.get("SortMergeJoin", 0) == 0

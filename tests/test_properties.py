@@ -145,3 +145,48 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     for r in rows:
         if r.exact >= 0.6:
             assert r.est >= 0.35, (r.exact, r.est)
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=100),  # ts (small int domain forces ties)
+            st.integers(min_value=0, max_value=1),    # side: 0=quote, 1=trade
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, events):
+    """asof_join_backward == per-row brute force (latest right with
+    ts <= left ts, max event_id tiebreak) on adversarial tiny inputs:
+    shared timestamps, users with no quotes, quote-after-trade only."""
+    from docker_based_real_time_etl_project_spark.operators.asof import asof_join_backward
+
+    rows = [
+        (i, int(u), float(ts), int(side)) for i, (u, ts, side) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, side long")
+    left = df.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("trade_id"), "user_id", F.col("ts").alias("trade_ts")
+    )
+    right = df.filter(F.col("side") == 0).select(
+        "user_id", "ts", F.col("event_id").alias("quote_id")
+    )
+    got = {
+        (r.trade_id, r.quote_id)
+        for r in asof_join_backward(
+            left, right, on=["user_id"], left_ts="trade_ts", right_ts="ts",
+            carry={"quote_id": "quote_id"}, right_tiebreak="quote_id",
+        ).collect()
+    }
+    quotes = [r for r in rows if r[3] == 0]
+    want = set()
+    for tid, u, ts, side in rows:
+        if side != 1:
+            continue
+        cand = [(q_ts, qid) for qid, qu, q_ts, _ in quotes if qu == u and q_ts <= ts]
+        want.add((tid, max(cand)[1] if cand else None))
+    assert got == want
