@@ -223,3 +223,35 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = replay_events(spark, src).filter(F.col("event_type") == "purchase")
     out = stream_stream_join(clicks, purchases)
     return run_to_memory(out, output_mode="append", state_partitions=8)
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {CENT_SUM_SQL} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a static (broadcastable) dim table, then a
+    complete-mode aggregate per segment. The stream-static join is
+    stateless -- each batch joins independently, no watermark needed on
+    the dim -- which is why it is THE pattern for dimension enrichment
+    at scale (the stream never buffers; the dim broadcasts). Cent-sum
+    state merge keeps the complete-mode totals oracle-exact."""
+    from docker_based_real_time_etl_project_spark.queries.registry import table as _t
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = _stream(spark, sf_dir).join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    out = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+    )
+    return run_to_memory(out, output_mode="complete", state_partitions=8)
