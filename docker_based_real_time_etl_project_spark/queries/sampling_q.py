@@ -147,3 +147,60 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.sum("doc_id").alias("doc_sum"),
     )
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             {_sql_ticket('doc_id', 16)} AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok, bucket,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512.0) AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT bucket, bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY bucket, bin
+    """,
+    tags=("sampling", "text"),
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in a
+    deterministic order and split into ~512-token training sequences
+    (each doc assigned to the bin where it STARTS -- the standard
+    concat-then-chunk approximation). Packing is embarrassingly
+    parallel across hash buckets: a global concat order would serialize
+    the corpus through one partition, so each of the 16 ticket buckets
+    packs independently (at scale: buckets ~ O(corpus/executor-memory),
+    each a bounded window). Integer token counts + integer cumsum =
+    exactly oracle-able."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        hash_ticket(F.col("doc_id"), 16).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = t.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("bigint"),
+    )
+    return packed.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
