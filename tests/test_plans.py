@@ -134,3 +134,10 @@ def test_supplier_volume_dims_all_broadcast(spark, sf_dir):
     strategies = join_strategies(df)
     assert strategies.get("BroadcastHashJoin", 0) == 3
     assert strategies.get("SortMergeJoin", 0) == 0
+
+
+def test_range_frame_and_pack_single_shuffle(spark, sf_dir):
+    """Time-RANGE frames and bucket-parallel packing each cost exactly
+    one exchange (their partition key)."""
+    assert count_exchanges(_q("q_win_range_frame", spark, sf_dir)) == 1
+    assert count_exchanges(_q("q_sequence_pack", spark, sf_dir)) == 1
