@@ -124,3 +124,40 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.max("ts")).alias("max_ts_us"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+@register(
+    "q_source_orc",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    tags=("source",),
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders routed through an ORC round-trip (the third columnar
+    container after parquet; schema travels in-file so no declared-
+    schema read needed), aggregates hash-matched against the parquet
+    path. ORC's timestamp/double encodings must be lossless for this
+    to hold."""
+    key = (sf_dir, "orders", "orc")
+    if key not in _COPY_CACHE:
+        out = tempfile.mkdtemp(prefix="orders_orc_")
+        table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+        _COPY_CACHE[key] = out
+    o = read_orc(spark, _COPY_CACHE[key])
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -25,7 +25,7 @@ REQUIRED_PREFIXES = {
     "sketch": ("q_heavy_hitters_cms",),
     "sampling": ("q_sample_split", "q_sample_stratified", "q_corpus_mix"),
     "embedding": ("q_embed_centroids", "q_embed_norms"),
-    "sources": ("q_source_csv", "q_source_json"),
+    "sources": ("q_source_csv", "q_source_json", "q_source_orc"),
     "streaming": ("q_stream_ohlcv_1h", "q_stream_sliding_24h",
                   "q_stream_session_window", "q_stream_dedup_latest",
                   "q_stream_stateful_totals", "q_stream_stream_join",

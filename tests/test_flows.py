@@ -129,3 +129,24 @@ def test_fetch_failure_skips_endpoint_not_batch(spark):
     got = {r.endpoint for r in raw.select("endpoint").distinct().collect()}
     assert got == {"price", "trades", "klines", "ticker24h"}  # no depth
     assert raw.count() == 4
+
+
+def test_csv_failfast_surfaces_malformed_rows(spark, tmp_path):
+    """Source policy: FAILFAST -- a malformed row must raise, not
+    silently null out (the permissive default turns data corruption
+    into downstream NULL mysteries)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkUpgradeException
+
+    from docker_based_real_time_etl_project_spark.queries.sources_q import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        "1,2024-01-01 00:00:00.000000,7,click,1.25,{}\n"
+        "2,NOT_A_TIMESTAMP,8,view,2.5,{}\n"
+    )
+    with pytest.raises(Exception) as exc:
+        read_csv(spark, str(p), "events").collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
