@@ -44,11 +44,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_regexp_all", "q_json_extract", "q_media_meta_stats",
     # vacuous 0-row greens in r01, de-vacuized this round
     "q_join_anti", "q_except", "q_dedup_embedding",
-    # rows-only in r01 (re-run so regressions still surface;
-    # q_agg_approx_distinct and q_dedup_simhash rotate out this round --
-    # rows-only checks are low-signal and their invariants are covered
-    # by q_approx_distinct_err and the pytest sketch contracts)
-    "q_dedup_minhash", "q_media_features",
+    # the r01 rows-only set rotates out entirely this round: a rows-only
+    # driver check only proves execution, which the pytest parity gate
+    # already does; their invariants are hash-checked via the contract
+    # twins (q_dedup_minhash_pairs, q_approx_distinct_err) and the
+    # sketch/multimodal pytest contracts. The freed slots carry new
+    # fully-oracled queries instead.
     # new this round: as-of join, rollup cascade, batch sessions,
     # TF-IDF, count-min heavy hitters (all oracled)
     "q_join_asof", "q_rollup_cascade", "q_session_window",
@@ -58,7 +59,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # new this round: embedding centroids/norms, CSV+JSON source parity,
     # skew-proof salted join
     "q_embed_centroids", "q_embed_norms", "q_source_csv", "q_source_json",
-    "q_join_salted", "q_udaf_median",
+    "q_join_salted", "q_udaf_median", "q_win_range_frame",
+    "q_stream_static_join",
 ]
 
 
