@@ -260,3 +260,81 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "word", "tf", "df", "tfidf_micro", "rnk")
     )
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS awl,
+             (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) AS punct
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 10000 AND awl BETWEEN 2 AND 12 AND punct < 0.2
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    split AS (
+      SELECT doc_id, lang, source, n_tokens,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 < 9000
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM deduped
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM split
+    GROUP BY split, lang
+    """,
+    tags=("text", "pipeline"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the whole pretraining-corpus prep as ONE declarative
+    plan -- quality gate (token count / word length / punctuation) ->
+    exact dedup keeping the smallest doc_id per content hash ->
+    deterministic hash split -> per-(split, lang) token accounting.
+    Catalyst fuses the filters into the scan and the pipeline runs in
+    two shuffles total (dedup window, final aggregate); every stage is
+    the operator form proven by its standalone query (q_quality_score,
+    q_dedup_exact, q_sample_split)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens.cast("double")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    kept = d.select(
+        "doc_id", "lang", "source", "text", n_tokens.cast("bigint").alias("n_tokens")
+    ).filter(
+        n_tokens.between(20, 10000) & awl.between(2, 12) & (punct < 0.2)
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ticket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    split = deduped.select(
+        "doc_id", "lang", "source", "n_tokens",
+        F.when(ticket < 9000, "train").otherwise("eval").alias("split"),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
