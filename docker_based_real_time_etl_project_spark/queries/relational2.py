@@ -475,3 +475,77 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id % 10 AS user_bucket,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'view'  THEN 1 END) AS view,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      FROM events
+      GROUP BY user_id % 10
+    )
+    SELECT user_bucket, kind, n
+    FROM wide
+    UNPIVOT (n FOR kind IN (click, view, error))
+    """,
+    tags=("transform", "pivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-type counts back to long form -- the
+    inverse of q_pivot, completing the reshape pair. Pure projection
+    after the aggregate (each wide row expands to 3 long rows,
+    no shuffle added). UNPIVOT drops NULL cells by default in both
+    engines; COUNT never yields NULL so the pair is total here."""
+    e = table(spark, sf_dir, "events")
+    wide = e.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error"),
+    )
+    return wide.unpivot(
+        ids=["user_bucket"], values=["click", "view", "error"],
+        variableColumnName="kind", valueColumnName="n",
+    )
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): each 'R' occurrence cancels ONE
+    'N' occurrence of the same partkey, so surviving duplicates carry
+    their multiplicity -- semantics DISTINCT-based EXCEPT (q_except)
+    cannot express. One shuffle on the value; counts subtract
+    per-partition partials."""
+    li = table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return n.exceptAll(r)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): min(multiplicity) copies
+    survive per value."""
+    li = table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return n.intersectAll(r)

@@ -13,7 +13,8 @@ REQUIRED_PREFIXES = {
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
             "q_grouping_sets", "q_pivot", "q_agg_salted", "q_percentiles"),
     "window": ("q_win_rank", "q_win_lag", "q_win_moving"),
-    "setop": ("q_union_all", "q_union_distinct", "q_intersect", "q_except"),
+    "setop": ("q_union_all", "q_union_distinct", "q_intersect", "q_except",
+              "q_intersect_all", "q_except_all"),
     "sort": ("q_topk_orders",),
     "string": ("q_str_funcs", "q_regexp_all"),
     "date": ("q_date_trunc_extract", "q_date_arith"),
