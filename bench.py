@@ -48,6 +48,8 @@ HEADLINE = [
     # round-over-round comparison holds)
     "q_dedup_clusters",    # near-dup pairs -> connected components -> keep-one
     "q_stream_ohlcv_1h",   # 8-micro-batch streaming OHLCV (A1 as a stream)
+    "q_join_asof",         # as-of join (union-and-carry-forward, 1 shuffle)
+    "q_corpus_pipeline",   # capstone corpus prep: quality -> dedup -> split
 ]
 
 
