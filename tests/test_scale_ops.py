@@ -117,3 +117,39 @@ def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the day's rows
     expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
     assert one_day.count() == expected > 0
+
+
+def test_ivf_cell_layout_prunes_probe_reads(spark, sf_dir, tmp_path):
+    """SCALE.md's ANN layout claim, demonstrated: embeddings written
+    partitioned by IVF cell id; a probe-2 search must read ONLY the two
+    probed cells' files (partition pruning), and the pruned read holds
+    exactly those cells' vectors."""
+    from docker_based_real_time_etl_project_spark.operators.similarity import (
+        ivf_train,
+        nearest_centroids,
+    )
+    from docker_based_real_time_etl_project_spark.plans.audit import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, n_centroids=8)
+    out = str(tmp_path / "emb_by_cell")
+    emb.withColumn(
+        "cell", nearest_centroids(F.col("embedding"), centroids, 1)[0]
+    ).write.partitionBy("cell").mode("overwrite").parquet(out)
+
+    part = spark.read.parquet(out)
+    # probe cells for the query vector = the first embedding
+    qvec = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    probe = [
+        int(r[0])
+        for r in spark.range(1)
+        .select(F.explode(nearest_centroids(F.lit(qvec).cast("array<float>"), centroids, 2)))
+        .collect()
+    ]
+    probed = part.filter(F.col("cell").isin(probe))
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    files = probed.select(F.input_file_name()).distinct().collect()
+    assert files and all(any(f"cell={c}" in r[0] for c in probe) for r in files)
+    expected = part.filter(F.col("cell").isin(probe)).count()
+    assert probed.count() == expected > 0
