@@ -58,16 +58,52 @@ def _normalize(df):
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(series) -> str:
+    """Coarse dtype class used for the strictness gate. The driver's
+    value-hash canonicalizer is dtype-sensitive: a Spark BIGINT column
+    vs a DuckDB HUGEINT (which pandas receives as float) hash-differ
+    even when every value is numerically equal. Grouping dtypes into
+    classes lets int32-vs-int64 pass while int-vs-float fails."""
+    import pandas as pd
+
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return "datetime"
+    return "other"
+
+
 def compare(name: str, spark_df, oracle_df, float_ulp_tol: bool = False) -> ParityResult:
     """Strict order-insensitive comparison (the engine's determinism
     strategy is designed to make strict equality hold; a tolerance knob
-    exists only for diagnosis, never for the green path)."""
+    exists only for diagnosis, never for the green path).
+
+    Dtype-STRICT: an int-class Spark column paired with a float-class
+    oracle column (or any other class mismatch) fails even if the
+    values agree numerically. This mirrors the driver's dtype-sensitive
+    hash and catches the DuckDB ``SUM(BIGINT) -> HUGEINT -> float``
+    oracle bug class locally (the r1/r2 recurring failure: the old
+    comparator cast both sides to float first and was blind to it)."""
     import numpy as np
     import pandas as pd
 
     s, o = spark_df, oracle_df
     if sorted(s.columns) != sorted(o.columns):
         return ParityResult(name, False, f"columns differ: spark={sorted(s.columns)} oracle={sorted(o.columns)}", len(s), len(o))
+    for c in sorted(s.columns):
+        sc, oc = _dtype_class(s[c]), _dtype_class(o[c])
+        if sc != oc:
+            return ParityResult(
+                name, False,
+                f"dtype class differs for col {c}: spark={sc}({s[c].dtype}) "
+                f"oracle={oc}({o[c].dtype}) — driver hash is dtype-sensitive; "
+                f"CAST the oracle aggregate (e.g. CAST(SUM(x) AS BIGINT))",
+                len(s), len(o),
+            )
     if len(s) != len(o):
         return ParityResult(name, False, f"row count differs: spark={len(s)} oracle={len(o)}", len(s), len(o))
     sn, on = _normalize(s), _normalize(o)

@@ -119,7 +119,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ELSE 1000 END
     )
     SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-           SUM(doc_id) AS doc_sum
+           CAST(SUM(doc_id) AS BIGINT) AS doc_sum
     FROM kept
     GROUP BY source
     """,
@@ -167,7 +167,7 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket, bin,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM packed

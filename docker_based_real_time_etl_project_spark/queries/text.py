@@ -292,7 +292,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM split
