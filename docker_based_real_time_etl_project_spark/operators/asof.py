@@ -13,8 +13,10 @@ formulations both fall over at scale:
   older than the bucket width.
 
 This implementation is the union-and-carry-forward form: tag both
-sides, union by schema, and run one ``last(value, ignorenulls=True)``
-window per carried column over (key, ts, side). Cost is a SINGLE
+sides, union by schema, and carry ONE struct of all carried columns
+with a single ``last(struct, ignorenulls=True)`` window over
+(key, ts, side) — the carried tuple is always a whole right row, so
+legitimately-NULL carry values survive. Cost is a SINGLE
 shuffle of |L| + |R| rows on the key -- the same price as the
 equi-join Spark would run anyway -- and no intermediate blow-up, so
 it survives 100 TB with skew handled by AQE like any other sort.
@@ -26,8 +28,9 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-_SIDE, _TS, _TB = "_asof_side", "_asof_ts", "_asof_tb"
+_SIDE, _TS, _TB, _CARRY = "_asof_side", "_asof_ts", "_asof_tb", "_asof_carry"
 
 
 def asof_join_backward(
@@ -58,12 +61,20 @@ def asof_join_backward(
         raise ValueError(f"carry output names collide with left columns: {sorted(bad)}")
 
     tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    # All carried columns travel as ONE struct and are carried by a
+    # single last(ignorenulls=True): the carried tuple is therefore
+    # always a whole right row, so a right row whose carry column is
+    # legitimately NULL stays NULL instead of splicing in that column
+    # from an older right row.
+    carry_type = T.StructType(
+        [T.StructField(out, right.schema[src].dataType) for src, out in carry.items()]
+    )
     l_tagged = left.select(
         *left.columns,
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(right.schema[right_tiebreak].dataType if right_tiebreak else "int").alias(_TB),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(out) for src, out in carry.items()],
+        F.lit(None).cast(carry_type).alias(_CARRY),
     )
     # Right rows keep the join keys and NULL the remaining left columns.
     r_tagged = right.select(
@@ -74,7 +85,7 @@ def asof_join_backward(
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         tb.alias(_TB),
-        *[F.col(src).alias(out) for src, out in carry.items()],
+        F.struct(*[F.col(src).alias(out) for src, out in carry.items()]).alias(_CARRY),
     )
 
     u = l_tagged.unionByName(r_tagged)
@@ -83,6 +94,8 @@ def asof_join_backward(
         .orderBy(F.col(_TS), F.col(_SIDE), F.col(_TB))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for out in carry.values():
-        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
-    return u.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS, _TB)
+    u = u.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+    return u.filter(F.col(_SIDE) == 1).select(
+        *left.columns,
+        *[F.col(f"{_CARRY}.{out}").alias(out) for out in carry.values()],
+    )

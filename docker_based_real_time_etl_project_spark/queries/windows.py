@@ -299,12 +299,16 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents: a range frame recomputes sub-sums in engine-chosen
     order, so float addition would drift cross-engine. Rows with equal
     (user_id, ts) get identical frames in both engines (RANGE treats
-    peers as one group), so the output needs no unique tiebreak."""
+    peers as one group), so the output needs no unique tiebreak.
+    The frame orders on unix_micros with a microsecond interval bound,
+    matching the oracle's full-precision INTERVAL 1 HOUR exactly —
+    ordering on whole seconds would misclassify pairs whose true gap
+    straddles 3600 s by sub-second amounts."""
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     cents = F.round(F.col("value") * 100).cast("bigint")
     return e.select(

@@ -65,8 +65,15 @@ def slice_events_to_dir(
         .parquet(out)
     )
     # strictly increasing mtimes in slice order (2 s apart, newer than
-    # anything already in the dir from a previous call)
-    base = time.time()
+    # anything already in the dir from a previous call — base is floored
+    # at the max existing mtime so a rapid second call into the same
+    # out_dir can't stamp files older than the first call's)
+    existing = [
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(out)
+        for f in files
+    ]
+    base = max([time.time(), *[m + 2.0 for m in existing]])
     for rank, i in enumerate(sorted(keep)):
         d = os.path.join(out, f"slice={i:03d}")
         for f in os.listdir(d):

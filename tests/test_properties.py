@@ -190,3 +190,24 @@ def test_asof_join_matches_bruteforce(spark, events):
         cand = [(q_ts, qid) for qid, qu, q_ts, _ in quotes if qu == u and q_ts <= ts]
         want.add((tid, max(cand)[1] if cand else None))
     assert got == want
+
+
+def test_asof_carry_preserves_null_from_matched_row(spark):
+    """The carried tuple must come from ONE right row: when the matched
+    (latest) right row has a legitimately NULL carry value, the output
+    is NULL — not that column spliced in from an older right row.
+    (Regression: per-column last(ignorenulls=True) mixed rows.)"""
+    from docker_based_real_time_etl_project_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10, 3.0)], "trade_id long, user_id long, ts double")
+    right = spark.createDataFrame(
+        [(10, 1.0, 5.0, 100), (10, 2.0, None, 200)],
+        "user_id long, ts double, price double, quote_id long",
+    )
+    out = asof_join_backward(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        carry={"price": "price", "quote_id": "quote_id"}, right_tiebreak="quote_id",
+    ).collect()
+    assert len(out) == 1
+    # matched row is quote_id=200 whose price is truly NULL
+    assert out[0].quote_id == 200 and out[0].price is None
