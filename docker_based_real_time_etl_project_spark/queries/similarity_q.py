@@ -12,14 +12,23 @@ from pyspark.sql import functions as F
 from docker_based_real_time_etl_project_spark.operators.similarity import brute_force_topk, hyperplanes, lsh_topk
 from docker_based_real_time_etl_project_spark.queries.registry import register, table
 
-# fixed query set: every 100th vector -- deterministic, scales with corpus
+# fixed query set: every 100th vector -- deterministic, scales with
+# corpus; kept at 5 points so the headline bench workload (q_cosine_topk)
+# stays round-over-round comparable
 _QUERY_IDS = (0, 100, 200, 300, 400)
 _Q_SQL = "(" + ", ".join(str(i) for i in _QUERY_IDS) + ")"
 
+# recall-contract query set: every 25th vector (20 points) -- wide
+# enough that a bucketing regression can't hide in a lucky handful
+_RECALL_QUERY_IDS = tuple(range(0, 500, 25))
+_RQ_SQL = "(" + ", ".join(str(i) for i in _RECALL_QUERY_IDS) + ")"
 
-def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _query_df(
+    spark: SparkSession, sf_dir: str, ids: tuple[int, ...] = _QUERY_IDS
+) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return e.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+    return e.filter(F.col("vec_id").isin(list(ids))).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
 
@@ -65,12 +74,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, _query_df(spark, sf_dir), planes, k=10)
 
 
-_RECALL_GATE = 0.6  # matches the pytest gate in tests/test_scale_ops.py
+_RECALL_GATE = 0.6   # per-query floor (matches tests/test_scale_ops.py)
+_MEAN_GATE = 0.8     # mean recall across all 20 queries
 
 _RECALL_ORACLE = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
-q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id IN {_Q_SQL}),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id IN {_RQ_SQL}),
 ranked AS (
   SELECT q.q_id, v.vec_id,
          ROW_NUMBER() OVER (PARTITION BY q.q_id
@@ -79,18 +89,27 @@ ranked AS (
                                      * sqrt(list_dot_product(q.qe, q.qe))), 6) DESC,
                             v.vec_id) AS rnk
   FROM v, q
-)
-SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-FROM ranked WHERE rnk <= 10 GROUP BY q_id
+),
+exact10 AS (SELECT q_id FROM ranked WHERE rnk <= 10)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM exact10 GROUP BY q_id
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM exact10
 """
 
 
 def _recall_df(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """(q_id, n_exact, recall_ok): per-query recall@10 of the approximate
-    result vs exact brute force, collapsed to the >= gate boolean. The
-    raw hit count is engine-specific (bucket/cell seeds), so only the
-    gate verdict is exposed to the hash compare -- but the row goes RED
-    in CORRECTNESS if recall ever collapses, which is the contract."""
+    result vs exact brute force, collapsed to the >= gate boolean, plus
+    one q_id=-1 summary row whose recall_ok asserts MEAN recall >= 0.8
+    across all 20 queries (so a broad degradation fails even if every
+    query individually clears the 0.6 floor). The raw hit count is
+    engine-specific (bucket/cell seeds), so only the gate verdicts are
+    exposed to the hash compare -- but a row goes RED in CORRECTNESS if
+    recall ever collapses, which is the contract."""
     # approx/exact share lineage (same source DataFrames), so df-attribute
     # join conditions resolve trivially true -- rename the approx side
     # to fresh columns and join on unambiguous names instead
@@ -102,51 +121,57 @@ def _recall_df(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
     n_hits = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit"))
     n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
-        n_exact.join(n_hits, "q_id", "left")
-        .select(
-            "q_id",
-            "n_exact",
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
-                >= F.lit(_RECALL_GATE)
-            ).alias("recall_ok"),
-        )
+    per_query = n_exact.join(n_hits, "q_id", "left").select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        "n_exact",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
     )
+    rows = per_query.select(
+        "q_id", "n_exact", (F.col("recall") >= F.lit(_RECALL_GATE)).alias("recall_ok")
+    )
+    mean_row = per_query.agg(
+        F.sum("n_exact").alias("n_exact"),
+        (F.avg("recall") >= F.lit(_MEAN_GATE)).alias("recall_ok"),
+    ).select(F.lit(-1).cast("bigint").alias("q_id"), "n_exact", "recall_ok")
+    return rows.unionByName(mean_row)
 
 
 @register("q_ann_lsh_recall", oracle=_RECALL_ORACLE, tags=("similarity", "approx"))
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible recall contract for multi-table sign-LSH ANN:
-    recall@10 vs the exact top-10 must clear the 0.6 gate for every
-    query vector (measured >= 0.9 at test SFs with 3 planes x 12
-    tables -- the synthetic corpus is near-random, so OR-amplification
-    has to carry all of the recall; a single 8-plane table measured
-    ~0.1). The oracle recomputes the exact side and expects
-    recall_ok=TRUE rows."""
+    """Driver-visible recall contract for multi-table sign-LSH ANN over
+    20 fixed query vectors: recall@10 vs the exact top-10 must clear
+    the 0.6 floor for EVERY query AND average >= 0.8 (measured min 0.8
+    / mean 0.965 at test SFs with 3 planes x 12 tables -- the synthetic
+    corpus is near-random, so OR-amplification has to carry all of the
+    recall; a single 8-plane table measured ~0.1). The oracle
+    recomputes the exact side and expects recall_ok=TRUE rows."""
     from docker_based_real_time_etl_project_spark.operators.similarity import (
         lsh_tables, lsh_topk_multi,
     )
 
     e = table(spark, sf_dir, "embeddings")
-    q = _query_df(spark, sf_dir)
+    q = _query_df(spark, sf_dir, _RECALL_QUERY_IDS)
     tables = lsh_tables(dim=64, n_planes=3, n_tables=12, seed=42)
     return _recall_df(lsh_topk_multi(e, q, tables, k=10), brute_force_topk(e, q, k=10))
 
 
 @register("q_ann_ivf_recall", oracle=_RECALL_ORACLE, tags=("similarity", "approx"))
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible recall contract for IVF ANN (probe-4 of 8 cells;
-    probe-2 measured 0.3-0.5 per-query on the unstructured corpus):
-    recall@10 vs exact top-10 >= 0.6 per query, oracled like the LSH
-    twin (measured >= 0.7 at test SFs)."""
+    """Driver-visible recall contract for IVF ANN over 20 fixed query
+    vectors (probe-6 of 8 cells for the contract: the near-random
+    synthetic corpus gives IVF little cluster structure to exploit, so
+    probe-4 dips to 0.5 on individual queries; probe-6 measured min
+    0.7 / mean 0.94 at test SFs): recall@10 vs exact top-10 >= 0.6 per
+    query AND mean >= 0.8, oracled like the LSH twin. The scale path
+    (cell-partitioned layout, probed-cell pruning) is independent of
+    n_probe and is pinned by tests/test_scale_ops.py."""
     from docker_based_real_time_etl_project_spark.operators.similarity import ivf_topk, ivf_train
 
     e = table(spark, sf_dir, "embeddings")
-    q = _query_df(spark, sf_dir)
+    q = _query_df(spark, sf_dir, _RECALL_QUERY_IDS)
     centroids = ivf_train(e, n_centroids=8, iters=3)
     return _recall_df(
-        ivf_topk(e, q, centroids, n_probe=4, k=10), brute_force_topk(e, q, k=10)
+        ivf_topk(e, q, centroids, n_probe=6, k=10), brute_force_topk(e, q, k=10)
     )
 
 
