@@ -145,6 +145,63 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_stress_join(spark: SparkSession, sf_dir: str, mappers: int | None = None) -> DataFrame:
+    """Deliberately skewed large-large join: ~90% of lineitem rows are
+    remapped onto ONE part key (sk=1), the worst case for a shuffle
+    join, then revenue is grouped per brand. The merge hint pins the
+    shuffle path (the 200-row dim would otherwise broadcast and make
+    the stress vacuous -- at 100 TB the right side is not
+    broadcast-size). AQE's skew-join split handles the hot partition by
+    re-reading it in map-output ranges; ``mappers`` lets the plan test
+    provide the multi-mapper shuffle AQE needs to split (at test SFs
+    the scan is a single map task, so there is nothing to split --
+    exactly the situation that disappears at scale).
+
+    tests/test_plans.py::test_skew_stress_join_aqe_splits_hot_partition
+    executes this under lowered skew thresholds and asserts the final
+    adaptive plan contains the skew-split join, making the "AQE handles
+    skew" claim on q_join_inner a tested invariant rather than a
+    docstring promise."""
+    li, p = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    if mappers:
+        li = li.repartition(mappers)
+    sk = (
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_partkey"))
+    )
+    left = li.select(sk.alias("sk"), "l_extendedprice", "l_discount")
+    dim = p.select(F.col("p_partkey").alias("sk"), "p_brand")
+    return (
+        left.join(dim.hint("merge"), "sk")
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_skew_stress",
+    oracle=f"""
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_partkey END AS sk,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT p.p_brand,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM l JOIN part p ON l.sk = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "skew"),
+)
+def q_join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress twin of q_join_inner: see :func:`skew_stress_join`."""
+    return skew_stress_join(spark, sf_dir)
+
+
 @register(
     "q_join_star",
     oracle=f"""

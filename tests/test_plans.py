@@ -141,3 +141,41 @@ def test_range_frame_and_pack_single_shuffle(spark, sf_dir):
     one exchange (their partition key)."""
     assert count_exchanges(_q("q_win_range_frame", spark, sf_dir)) == 1
     assert count_exchanges(_q("q_sequence_pack", spark, sf_dir)) == 1
+
+
+def test_skew_stress_join_aqe_splits_hot_partition(spark, sf_dir):
+    """The 'AQE handles skew' claim, executed: under skew-scaled
+    thresholds (test SFs are tiny) the hot partition of the skewed
+    join must be split -- the FINAL adaptive plan shows the skew-split
+    SortMergeJoin and a skewed AQEShuffleRead. Needs a multi-mapper
+    shuffle (mappers=8): skew split re-reads map-output ranges, so a
+    single-map-task stage -- the test-SF scan -- cannot split, which is
+    precisely the constraint that vanishes at scale."""
+    from docker_based_real_time_etl_project_spark.queries.relational import skew_stress_join
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1B",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = skew_stress_join(spark, sf_dir, mappers=8)
+        df.collect()  # materialize so the adaptive plan is final
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
