@@ -23,44 +23,46 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E402
 
 # The driver's correctness gate checks the first 50 entries in queries()
-# iteration order. Round 1 verified registry indices 0-49 and left 23
-# queries unchecked, so the round-2 window front-loads: (a) everything
-# the driver has never seen, (b) the rows fixed this round, (c) new
-# queries. Previously-green queries rotate behind and re-enter the
-# window in later rounds.
+# iteration order. Round-3 window: (a) the 9 queries the driver has
+# never seen, (b) the r2 red (q_corpus_mix, oracle dtype fixed), (c)
+# every query whose implementation changed since its last green
+# (clustering rewrite, asof struct-carry, range-frame microseconds,
+# widened ANN recall contracts), (d) the new skew-stress join, (e) the
+# oldest r1 greens so everything re-verifies on a cadence. The r2
+# greens rotate behind and re-enter in later rounds.
 _DRIVER_WINDOW_PRIORITY = [
-    # never driver-verified in r01 (were registry indices 50-72)
-    "q_win_rank", "q_win_lag", "q_win_moving", "q_ohlcv_1h", "q_ticker_24h",
-    "q_dedup_latest", "q_date_trunc_extract", "q_win_distribution",
-    "q_text_tokenize", "q_doc_stats", "q_token_count", "q_lang_id",
-    "q_quality_score", "q_fingerprint", "q_udtf_chunk",
-    "q_stream_ohlcv_1h", "q_stream_sliding_24h", "q_stream_stateful_totals",
-    "q_stream_session_window", "q_stream_dedup_latest", "q_stream_stream_join",
-    "q_ann_lsh", "q_ann_ivf",
-    # new this round: oracled MinHash pair contract + ANN recall contracts
-    "q_dedup_minhash_pairs", "q_ann_lsh_recall", "q_ann_ivf_recall",
-    "q_approx_distinct_err", "q_percentiles_approx",
-    # red/err in r01, fixed this round
-    "q_regexp_all", "q_json_extract", "q_media_meta_stats",
-    # vacuous 0-row greens in r01, de-vacuized this round
-    "q_join_anti", "q_except", "q_dedup_embedding",
-    # the r01 rows-only set rotates out entirely this round: a rows-only
-    # driver check only proves execution, which the pytest parity gate
-    # already does; their invariants are hash-checked via the contract
-    # twins (q_dedup_minhash_pairs, q_approx_distinct_err) and the
-    # sketch/multimodal pytest contracts. The freed slots carry new
-    # fully-oracled queries instead.
-    # new this round: as-of join, rollup cascade, batch sessions,
-    # TF-IDF, count-min heavy hitters (all oracled)
-    "q_join_asof", "q_rollup_cascade", "q_session_window",
-    "q_tfidf", "q_heavy_hitters_cms",
-    # new this round: deterministic hash sampling / split / corpus mix
-    "q_sample_split", "q_sample_stratified", "q_corpus_mix",
-    # new this round: embedding centroids/norms, CSV+JSON source parity,
-    # skew-proof salted join
-    "q_embed_centroids", "q_embed_norms", "q_source_csv", "q_source_json",
-    "q_join_salted", "q_udaf_median", "q_win_range_frame",
-    "q_stream_static_join",
+    # (a) never driver-verified (added late in r2)
+    "q_corpus_pipeline", "q_sequence_pack", "q_unpivot",
+    "q_intersect_all", "q_except_all", "q_fuzzy_match",
+    "q_shipping_priority", "q_local_supplier_volume", "q_source_orc",
+    # (b) hash-FAIL in r2: bare SUM(doc_id) oracle returned HUGEINT;
+    # now CAST ... AS BIGINT (same fix applied to the two latent copies
+    # in q_corpus_pipeline / q_sequence_pack above)
+    "q_corpus_mix",
+    # (c) changed since last driver green -> must re-verify
+    "q_dedup_clusters",    # clustering rewritten after its r1 green
+    "q_join_asof",         # asof carry now struct-atomic
+    "q_win_range_frame",   # frame now microsecond-exact
+    "q_ann_lsh_recall", "q_ann_ivf_recall",  # 20-point + mean-recall row
+    "q_cosine_topk",       # exact twin the recall contracts compare against
+    # (d) new this round
+    "q_join_skew_stress",
+    # (e) oldest r1 greens, re-entering the window (S1 flows cycle first:
+    # the flows feed every T-operator)
+    "q_etl_poll_cycle",
+    "q_cdc_materialize", "q_cdc_stream_upsert",
+    "q_dedup_exact", "q_ngram_jaccard",
+    "q_udf_scalar", "q_media_resize_meta", "q_media_frame_sample",
+    "q_pricing_summary", "q_project_cast", "q_filter_pred",
+    "q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
+    "q_join_range",
+    "q_agg_distinct", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_topk_orders", "q_union_all", "q_intersect", "q_agg_salted",
+    "q_exists_subquery", "q_scalar_subquery", "q_pivot",
+    "q_null_handling", "q_array_agg_sorted", "q_percentiles",
+    "q_union_distinct", "q_filtered_agg", "q_arr_explode",
+    # (q_str_funcs, q_math_round_pct, q_arr_elem, q_arr_zip,
+    #  q_date_arith — stable r1 greens — rotate in r4)
 ]
 
 
