@@ -53,6 +53,26 @@ HEADLINE = [
 ]
 
 
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the query's physical plan: expression ids,
+    plan ids, file paths, and size statistics are normalized away so
+    the fingerprint changes iff the plan SHAPE changes. Recorded per
+    headline query so a timing blip is attributable in one look —
+    same fingerprint as last round means noise, different means the
+    planner picked a different strategy."""
+    import hashlib
+    import re
+
+    from docker_based_real_time_etl_project_spark.plans import formatted_plan
+
+    p = formatted_plan(df)
+    p = re.sub(r"#\d+", "#x", p)
+    p = re.sub(r"plan_id=\d+", "plan_id=x", p)
+    p = re.sub(r"Location: [^\n]*", "Location: x", p)
+    p = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", p)
+    return hashlib.sha256(p.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     from docker_based_real_time_etl_project_spark.queries import REGISTRY
     from docker_based_real_time_etl_project_spark.session import get_spark
@@ -65,17 +85,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2: single-run timings at this scale carry ~30% scheduler/JIT
-    # noise; the min is the reproducible cost of the plan
+    # best-of-3: single-run timings at this scale carry ~30% scheduler/JIT
+    # noise; the min is the reproducible cost of the plan, and n=3 makes
+    # a round-over-round regression provable instead of arguable
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        plans[name] = _plan_fingerprint(fn(spark, SF_DIR))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +108,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plan_fingerprints": plans,
                 "sf": sf,
             }
         )
