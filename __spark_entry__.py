@@ -45,8 +45,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_win_range_frame",   # frame now microsecond-exact
     "q_ann_lsh_recall", "q_ann_ivf_recall",  # 20-point + mean-recall row
     "q_cosine_topk",       # exact twin the recall contracts compare against
-    # (d) new this round
+    # (d) new this round: skew stress, the deep TPC-H shape pack
+    # (relational3), and the LLM training-data hygiene pack (llmprep)
     "q_join_skew_stress",
+    "q_volume_shipping", "q_product_profit", "q_returned_items",
+    "q_priority_lines", "q_promo_revenue", "q_large_orders",
+    "q_disjunctive_pred", "q_quiet_customers", "q_win_ntile",
+    "q_contamination", "q_repetition_ratio", "q_pii_scrub",
     # (e) oldest r1 greens, re-entering the window (S1 flows cycle first:
     # the flows feed every T-operator)
     "q_etl_poll_cycle",
@@ -57,11 +62,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
     "q_join_range",
     "q_agg_distinct", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_topk_orders", "q_union_all", "q_intersect", "q_agg_salted",
-    "q_exists_subquery", "q_scalar_subquery", "q_pivot",
-    "q_null_handling", "q_array_agg_sorted", "q_percentiles",
-    "q_union_distinct", "q_filtered_agg", "q_arr_explode",
-    # (q_str_funcs, q_math_round_pct, q_arr_elem, q_arr_zip,
+    "q_topk_orders",
+    # (q_union_all, q_intersect, q_agg_salted, q_exists_subquery,
+    #  q_scalar_subquery, q_pivot, q_null_handling, q_array_agg_sorted,
+    #  q_percentiles, q_union_distinct, q_filtered_agg, q_arr_explode,
+    #  q_str_funcs, q_math_round_pct, q_arr_elem, q_arr_zip,
     #  q_date_arith — stable r1 greens — rotate in r4)
 ]
 

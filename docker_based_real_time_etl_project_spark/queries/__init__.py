@@ -6,9 +6,11 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     embeddings_q,
     flows_q,
     functions_q,
+    llmprep_q,
     multimodal_q,
     relational,
     relational2,
+    relational3,
     sampling_q,
     similarity_q,
     sketch_q,

@@ -9,10 +9,16 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY
 
 REQUIRED_PREFIXES = {
     "join": ("q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
-             "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted"),
+             "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted",
+             "q_join_skew_stress"),
+    "tpch": ("q_shipping_priority", "q_local_supplier_volume",
+             "q_volume_shipping", "q_product_profit", "q_returned_items",
+             "q_priority_lines", "q_promo_revenue", "q_large_orders",
+             "q_disjunctive_pred", "q_quiet_customers"),
+    "llm": ("q_contamination", "q_repetition_ratio", "q_pii_scrub"),
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
             "q_grouping_sets", "q_pivot", "q_agg_salted", "q_percentiles"),
-    "window": ("q_win_rank", "q_win_lag", "q_win_moving"),
+    "window": ("q_win_rank", "q_win_lag", "q_win_moving", "q_win_ntile"),
     "setop": ("q_union_all", "q_union_distinct", "q_intersect", "q_except",
               "q_intersect_all", "q_except_all"),
     "sort": ("q_topk_orders",),
