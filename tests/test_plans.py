@@ -143,6 +143,89 @@ def test_range_frame_and_pack_single_shuffle(spark, sf_dir):
     assert count_exchanges(_q("q_sequence_pack", spark, sf_dir)) == 1
 
 
+def test_tpch_pack_filters_reach_scans(spark, sf_dir):
+    """The relational3 pack's selectivity lives or dies on pushdown:
+    Q7's date window and nation IN-list, Q9's part-name pattern and
+    Q10's returnflag must all appear as scan-level PushedFilters --
+    at 100 TB these are partition/row-group skips, not row filters."""
+    pushed = {
+        tuple(sorted(s.read_columns)): " ".join(s.pushed_filters)
+        for s in scan_infos(_q("q_volume_shipping", spark, sf_dir))
+    }
+    allf = " ".join(pushed.values())
+    assert "GreaterThanOrEqual(l_shipdate" in allf
+    assert "In(n_name" in allf
+
+    allf = " ".join(
+        " ".join(s.pushed_filters)
+        for s in scan_infos(_q("q_product_profit", spark, sf_dir))
+    )
+    assert "StringContains(p_name" in allf
+
+    allf = " ".join(
+        " ".join(s.pushed_filters)
+        for s in scan_infos(_q("q_returned_items", spark, sf_dir))
+    )
+    assert "EqualTo(l_returnflag" in allf
+
+
+def test_disjunctive_pred_pushes_or_of_ands(spark, sf_dir):
+    """Q19 shape: Catalyst must push the full OR-of-ANDs residual to
+    the lineitem scan (quantity bounds per brand arm) and extract the
+    common p_size lower bound to the part scan -- the whole point of
+    registering the disjunctive query."""
+    by_cols = {
+        tuple(sorted(s.read_columns)): " ".join(s.pushed_filters)
+        for s in scan_infos(_q("q_disjunctive_pred", spark, sf_dir))
+    }
+    li = next(v for k, v in by_cols.items() if "l_quantity" in str(k))
+    part = next(v for k, v in by_cols.items() if "p_size" in str(k))
+    assert "Or(Or(And(" in li
+    assert "GreaterThanOrEqual(p_size" in part
+    assert count_exchanges(_q("q_disjunctive_pred", spark, sf_dir)) == 1
+
+
+def test_tpch_pack_single_final_exchange(spark, sf_dir):
+    """Broadcast-collapsed join trees: at test SF every dim broadcasts,
+    so the only exchange in Q7/Q9/Q12/Q14 is the final aggregate; Q10
+    additionally rides TakeOrderedAndProject for its LIMIT 20; Q18's
+    HAVING semi-join adds exactly one more (the inner per-order agg)."""
+    for name in ("q_volume_shipping", "q_product_profit",
+                 "q_priority_lines", "q_promo_revenue"):
+        df = _q(name, spark, sf_dir)
+        assert count_exchanges(df) == 1, name
+        assert join_strategies(df).get("CartesianProduct", 0) == 0, name
+    q10 = _q("q_returned_items", spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(q10)
+    assert count_exchanges(_q("q_large_orders", spark, sf_dir)) == 2
+
+
+def test_quiet_customers_scalar_broadcast_and_anti(spark, sf_dir):
+    """Q22 shape: the scalar average joins as a 1-row broadcast
+    nested-loop (constant-size, never a shuffle) and nothing degrades
+    to a cartesian over real data."""
+    strategies = join_strategies(_q("q_quiet_customers", spark, sf_dir))
+    assert strategies.get("BroadcastNestedLoopJoin", 0) == 1
+    assert strategies.get("CartesianProduct", 0) == 0
+
+
+def test_llmprep_shuffle_inventory(spark, sf_dir):
+    """Hygiene pack plan budget: contamination is 3 exchanges (train
+    distinct, test per-doc counts, final left join) with zero
+    cartesians; repetition is 2 (bigram count, per-doc max) with no
+    join at all; the PII audit is scan + one summary exchange; ntile
+    windows cost exactly their partition exchange."""
+    cont = _q("q_contamination", spark, sf_dir)
+    assert count_exchanges(cont) <= 3
+    assert join_strategies(cont).get("CartesianProduct", 0) == 0
+    rep = _q("q_repetition_ratio", spark, sf_dir)
+    assert count_exchanges(rep) == 2 and join_strategies(rep) == {}
+    pii = _q("q_pii_scrub", spark, sf_dir)
+    assert count_exchanges(pii) == 1 and join_strategies(pii) == {}
+    ntile = _q("q_win_ntile", spark, sf_dir)
+    assert count_exchanges(ntile) == 1 and join_strategies(ntile) == {}
+
+
 def test_skew_stress_join_aqe_splits_hot_partition(spark, sf_dir):
     """The 'AQE handles skew' claim, executed: under skew-scaled
     thresholds (test SFs are tiny) the hot partition of the skewed
