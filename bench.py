@@ -50,6 +50,9 @@ HEADLINE = [
     "q_stream_ohlcv_1h",   # 8-micro-batch streaming OHLCV (A1 as a stream)
     "q_join_asof",         # as-of join (union-and-carry-forward, 1 shuffle)
     "q_corpus_pipeline",   # capstone corpus prep: quality -> dedup -> split
+    # round 3 additions
+    "q_volume_shipping",   # deep 6-way TPC-H Q7 join tree
+    "q_contamination",     # train/test 5-gram contamination (distinct-gram join)
 ]
 
 
