@@ -48,7 +48,11 @@ REQUIRED_PREFIXES = {
     "multimodal": ("q_media_meta_stats", "q_media_resize_meta",
                    "q_media_frame_sample", "q_media_features"),
     "udf": ("q_udf_scalar", "q_udtf_chunk", "q_udaf_median"),
-    "subquery": ("q_exists_subquery", "q_scalar_subquery"),
+    "subquery": ("q_exists_subquery", "q_scalar_subquery",
+                 "q_max_acctbal_supplier", "q_important_parts",
+                 "q_cust_order_dist", "q_small_qty_revenue",
+                 "q_waiting_suppliers", "q_idle_customers",
+                 "q_lateral_topn"),
 }
 
 # rows-only needs a justification (documented in COVERAGE.md); anything

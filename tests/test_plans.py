@@ -262,3 +262,72 @@ def test_skew_stress_join_aqe_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decorrelation_pack_plan_shapes(spark, sf_dir):
+    """relational4: each correlated subquery must decorrelate into a
+    bounded join plan -- never a per-row re-execution and never a
+    cartesian over real data.
+
+    - Q2 shape: scalar-equals-per-group-MAX becomes one aggregate
+      joined back (1 exchange total at test SF, dims broadcast).
+    - Q11 shape: the global-scalar threshold joins as a single-row
+      broadcast nested-loop; the two scans aggregate independently.
+    - Q13 shape: two cascaded hash aggregates, nothing else.
+    - Q21 shape: the chained EXISTS / NOT EXISTS plan as left-semi and
+      left-anti joins.
+    - Q22 shape: the NOT EXISTS is a left-anti join and the high-value
+      order predicate reaches the orders scan as a pushed filter.
+    """
+    q2 = _q("q_max_acctbal_supplier", spark, sf_dir)
+    assert count_exchanges(q2) == 1
+    assert join_strategies(q2).get("CartesianProduct", 0) == 0
+
+    q11 = _q("q_important_parts", spark, sf_dir)
+    s11 = join_strategies(q11)
+    assert s11.get("BroadcastNestedLoopJoin", 0) == 1  # 1-row threshold
+    assert s11.get("CartesianProduct", 0) == 0
+    assert count_exchanges(q11) == 2
+
+    q13 = _q("q_cust_order_dist", spark, sf_dir)
+    assert count_exchanges(q13) == 2
+    assert join_strategies(q13).get("CartesianProduct", 0) == 0
+
+    q21 = formatted_plan(_q("q_waiting_suppliers", spark, sf_dir))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+
+    q22 = _q("q_idle_customers", spark, sf_dir)
+    plan22 = formatted_plan(q22)
+    assert "LeftAnti" in plan22 and "CartesianProduct" not in plan22
+    assert any(
+        any("o_totalprice" in f for f in s.pushed_filters)
+        for s in scan_infos(q22)
+    )
+
+
+def test_small_qty_brand_filter_pushes_before_join(spark, sf_dir):
+    """Q17 shape: the brand predicate must prune the part scan BEFORE
+    the join (at 100 TB this is the difference between joining 1/25th
+    of part and all of it); the whole decorrelated plan costs at most
+    two exchanges."""
+    df = _q("q_small_qty_revenue", spark, sf_dir)
+    assert any(
+        any("p_brand" in f for f in s.pushed_filters)
+        for s in scan_infos(df)
+    )
+    assert count_exchanges(df) <= 2
+    assert join_strategies(df).get("CartesianProduct", 0) == 0
+
+
+def test_lateral_topn_rewrites_to_window(spark, sf_dir):
+    """The LATERAL correlated LIMIT must decorrelate into a ranked
+    window over the joined right side (one shuffle), not N sorted
+    scans or a nested loop."""
+    df = _q("q_lateral_topn", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) == 1
+    strategies = join_strategies(df)
+    assert strategies.get("CartesianProduct", 0) == 0
+    assert strategies.get("BroadcastNestedLoopJoin", 0) == 0
