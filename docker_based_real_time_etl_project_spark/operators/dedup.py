@@ -47,6 +47,23 @@ def shingles(text_col: str | Column, k: int = 3, sep: str = " ") -> Column:
     )
 
 
+def token_chunks(text_col: str | Column, size: int = 10, sep: str = " ") -> Column:
+    """Non-overlapping ``size``-token chunks (last chunk may be short):
+    the grid for exact-substring dedup at chunk granularity — the
+    bounded-memory stand-in for suffix-array ExactSubstr (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better")."""
+    toks = tokens(text_col, sep)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(size)).cast("int")
+    # same descending-sequence guard as shingles: n == 0 must yield []
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * size + 1, size))
+    )
+
+
 def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
     """MinHash signature: for seed i, min over shingles of the universal
     hash (a_i * h + b_i) mod P31 with h = xxhash64 folded into [0, P31).

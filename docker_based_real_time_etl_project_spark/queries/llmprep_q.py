@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.operators.dedup import shingles, tokens
@@ -250,4 +250,79 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(touched, 1)).alias("n_redacted"),
         F.min(F.when(touched, F.col("clean"))).alias("sample_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup at chunk granularity (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 10
+_SQL_CHUNK_GRID = (
+    f"list_transform(range(0, CAST(ceil(len(tl) / {_CHUNK}.0) AS INT)), "
+    f"i -> array_to_string(list_slice(tl, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}), ' '))"
+)
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(tl) / {_CHUNK}.0) AS INT))) AS pos,
+             unnest({_SQL_CHUNK_GRID}) AS chunk
+      FROM toks WHERE len(tl) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COALESCE(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE rn = 1), ' '),
+                    '') AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication at chunk granularity: tile every
+    document into non-overlapping 10-token chunks, keep only the
+    corpus-globally FIRST occurrence of each repeated chunk (ordered
+    by doc_id then position), and reassemble the surviving text — the
+    bounded-memory approximation of suffix-array ExactSubstr dedup
+    (Lee et al. 2022), which at 100 TB replaces an unbuildable global
+    suffix array with a hash shuffle.
+
+    Plan shape: one linear chunking pass (pure expressions), one
+    shuffle partitioned BY CHUNK HASH (uniform — chunk text is
+    high-entropy, so no skew), a per-chunk window whose partitions are
+    the few duplicate occurrences, and one reassembly aggregate per
+    doc. Never doc-against-doc; state per chunk is O(occurrences).
+    """
+    from docker_based_real_time_etl_project_spark.operators.dedup import token_chunks
+
+    occ = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(token_chunks("text", _CHUNK)).alias("pos", "chunk"))
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = occ.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.when(kept, F.struct("pos", "chunk")))),
+                lambda x: x.chunk,
+            ),
+        ).alias("clean_text"),
     )
