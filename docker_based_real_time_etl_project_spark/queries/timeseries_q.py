@@ -188,3 +188,82 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled hourly bars (time_bucket_gapfill + locf shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             MAX_BY(value, ts) AS close_value, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 1 HOUR)) AS bucket
+      FROM bars GROUP BY event_type
+    ),
+    joined AS (
+      SELECT s.event_type, s.bucket, b.close_value,
+             COALESCE(b.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN bars b USING (event_type, bucket)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           n_events,
+           n_events = 0 AS is_gap,
+           LAST_VALUE(close_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket) AS filled_close
+    FROM joined
+    """,
+    tags=("timeseries",),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly close series with carry-forward (the
+    time_bucket_gapfill + locf shape a hypertable user expects): every
+    hour between each key's first and last bar exists in the output,
+    empty hours are flagged and carry the last real close.
+
+    Scale shape: raw events are scanned and aggregated ONCE (map-side
+    partials); each key's bars then fold into a bucket→bar map on a
+    single per-key row, so the spine (sequence+explode between the
+    min/max scalars) fills by MAP LOOKUP instead of a second scan +
+    join — the naive bars-join-spine form reads the fact table twice.
+    Map size is bounded by hours-spanned per key (~10k/year), never by
+    raw rows. The fill window re-uses the per-key partitioning, so the
+    whole query is two exchanges and one scan. (event_type, ts) is
+    verified-unique in testdata, making MAX_BY deterministic.
+    """
+    bars = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.max_by("value", "ts").alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    per_key = bars.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"),
+        F.max("bucket").alias("b1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.struct("close_value", "n_events")))
+        ).alias("bar_map"),
+    )
+    spine = per_key.select(
+        "event_type",
+        F.explode(F.expr("sequence(b0, b1, interval 1 hour)")).alias("bucket"),
+        "bar_map",
+    )
+    bar = F.col("bar_map")[F.col("bucket")]
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return spine.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.coalesce(bar.n_events, F.lit(0)).alias("n_events"),
+        (F.coalesce(bar.n_events, F.lit(0)) == 0).alias("is_gap"),
+        F.last(bar.close_value, ignorenulls=True).over(w).alias("filled_close"),
+    )

@@ -15,7 +15,8 @@ REQUIRED_PREFIXES = {
              "q_volume_shipping", "q_product_profit", "q_returned_items",
              "q_priority_lines", "q_promo_revenue", "q_large_orders",
              "q_disjunctive_pred", "q_quiet_customers"),
-    "llm": ("q_contamination", "q_repetition_ratio", "q_pii_scrub"),
+    "llm": ("q_contamination", "q_repetition_ratio", "q_pii_scrub",
+            "q_chunk_dedup"),
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
             "q_grouping_sets", "q_pivot", "q_agg_salted", "q_percentiles"),
     "window": ("q_win_rank", "q_win_lag", "q_win_moving", "q_win_ntile"),
@@ -28,7 +29,8 @@ REQUIRED_PREFIXES = {
     "array": ("q_arr_elem", "q_arr_explode", "q_arr_zip"),
     "json": ("q_json_extract",),
     "timeseries": ("q_ohlcv_1h", "q_ticker_24h", "q_dedup_latest",
-                   "q_join_asof", "q_rollup_cascade", "q_session_window"),
+                   "q_join_asof", "q_rollup_cascade", "q_session_window",
+                   "q_gap_fill"),
     "sketch": ("q_heavy_hitters_cms",),
     "sampling": ("q_sample_split", "q_sample_stratified", "q_corpus_mix"),
     "embedding": ("q_embed_centroids", "q_embed_norms"),

@@ -331,3 +331,26 @@ def test_lateral_topn_rewrites_to_window(spark, sf_dir):
     strategies = join_strategies(df)
     assert strategies.get("CartesianProduct", 0) == 0
     assert strategies.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_chunk_dedup_no_join_two_exchanges(spark, sf_dir):
+    """ExactSubstr-shape chunk dedup must be window + aggregate only:
+    one shuffle by chunk hash, one by doc for reassembly — never a
+    doc-against-doc join; the scan reads just (doc_id, text)."""
+    df = _q("q_chunk_dedup", spark, sf_dir)
+    assert join_strategies(df) == {}
+    assert count_exchanges(df) == 2
+    scans = scan_infos(df)
+    assert len(scans) == 1
+    assert sorted(scans[0].read_columns) == ["doc_id", "text"]
+
+
+def test_gap_fill_single_scan_no_join(spark, sf_dir):
+    """Gap-fill must not re-scan events to look bars back up: the
+    bucket->bar map rides the per-key row, so the plan is one scan,
+    zero joins, two exchanges (bars agg + per-key fold; the fill
+    window re-uses the per-key partitioning)."""
+    df = _q("q_gap_fill", spark, sf_dir)
+    assert join_strategies(df) == {}
+    assert count_exchanges(df) == 2
+    assert len(scan_infos(df)) == 1
