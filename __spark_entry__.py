@@ -57,9 +57,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_etl_poll_cycle",
     "q_cdc_materialize", "q_cdc_stream_upsert",
     "q_dedup_exact", "q_ngram_jaccard",
-    "q_udf_scalar", "q_media_resize_meta", "q_media_frame_sample",
-    "q_pricing_summary", "q_project_cast",
-    "q_join_inner", "q_join_star",
+    "q_pricing_summary", "q_join_inner",
+    # (f2) the TPC-H completion pack (relational5) — never driver-seen
+    "q_priority_waiting", "q_market_share", "q_top_supplier",
+    "q_supplier_cnt", "q_excess_shippers",
     # gap-filled bars (added this round, never driver-seen)
     "q_gap_fill",
     # exact-substring chunk dedup (added this round, never driver-seen)
@@ -69,7 +70,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_max_acctbal_supplier", "q_important_parts", "q_cust_order_dist",
     "q_small_qty_revenue", "q_waiting_suppliers", "q_idle_customers",
     "q_lateral_topn",
-    # (q_filter_pred, q_join_left, q_join_semi, q_join_range, q_agg_distinct, q_rollup, q_cube,
+    # (q_udf_scalar, q_media_resize_meta, q_media_frame_sample,
+    #  q_project_cast, q_join_star,
+    #  q_filter_pred, q_join_left, q_join_semi, q_join_range, q_agg_distinct, q_rollup, q_cube,
     #  q_grouping_sets, q_topk_orders, q_union_all, q_intersect,
     #  q_agg_salted, q_exists_subquery, q_scalar_subquery, q_pivot,
     #  q_null_handling, q_array_agg_sorted, q_percentiles,

@@ -12,6 +12,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     sampling_q,
     similarity_q,
     sketch_q,

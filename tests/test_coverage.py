@@ -14,7 +14,9 @@ REQUIRED_PREFIXES = {
     "tpch": ("q_shipping_priority", "q_local_supplier_volume",
              "q_volume_shipping", "q_product_profit", "q_returned_items",
              "q_priority_lines", "q_promo_revenue", "q_large_orders",
-             "q_disjunctive_pred", "q_quiet_customers"),
+             "q_disjunctive_pred", "q_quiet_customers",
+             "q_priority_waiting", "q_market_share", "q_top_supplier",
+             "q_supplier_cnt", "q_excess_shippers"),
     "llm": ("q_contamination", "q_repetition_ratio", "q_pii_scrub",
             "q_chunk_dedup"),
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",

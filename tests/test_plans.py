@@ -354,3 +354,30 @@ def test_gap_fill_single_scan_no_join(spark, sf_dir):
     assert join_strategies(df) == {}
     assert count_exchanges(df) == 2
     assert len(scan_infos(df)) == 1
+
+
+def test_tpch_completion_pack_plan_shapes(spark, sf_dir):
+    """relational5: Q4's rewritten EXISTS plans as a left-semi join;
+    Q16's NOT IN plans as a broadcast LeftAnti (null-aware semantics);
+    Q8's 8-way tree broadcasts every dim (one fact shuffle + the year
+    agg); Q15's twice-referenced CTE and scalar MAX stay at three
+    exchanges; Q20's nested IN is a semi join. No shape degrades to a
+    cartesian."""
+    q4 = formatted_plan(_q("q_priority_waiting", spark, sf_dir))
+    assert "LeftSemi" in q4 and "CartesianProduct" not in q4
+
+    q8 = _q("q_market_share", spark, sf_dir)
+    s8 = join_strategies(q8)
+    assert s8.get("BroadcastHashJoin", 0) >= 5
+    assert s8.get("CartesianProduct", 0) == 0
+    assert count_exchanges(q8) <= 3
+
+    q15 = _q("q_top_supplier", spark, sf_dir)
+    assert count_exchanges(q15) <= 3
+    assert join_strategies(q15).get("CartesianProduct", 0) == 0
+
+    q16 = formatted_plan(_q("q_supplier_cnt", spark, sf_dir))
+    assert "LeftAnti" in q16 and "CartesianProduct" not in q16
+
+    q20 = formatted_plan(_q("q_excess_shippers", spark, sf_dir))
+    assert "LeftSemi" in q20 and "CartesianProduct" not in q20
