@@ -56,8 +56,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # the flows feed every T-operator)
     "q_etl_poll_cycle",
     "q_cdc_materialize", "q_cdc_stream_upsert",
-    "q_dedup_exact", "q_ngram_jaccard",
+    "q_dedup_exact",
     "q_pricing_summary", "q_join_inner",
+    # full-outer reconciliation join (added this round, never driver-seen)
+    "q_join_full",
     # (f2) the TPC-H completion pack (relational5) — never driver-seen
     "q_priority_waiting", "q_market_share", "q_top_supplier",
     "q_supplier_cnt", "q_excess_shippers",
@@ -70,7 +72,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_max_acctbal_supplier", "q_important_parts", "q_cust_order_dist",
     "q_small_qty_revenue", "q_waiting_suppliers", "q_idle_customers",
     "q_lateral_topn",
-    # (q_udf_scalar, q_media_resize_meta, q_media_frame_sample,
+    # (q_ngram_jaccard, q_join_cross,
+    #  q_udf_scalar, q_media_resize_meta, q_media_frame_sample,
     #  q_project_cast, q_join_star,
     #  q_filter_pred, q_join_left, q_join_semi, q_join_range, q_agg_distinct, q_rollup, q_cube,
     #  q_grouping_sets, q_topk_orders, q_union_all, q_intersect,

@@ -53,6 +53,8 @@ HEADLINE = [
     # round 3 additions
     "q_volume_shipping",   # deep 6-way TPC-H Q7 join tree
     "q_contamination",     # train/test 5-gram contamination (distinct-gram join)
+    "q_market_share",      # 8-way TPC-H Q8 join tree, conditional share agg
+    "q_chunk_dedup",       # ExactSubstr-shape chunk dedup (window + reassembly)
 ]
 
 

@@ -582,3 +582,80 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         j, ["o_orderpriority"], "l_extendedprice",
         salt_from=["l_orderkey", "l_linenumber"], n_salts=16,
     )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH open_o AS (
+      SELECT o_custkey, COUNT(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    closed_o AS (
+      SELECT o_custkey, COUNT(*) AS n_closed
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT COALESCE(l.o_custkey, r.o_custkey) AS custkey,
+           COALESCE(l.n_open, 0) AS n_open,
+           COALESCE(r.n_closed, 0) AS n_closed,
+           l.o_custkey IS NULL AS only_closed,
+           r.o_custkey IS NULL AS only_open
+    FROM open_o l FULL OUTER JOIN closed_o r ON l.o_custkey = r.o_custkey
+    """,
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: reconcile per-customer open-order vs
+    closed-order counts, keeping customers present on EITHER side with
+    null-extension flags — the reconciliation-report join the other
+    q_join_* variants don't cover.
+
+    Scale shape: both sides pre-aggregate (map-side partials) before
+    the join, so the full-outer shuffles at most one row per customer
+    per side; full outer cannot broadcast, and the plan must keep it a
+    shuffle join on the key."""
+    o = table(spark, sf_dir, "orders")
+    left = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    right = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("r_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    j = left.join(right, left.o_custkey == right.r_custkey, "full")
+    return j.select(
+        F.coalesce("o_custkey", "r_custkey").alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        F.col("o_custkey").isNull().alias("only_closed"),
+        F.col("r_custkey").isNull().alias("only_open"),
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           n.n_regionkey = r.r_regionkey AS is_home
+    FROM nation n CROSS JOIN region r
+    """,
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate cross join of two PROVABLY TINY relations (25 x 5):
+    the full nation-region grid with a home-region flag — the one
+    legitimate cartesian in the surface.
+
+    Scale rule this query documents: cross joins are legal only when
+    one side is constant-bounded (catalog dims), in which case Spark
+    plans a broadcast nested-loop whose cost is |big| x |tiny-const|;
+    every other cartesian in the engine is a plan-test failure."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name", "r_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )

@@ -10,7 +10,7 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY
 REQUIRED_PREFIXES = {
     "join": ("q_join_inner", "q_join_star", "q_join_left", "q_join_semi",
              "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted",
-             "q_join_skew_stress"),
+             "q_join_skew_stress", "q_join_full", "q_join_cross"),
     "tpch": ("q_shipping_priority", "q_local_supplier_volume",
              "q_volume_shipping", "q_product_profit", "q_returned_items",
              "q_priority_lines", "q_promo_revenue", "q_large_orders",

@@ -381,3 +381,21 @@ def test_tpch_completion_pack_plan_shapes(spark, sf_dir):
 
     q20 = formatted_plan(_q("q_excess_shippers", spark, sf_dir))
     assert "LeftSemi" in q20 and "CartesianProduct" not in q20
+
+
+def test_join_full_and_cross_plan_shapes(spark, sf_dir):
+    """Full outer pre-aggregates both sides (one row per customer per
+    side crosses the wire) and must stay a shuffle join — full outer
+    cannot broadcast. The deliberate nation x region cross join must
+    plan as a broadcast nested-loop with ZERO exchanges (both sides
+    constant-bounded); any other cartesian in the surface is a
+    failure."""
+    full = _q("q_join_full", spark, sf_dir)
+    sfull = join_strategies(full)
+    assert "SortMergeJoin" in sfull or "ShuffledHashJoin" in sfull
+    assert "BroadcastHashJoin" not in sfull
+    assert count_exchanges(full) == 2
+
+    cross = _q("q_join_cross", spark, sf_dir)
+    assert join_strategies(cross) == {"BroadcastNestedLoopJoin": 1}
+    assert count_exchanges(cross) == 0
