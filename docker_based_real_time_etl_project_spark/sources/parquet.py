@@ -25,10 +25,38 @@ from docker_based_real_time_etl_project_spark.schemas import TESTDATA_SCHEMAS, T
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long (with
-# spark.sql.legacy.parquet.nanosAsLong) and the loader truncates ns -> us,
-# matching DuckDB's read of the same column.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Columns that MAY arrive as parquet TIMESTAMP(NANOS) depending on how the
+# testdata was generated (driver regenerations have shipped both ns and us).
+# The footer is sniffed per file: only a genuine timestamp[ns] column takes
+# the long-read + ns->us truncation path (Spark reads ns as long under
+# spark.sql.legacy.parquet.nanosAsLong); a us column reads directly with the
+# declared timestamp type. Hard-coding either precision silently corrupts
+# the time axis 1000x when the data flips — sniffing makes the loader
+# generation-proof.
+_MAYBE_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+_NANOS_SNIFF_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
+    """Which of ``candidates`` are physically timestamp[ns] in this file.
+
+    One driver-side footer read per path (cached); never touches row data.
+    """
+    if path not in _NANOS_SNIFF_CACHE:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pa_types
+
+        arrow_schema = pq.ParquetFile(path).schema_arrow
+        hits = []
+        for c in candidates:
+            idx = arrow_schema.get_field_index(c)
+            if idx >= 0:
+                t = arrow_schema.field(idx).type
+                if pa_types.is_timestamp(t) and t.unit == "ns":
+                    hits.append(c)
+        _NANOS_SNIFF_CACHE[path] = tuple(hits)
+    return _NANOS_SNIFF_CACHE[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,7 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = TESTDATA_SCHEMAS.get(name)
-    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    nanos_cols = _nanos_cols(path, _MAYBE_NANOS_TS_COLS.get(name, ()))
     reader = spark.read
     if schema is not None:
         if nanos_cols:
