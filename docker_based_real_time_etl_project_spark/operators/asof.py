@@ -41,6 +41,7 @@ def asof_join_backward(
     right_ts: str = "ts",
     carry: Mapping[str, str] = (),
     right_tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``carry`` columns from the
     latest right row at-or-before its timestamp (NULLs when no right
@@ -50,6 +51,15 @@ def asof_join_backward(
     not collide with left columns). ``right_tiebreak`` breaks exact
     ``ts`` ties deterministically: among right rows sharing the maximal
     admissible timestamp the one with the greatest tiebreak value wins.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"1 hour"``) bounds the
+    lookback: a carried right row older than ``left_ts - tolerance`` is
+    discarded — the whole carry tuple nulls out atomically, exactly as
+    if no right row preceded the left row. This is the bounded-staleness
+    contract (pandas ``merge_asof(tolerance=...)``): at 100 TB it is
+    also what keeps a revived key from attaching a quote that is months
+    stale. The bound is applied AFTER the carry window, so it costs no
+    extra shuffle — same single |L|+|R| sort as the unbounded form.
 
     Right rows sort before left rows at equal timestamps, making the
     match inclusive (``right.ts <= left.ts``), mirroring
@@ -66,8 +76,11 @@ def asof_join_backward(
     # always a whole right row, so a right row whose carry column is
     # legitimately NULL stays NULL instead of splicing in that column
     # from an older right row.
+    # _rts (the matched right row's own timestamp) always travels in the
+    # carry tuple: the tolerance bound needs it, and it rides for free.
     carry_type = T.StructType(
         [T.StructField(out, right.schema[src].dataType) for src, out in carry.items()]
+        + [T.StructField("_rts", right.schema[right_ts].dataType)]
     )
     l_tagged = left.select(
         *left.columns,
@@ -85,7 +98,10 @@ def asof_join_backward(
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         tb.alias(_TB),
-        F.struct(*[F.col(src).alias(out) for src, out in carry.items()]).alias(_CARRY),
+        F.struct(
+            *[F.col(src).alias(out) for src, out in carry.items()],
+            F.col(right_ts).alias("_rts"),
+        ).alias(_CARRY),
     )
 
     u = l_tagged.unionByName(r_tagged)
@@ -95,6 +111,14 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+    if tolerance is not None:
+        u = u.withColumn(
+            _CARRY,
+            F.when(
+                F.col(f"{_CARRY}._rts") >= F.col(_TS) - F.expr(f"INTERVAL {tolerance}"),
+                F.col(_CARRY),
+            ),
+        )
     return u.filter(F.col(_SIDE) == 1).select(
         *left.columns,
         *[F.col(f"{_CARRY}.{out}").alias(out) for out in carry.values()],

@@ -1,6 +1,7 @@
 """Query surface: importing this package populates the registry."""
 
 from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
+    analytics_q,
     cdc_q,
     dedup_q,
     embeddings_q,

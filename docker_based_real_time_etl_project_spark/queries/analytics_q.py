@@ -1,0 +1,157 @@
+"""Event-analytics surface: conversion funnel, cohort retention,
+value histogram.
+
+The reference ingests a raw behavioral event stream (recent_trades --
+etl.py:222, one row per market event) and leaves all analysis to the
+warehouse; these are the three standard product-analytics shapes a
+user of that stream runs first. Each is a single-scan, shuffle-minimal
+plan over the ``events`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    dround, register, sql_dround, table,
+)
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM u)  AS n_users,
+           (SELECT COUNT(*) FROM t1) AS n_view,
+           (SELECT COUNT(*) FROM t2) AS n_view_click,
+           (SELECT COUNT(*) FROM t3) AS n_full_funnel
+    """,
+    tags=("analytics", "window"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at stage N only with a strictly later event than their
+    stage-N-1 entry (first view, first click after that, first
+    purchase after that).
+
+    The oracle chains three grouped self-joins; the engine computes all
+    three stage timestamps as stacked conditional-min windows over ONE
+    user_id partitioning -- Catalyst collapses them into a single Window
+    node chain after a single exchange, then one tiny per-user agg.
+    At 100 TB the shuffle is |events| rows on the natural key; no
+    self-join materializes."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    df = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(wu),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(wu),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', f.first_ts) AS cw,
+             date_trunc('week', e.ts) AS aw
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM a GROUP BY cw, aw
+    """,
+    tags=("analytics",),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by the week of
+    their first event, counted in every later week they were active
+    (offset in whole weeks; both endpoints week-truncated so the
+    difference is an exact multiple of 7 days).
+
+    One window (min ts per user) + one distinct + one agg, all hashed
+    on user-derived keys -- the classic two-exchange plan. The oracle
+    reconstructs it with a grouped self-join."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    wu = Window.partitionBy("user_id")
+    weeks = e.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(wu)).alias("cw"),
+        F.date_trunc("week", "ts").alias("aw"),
+    ).distinct()
+    return weeks.groupBy("cw", "aw").agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(F.datediff("aw", "cw") / 7).cast("bigint").alias("week_offset"),
+        "n_users",
+    )
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 50) * 50 AS BIGINT) AS bucket_lo,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT bucket_lo, n_events,
+           {sql_dround('(n_events * 100.0) / SUM(n_events) OVER ()', 6)} AS pct
+    FROM b
+    """,
+    tags=("analytics", "agg"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width 50) with share-of-total per
+    bucket. The heavy lift is one map-side-combined count per bucket;
+    the share divides by a whole-frame window over the ~10-row bucket
+    table, so the unpartitioned window is bounded by bucket count,
+    never by raw rows."""
+    e = table(spark, sf_dir, "events")
+    b = (
+        e.select((F.floor(F.col("value") / 50) * 50).cast("bigint").alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    share = (F.col("n_events") * 100.0) / F.sum("n_events").over(
+        Window.partitionBy()
+    )
+    return b.select("bucket_lo", "n_events", dround(share, 6).alias("pct"))

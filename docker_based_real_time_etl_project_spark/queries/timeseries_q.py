@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from docker_based_real_time_etl_project_spark.operators.aggregates import rollup_bars
 from docker_based_real_time_etl_project_spark.operators.asof import asof_join_backward
 from docker_based_real_time_etl_project_spark.queries.registry import (
-    DEC, dsum, register, sql_dsum, table,
+    DEC, dround, dsum, register, sql_dround, sql_dsum, table,
 )
 
 
@@ -266,4 +266,241 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(bar.n_events, F.lit(0)).alias("n_events"),
         (F.coalesce(bar.n_events, F.lit(0)) == 0).alias("is_gap"),
         F.last(bar.close_value, ignorenulls=True).over(w).alias("filled_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: interpolated gap fill, TWAP, bounded-staleness as-of
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_gap_fill_interp",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             MAX_BY(value, ts) AS close_value, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 1 HOUR)) AS bucket
+      FROM bars GROUP BY event_type
+    ),
+    joined AS (
+      SELECT s.event_type, s.bucket, b.close_value,
+             COALESCE(b.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN bars b USING (event_type, bucket)
+    ),
+    f AS (
+      SELECT event_type, bucket, n_events, close_value,
+             LAST_VALUE(close_value IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket) AS prev_close,
+             LAST_VALUE(CASE WHEN close_value IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket) AS prev_us,
+             FIRST_VALUE(close_value IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_close,
+             FIRST_VALUE(CASE WHEN close_value IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+      FROM joined
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           n_events,
+           n_events = 0 AS is_gap,
+           CAST(CAST(ROUND(CAST(
+             CASE WHEN close_value IS NOT NULL THEN close_value
+                  ELSE prev_close + (next_close - prev_close)
+                       * ((epoch_us(bucket) - prev_us) / (next_us - prev_us))
+             END AS DECIMAL(25,10)), 6) AS VARCHAR) AS DOUBLE) AS interp_close
+    FROM f
+    """,
+    tags=("timeseries",),
+)
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly close series with LINEAR INTERPOLATION (the
+    hypertable ``interpolate()`` companion to q_gap_fill's locf): empty
+    hours get the straight line between the bracketing real closes,
+    weighted by time position within the gap.
+
+    Same one-scan shape as q_gap_fill (bars -> per-key map -> exploded
+    spine); the bracketing values come from two frames over the SAME
+    per-key partitioning (running last + forward-looking first), so no
+    extra exchange. Brackets always exist inside the spine because the
+    spine spans [first real bar, last real bar]. The interpolation
+    fraction is integer-microsecond arithmetic divided in double --
+    bit-identical cross-engine -- and the result snaps through
+    DECIMAL(25,10) before the 6-digit round (functions.dround).
+    """
+    bars = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.max_by("value", "ts").alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    per_key = bars.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"),
+        F.max("bucket").alias("b1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.struct("close_value", "n_events")))
+        ).alias("bar_map"),
+    )
+    spine = per_key.select(
+        "event_type",
+        F.explode(F.expr("sequence(b0, b1, interval 1 hour)")).alias("bucket"),
+        "bar_map",
+    )
+    bar = F.col("bar_map")[F.col("bucket")]
+    bucket_us = F.unix_micros("bucket")
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    wf = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    real_close = bar.close_value
+    real_us = F.when(real_close.isNotNull(), bucket_us)
+    staged = spine.select(
+        "event_type",
+        "bucket",
+        F.coalesce(bar.n_events, F.lit(0)).alias("n_events"),
+        real_close.alias("close_value"),
+        F.last(real_close, ignorenulls=True).over(wb).alias("prev_close"),
+        F.last(real_us, ignorenulls=True).over(wb).alias("prev_us"),
+        F.first(real_close, ignorenulls=True).over(wf).alias("next_close"),
+        F.first(real_us, ignorenulls=True).over(wf).alias("next_us"),
+    )
+    frac = (bucket_us - F.col("prev_us")) / (F.col("next_us") - F.col("prev_us"))
+    interp = F.when(F.col("close_value").isNotNull(), F.col("close_value")).otherwise(
+        F.col("prev_close") + (F.col("next_close") - F.col("prev_close")) * frac
+    )
+    return staged.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_events",
+        (F.col("n_events") == 0).alias("is_gap"),
+        dround(interp, 6).alias("interp_close"),
+    )
+
+
+@register(
+    "q_twap",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(CAST(ROUND(CAST(
+             CAST(CAST(SUM(CAST(cents * dt_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(dt_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / 100.0
+           AS DECIMAL(25,10)), 6) AS VARCHAR) AS DOUBLE) AS twap,
+           CAST(SUM(dt_us) // 1000000 AS BIGINT) AS span_s,
+           COUNT(*) AS n_segments
+    FROM seg WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "agg"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per key over irregular samples (the
+    hypertable ``time_weight`` shape): each observation is weighted by
+    how long it was the latest one, TWAP = sum(value_i * dt_i) / sum(dt_i)
+    with dt from LEAD over the verified-unique (event_type, ts) order.
+
+    Numerator and denominator accumulate as integer cents x integer
+    microseconds in DECIMAL(38,0) -- exact and associative, so Spark's
+    nondeterministic partial-agg order cannot drift the result; the one
+    double division happens after both sums are exact, through the
+    VARCHAR hop (functions._dec_to_double) so the >2^53 numerator
+    converts identically in both engines. One window + one agg = two
+    exchanges on the same key.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts")
+    seg = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    num = F.sum((F.col("cents") * F.col("dt_us")).cast("decimal(38,0)"))
+    den = F.sum(F.col("dt_us").cast("decimal(38,0)"))
+    twap = num.cast("string").cast("double") / den.cast("string").cast("double") / 100.0
+    return seg.groupBy("event_type").agg(
+        dround(twap, 6).alias("twap"),
+        # exact integer division in BOTH engines (oracle uses //): the
+        # double path rounds 0.999999x across the integer boundary
+        # differently than truncation
+        F.expr("sum(dt_us) div 1000000").alias("span_s"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+@register(
+    "q_join_asof_tol",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id AS trade_id, user_id, ts AS trade_ts, value AS trade_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.trade_id, t.user_id,
+           epoch_us(t.trade_ts) AS trade_ts_us, t.trade_value,
+           q.quote_id, q.quote_value,
+           epoch_us(t.trade_ts) - epoch_us(q.ts) AS quote_age_us
+    FROM trades t
+    LEFT JOIN LATERAL (
+      SELECT quote_id, quote_value, ts
+      FROM quotes q
+      WHERE q.user_id = t.user_id AND q.ts <= t.trade_ts
+        AND q.ts >= t.trade_ts - INTERVAL 1 HOUR
+      ORDER BY q.ts DESC, q.quote_id DESC LIMIT 1
+    ) q ON TRUE
+    """,
+    tags=("join", "timeseries"),
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1 h staleness bound (pandas merge_asof
+    ``tolerance``): a purchase with no view in the trailing hour keeps
+    NULL quote columns instead of attaching an arbitrarily old one.
+    Same single-shuffle union-and-carry plan as q_join_asof -- the bound
+    is a post-window predicate on the carried tuple, not a join
+    condition, so no extra exchange and no pair blow-up."""
+    e = table(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("trade_id"),
+        "user_id",
+        F.col("ts").alias("trade_ts"),
+        F.col("value").alias("trade_value"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"),
+    )
+    out = asof_join_backward(
+        trades,
+        quotes,
+        on=["user_id"],
+        left_ts="trade_ts",
+        right_ts="ts",
+        carry={"quote_id": "quote_id", "quote_value": "quote_value", "ts": "quote_ts"},
+        right_tiebreak="quote_id",
+        tolerance="1 HOUR",
+    )
+    return out.select(
+        "trade_id",
+        "user_id",
+        F.unix_micros("trade_ts").alias("trade_ts_us"),
+        "trade_value",
+        "quote_id",
+        "quote_value",
+        (F.unix_micros("trade_ts") - F.unix_micros("quote_ts")).alias("quote_age_us"),
     )

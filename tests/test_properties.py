@@ -211,3 +211,37 @@ def test_asof_carry_preserves_null_from_matched_row(spark):
     assert len(out) == 1
     # matched row is quote_id=200 whose price is truly NULL
     assert out[0].quote_id == 200 and out[0].price is None
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    """tolerance='1 hour': a match older than the bound nulls the whole
+    carried tuple; a match inside the bound is unaffected; the bound is
+    inclusive at exactly tolerance age."""
+    from datetime import datetime
+
+    from docker_based_real_time_etl_project_spark.operators.asof import asof_join_backward
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t), (2, 20, t), (3, 30, t)],
+        "trade_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 11, 30, 0), 5.0, 100),  # 30 min old: keep
+            (20, datetime(2024, 1, 1, 10, 0, 0), 6.0, 200),   # 2 h old: drop
+            (30, datetime(2024, 1, 1, 11, 0, 0), 7.0, 300),   # exactly 1 h: keep
+        ],
+        "user_id long, ts timestamp, price double, quote_id long",
+    )
+    out = {
+        r.trade_id: (r.quote_id, r.price)
+        for r in asof_join_backward(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            carry={"price": "price", "quote_id": "quote_id"},
+            right_tiebreak="quote_id", tolerance="1 HOUR",
+        ).collect()
+    }
+    assert out[1] == (100, 5.0)
+    assert out[2] == (None, None)
+    assert out[3] == (300, 7.0)
