@@ -260,7 +260,16 @@ def connected_components(
     # once so an expensive upstream pair-generation pipeline (LSH,
     # all-pairs verify) is not re-evaluated per round
     bidir = bidir.localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
+    # Iterate ONLY over nodes that touch an edge: an isolated node is its
+    # own component by definition and never changes, so dragging the full
+    # node set through every join/agg round multiplies each iteration by
+    # |V|/|V_touched| for nothing. In a dedup graph the touched set is
+    # the near-duplicate minority -- orders of magnitude smaller than the
+    # corpus -- and that ratio IMPROVES at 100 TB. Isolated nodes rejoin
+    # once, at the end, via a broadcastable left join.
+    labels = bidir.select(F.col("src").alias("id")).distinct().withColumn(
+        "rep", F.col("id")
+    )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = bidir.join(labels, bidir.dst == labels.id).select(
@@ -279,7 +288,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    return labels
+    # isolated nodes (touched no edge) are their own representatives.
+    # labels is usually the far smaller side; AQE picks broadcast when it
+    # fits and falls back to shuffle when the dup-graph is genuinely huge
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .withColumn("rep", F.coalesce("rep", F.col("id")))
+    )
 
 
 def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:

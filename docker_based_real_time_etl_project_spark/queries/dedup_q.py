@@ -220,16 +220,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("grams").alias("g_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("grams").alias("g_b"))
-    # size-ratio bound prunes BEFORE the expensive array_intersect:
-    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs failing the ratio
-    # can never reach the threshold -- semantics-free (oracle-checked)
-    sa, sb = F.size("g_a").cast("double"), F.size("g_b").cast("double")
+    # EXACT candidate generation by inverted index, not all-pairs: a pair
+    # with J >= 0.3 shares at least one shingle, so joining the exploded
+    # (source, gram) postings finds every qualifying pair while touching
+    # only pairs that actually co-occur. The per-source all-pairs join
+    # this replaces is O(n^2) per block and dies when one source holds
+    # 10M docs; postings-join work is bounded by sum(df_gram^2), i.e. by
+    # real overlap, and the count of shared grams comes out of the SAME
+    # groupBy -- so exact Jaccard = shared/(|A|+|B|-shared) needs no
+    # array_intersect afterwards. Size-ratio bound (J <= min/max sizes)
+    # prunes before the aggregate; both filters are semantics-free
+    # (oracle-checked against the recursive-CTE transitive closure).
+    posts = sh.select(
+        "doc_id", "source", F.size("grams").alias("n"), F.explode("grams").alias("g")
+    )
+    pa = posts.select(
+        F.col("source").alias("src_a"), F.col("g").alias("g_a"),
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+    )
+    pb = posts.select(
+        F.col("source").alias("src_b"), F.col("g").alias("g_b"),
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    shared = F.count(F.lit(1))
     pairs = (
-        a.join(b, (a.src_a == b.src_b) & (a.id_a < b.id_b))
-        .filter(F.least(sa, sb) >= 0.3 * F.greatest(sa, sb))
-        .filter(exact_jaccard(F.col("g_a"), F.col("g_b")) >= 0.3)
+        pa.join(pb, (pa.src_a == pb.src_b) & (pa.g_a == pb.g_b) & (pa.id_a < pb.id_b))
+        .filter(F.least(na, nb) >= 0.3 * F.greatest(na, nb))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(shared.alias("shared"))
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
+        )
         .select("id_a", "id_b")
     )
     comp = connected_components(d, pairs, id_col="doc_id")

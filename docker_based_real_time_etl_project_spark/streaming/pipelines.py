@@ -139,6 +139,16 @@ def dedup_latest_stream(events: DataFrame, watermark: str = "4 hours") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def _fast_tmp() -> str | None:
+    """tmpfs for THROWAWAY test/bench checkpoints (offset/commit logs
+    fsync per micro-batch; memory-backed dirs make that free). Only this
+    memory-sink helper uses it — a production stream must checkpoint to
+    durable shared storage, and callers there pass checkpoint_dir."""
+    import os
+
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
@@ -171,7 +181,7 @@ def run_to_memory(
             .outputMode(output_mode)
             .option(
                 "checkpointLocation",
-                checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"),
+                checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_", dir=_fast_tmp()),
             )
             .trigger(availableNow=True)
             .start()
