@@ -55,6 +55,10 @@ HEADLINE = [
     "q_contamination",     # train/test 5-gram contamination (distinct-gram join)
     "q_market_share",      # 8-way TPC-H Q8 join tree, conditional share agg
     "q_chunk_dedup",       # ExactSubstr-shape chunk dedup (window + reassembly)
+    # round 4 additions
+    "q_funnel",            # stacked conditional-min windows, one exchange
+    "q_gap_fill_interp",   # spine gapfill + linear interpolation frames
+    "q_twap",              # time-weighted average, exact integer accumulation
 ]
 
 
