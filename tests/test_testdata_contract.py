@@ -1,0 +1,94 @@
+"""Guard the loader's assumptions about the driver-generated testdata.
+
+The testdata is regenerated between rounds and its physical types have
+changed before (events.ts shipped as parquet TIMESTAMP(NANOS) in early
+rounds and as timestamp[us] later; the r3 correctness reds were a
+hard-coded nanos shim silently dividing real microseconds by 1000).
+These tests read ONLY footers and fail loudly on the next silent
+physical-type change instead of letting every time-axis result drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pyarrow.types as pa_types
+import pytest
+
+from docker_based_real_time_etl_project_spark.schemas import (
+    TESTDATA_SCHEMAS, TESTDATA_TABLES,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Spark type -> acceptable arrow physical classes in the footer.
+# timestamp accepts any unit/tz: the loader sniffs ns (long-read shim)
+# vs us/ms (direct read) per file, and NTZ-vs-LTZ is absorbed by the
+# declared schema + pinned UTC session.
+_OK = {
+    "LongType": lambda t: pa_types.is_integer(t),
+    "IntegerType": lambda t: pa_types.is_integer(t),
+    "DoubleType": lambda t: pa_types.is_floating(t),
+    "StringType": lambda t: pa_types.is_string(t) or pa_types.is_large_string(t),
+    "BooleanType": lambda t: pa_types.is_boolean(t),
+    "DateType": lambda t: pa_types.is_date(t),
+    "TimestampType": lambda t: pa_types.is_timestamp(t),
+    "TimestampNTZType": lambda t: pa_types.is_timestamp(t),
+    "BinaryType": lambda t: pa_types.is_binary(t) or pa_types.is_large_binary(t),
+}
+
+
+def _leaf_ok(spark_type, arrow_type) -> bool:
+    name = type(spark_type).__name__
+    if name == "ArrayType":
+        return (
+            pa_types.is_list(arrow_type) or pa_types.is_large_list(arrow_type)
+        ) and _leaf_ok(spark_type.elementType, arrow_type.value_type)
+    check = _OK.get(name)
+    return check(arrow_type) if check else True
+
+
+@pytest.mark.parametrize("name", TESTDATA_TABLES)
+def test_declared_schema_matches_parquet_footer(name):
+    path = os.path.join(SF_DIR, f"{name}.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not in testdata")
+    schema = TESTDATA_SCHEMAS.get(name)
+    if schema is None:
+        pytest.skip(f"{name} has no declared schema")
+    arrow = pq.ParquetFile(path).schema_arrow
+    footer_names = [f.name for f in arrow]
+    for field in schema.fields:
+        assert field.name in footer_names, (
+            f"{name}.{field.name} declared but absent from parquet footer "
+            f"(testdata regenerated with a different layout?)"
+        )
+        at = arrow.field(arrow.get_field_index(field.name)).type
+        assert _leaf_ok(field.dataType, at), (
+            f"{name}.{field.name}: declared {field.dataType} incompatible with "
+            f"parquet physical {at} — update schemas.py/loader for the new "
+            f"testdata generation"
+        )
+
+
+def test_nanos_sniff_tracks_footer():
+    """The loader's ns-vs-us decision must agree with the footer for
+    every column it special-cases (regression for the r3 time-axis
+    corruption: the shim ran unconditionally)."""
+    from docker_based_real_time_etl_project_spark.sources.parquet import (
+        _MAYBE_NANOS_TS_COLS, _nanos_cols,
+    )
+
+    for tbl, cols in _MAYBE_NANOS_TS_COLS.items():
+        path = os.path.join(SF_DIR, f"{tbl}.parquet")
+        if not os.path.exists(path):
+            continue
+        arrow = pq.ParquetFile(path).schema_arrow
+        expect = tuple(
+            c
+            for c in cols
+            if pa_types.is_timestamp(arrow.field(arrow.get_field_index(c)).type)
+            and arrow.field(arrow.get_field_index(c)).type.unit == "ns"
+        )
+        assert _nanos_cols(path, cols) == expect
