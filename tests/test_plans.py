@@ -399,3 +399,39 @@ def test_join_full_and_cross_plan_shapes(spark, sf_dir):
     cross = _q("q_join_cross", spark, sf_dir)
     assert join_strategies(cross) == {"BroadcastNestedLoopJoin": 1}
     assert count_exchanges(cross) == 0
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Spark's runtime row-level filter must inject a bloom filter on
+    the fact side of a selective dim join (the 100 TB shuffle-slimming
+    path: fact rows that cannot match are dropped at the scan, before
+    the exchange). Thresholds are production-scale gates, so the test
+    lowers them to fire at testdata size; the assertion is that the
+    engine's query shapes remain injection-ELIGIBLE (plain
+    scan->filter->join patterns) — a refactor that breaks eligibility
+    (e.g. an unconditional repartition wrapper on every read) shows up
+    here as a missing might_contain."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
