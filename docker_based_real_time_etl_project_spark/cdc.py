@@ -61,14 +61,21 @@ def encode_envelope(
     ts_ms: Column,
     lsn: Column,
     table: str,
+    before: Column | None = None,
 ) -> DataFrame:
     """Wrap rows as Debezium-shaped JSON envelope strings (the test/
     replay producer standing in for Debezium itself). Delete events
-    carry `before` and a null `after`, matching the connector."""
+    carry `before` and a null `after`, matching the connector.
+
+    ``before`` (a struct column matching the row schema, or NULL where
+    the key had no prior image) supplies TRUE before-images the way a
+    WAL decoder does — required by delta consumers (incremental
+    aggregate maintenance); without it the default before is the
+    delete-image-only approximation."""
     after = F.struct(*[F.col(c) for c in row_cols])
     is_del = op == F.lit("d")
     env = F.struct(
-        F.when(is_del, after).alias("before"),
+        (before if before is not None else F.when(is_del, after)).alias("before"),
         F.when(~is_del, after).alias("after"),
         F.struct(
             lsn.alias("lsn"), ts_ms.alias("ts_ms"), F.lit(table).alias("table")
@@ -93,6 +100,23 @@ def decode_envelope(df: DataFrame, row_schema: T.StructType, value_col: str = "v
         env["source"]["lsn"].alias("_lsn"),
         img.alias("_row"),
     ).select("_op", "_ts_ms", "_lsn", "_row.*")
+
+
+def decode_envelope_images(
+    df: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Envelope decode keeping BOTH images: (op, ts_ms, lsn, before,
+    after) with before/after as structs. The delta form a downstream
+    incremental-aggregation consumer needs; `decode_envelope` is the
+    collapse-to-one-image form A4 materialization needs."""
+    env = F.from_json(F.col(value_col), envelope_schema(row_schema))
+    return df.select(
+        env["op"].alias("_op"),
+        env["ts_ms"].alias("_ts_ms"),
+        env["source"]["lsn"].alias("_lsn"),
+        env["before"].alias("_before"),
+        env["after"].alias("_after"),
+    )
 
 
 def materialize_latest(

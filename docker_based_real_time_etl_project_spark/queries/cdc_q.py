@@ -10,12 +10,13 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from docker_based_real_time_etl_project_spark.cdc import (
     decode_envelope,
+    decode_envelope_images,
     encode_envelope,
     materialize_latest,
 )
@@ -111,4 +112,91 @@ def q_cdc_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(600)
     return read_state(spark, state_dir).select(
         "user_id", F.col("value").alias("current_value")
+    )
+
+
+@register(
+    "q_cdc_agg_incremental",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, value, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    state AS (
+      SELECT user_id, value FROM last WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id % 10 AS bucket,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM state GROUP BY user_id % 10
+    """,
+    tags=("cdc", "agg"),
+)
+def q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from a CDC changelog: per-bucket
+    COUNT(keys) and SUM(value) maintained purely from change DELTAS
+    (+after − before per envelope), never from a state rescan. The
+    oracle recomputes the aggregate from the fully-materialized final
+    state — the telescoped delta sum must land on the identical result.
+
+    The changelog carries TRUE before-images (synthesized with one LAG
+    window in the same (ts_ms, lsn) total order Debezium delivers in,
+    exactly what a WAL decoder emits), round-tripped through the real
+    JSON envelope encode → decode. Delta rules are image-driven —
+    insert: +after; update: +after−before; delete: −before; a re-insert
+    after delete has a NULL before and acts as an insert — so the
+    aggregate is associative integer-cent addition: map-side partials,
+    any merge order, one shuffle on the bucket key. At 100 TB this is
+    the continuous-view pattern: O(changes) per refresh instead of
+    O(state), with the same plan per micro-batch in foreachBatch.
+    """
+    ev = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "click", "u")
+        .otherwise("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    staged = ev.select(
+        "user_id", "value", "ts", "event_id", op.alias("op")
+    ).select(
+        "*",
+        F.when(
+            F.lag("op").over(w) != "d", F.lag("value").over(w)
+        ).alias("prev_value"),
+    )
+    before = F.when(
+        F.col("prev_value").isNotNull(),
+        F.struct(F.col("user_id"), F.col("prev_value").alias("value")),
+    )
+    envelopes = encode_envelope(
+        staged,
+        row_cols=["user_id", "value"],
+        op=F.col("op"),
+        ts_ms=F.unix_millis("ts"),
+        lsn=F.col("event_id"),
+        table="events",
+        before=before,
+    )
+    ch = decode_envelope_images(envelopes, ROW_SCHEMA)
+    cents_after = F.round(F.col("_after.value") * 100).cast("bigint")
+    cents_before = F.round(F.col("_before.value") * 100).cast("bigint")
+    delta = F.coalesce(cents_after, F.lit(0)) - F.coalesce(cents_before, F.lit(0))
+    dn = F.col("_after").isNotNull().cast("long") - F.col("_before").isNotNull().cast("long")
+    key = F.coalesce(F.col("_after.user_id"), F.col("_before.user_id"))
+    return (
+        ch.select((key % 10).alias("bucket"), delta.alias("delta"), dn.alias("dn"))
+        .groupBy("bucket")
+        .agg(F.sum("dn").alias("n_keys"), F.sum("delta").alias("total_cents"))
+        .filter(F.col("n_keys") > 0)
+        .select(
+            "bucket",
+            "n_keys",
+            (F.col("total_cents") / 100.0).alias("total_value"),
+        )
     )
