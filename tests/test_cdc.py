@@ -101,3 +101,65 @@ def test_snapshot_then_stream_backfill(spark):
     sink(wal, 1)
     got = {(r.k, r.v) for r in read_state(spark, state_dir).collect()}
     assert got == {(1, 11.0), (3, 30.0)}  # k=2 deleted, k=1 updated, k=3 new
+
+
+def test_incremental_agg_equals_state_recompute_under_batch_splits(spark):
+    """The delta aggregate must be refresh-schedule independent: folding
+    the changelog in ANY batch split (the foreachBatch reality) gives
+    the same running total as one pass, and both equal the aggregate of
+    the fully-materialized state. Covers insert, update, delete, and
+    re-insert-after-delete (NULL before-image)."""
+    from docker_based_real_time_etl_project_spark.cdc import (
+        decode_envelope_images, encode_envelope,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        # (lsn, user, value, op, prev_value or None)
+        (1, 1, 10.0, "c", None),
+        (2, 2, 5.0, "c", None),
+        (3, 1, 12.5, "u", 10.0),
+        (4, 2, None, "d", 5.0),
+        (5, 2, 7.25, "c", None),   # re-insert after delete: NULL before
+        (6, 1, None, "d", 12.5),
+    ]
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def deltas(df):
+        ch = decode_envelope_images(df, schema)
+        after_c = F.round(F.col("_after.value") * 100).cast("bigint")
+        before_c = F.round(F.col("_before.value") * 100).cast("bigint")
+        return ch.select(
+            (F.coalesce(after_c, F.lit(0)) - F.coalesce(before_c, F.lit(0))).alias("d"),
+            (F.col("_after").isNotNull().cast("long")
+             - F.col("_before").isNotNull().cast("long")).alias("dn"),
+        ).agg(F.sum("d").alias("cents"), F.sum("dn").alias("keys")).collect()[0]
+
+    def envelopes(subset):
+        df = spark.createDataFrame(
+            subset, "lsn long, user_id long, value double, op string, prev double"
+        )
+        before = F.when(
+            F.col("prev").isNotNull(),
+            F.struct(F.col("user_id"), F.col("prev").alias("value")),
+        )
+        return encode_envelope(
+            df.withColumn("value", F.coalesce("value", "prev")),
+            row_cols=["user_id", "value"],
+            op=F.col("op"),
+            ts_ms=F.col("lsn") * 1000,
+            lsn=F.col("lsn"),
+            table="t",
+            before=before,
+        )
+
+    whole = deltas(envelopes(rows))
+    # final state: user1 deleted, user2 = 7.25
+    assert (whole.cents, whole.keys) == (725, 1)
+    # any split point gives the same telescoped totals
+    for cut in range(1, len(rows)):
+        a, b = deltas(envelopes(rows[:cut])), deltas(envelopes(rows[cut:]))
+        assert (a.cents + b.cents, a.keys + b.keys) == (725, 1), f"split at {cut}"
