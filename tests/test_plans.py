@@ -435,3 +435,39 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_round4_query_plan_shapes(spark, sf_dir):
+    """Pin the scale claims of the round-4 surface as invariants:
+
+    - q_funnel: three funnel stages share ONE user_id exchange (stacked
+      windows collapse), one scan, zero joins — the self-join-free
+      funnel. Second exchange is the final global agg.
+    - q_gap_fill_interp: one scan, two exchanges — the spine is built
+      from per-key scalars + map lookup, never a second fact scan, and
+      the locf/interp frames reuse the spine's partitioning.
+    - q_twap: one exchange total — the LEAD window and the final agg
+      share the event_type partitioning.
+    - q_join_asof_tol: ONE exchange and NO join node — the tolerance
+      bound must stay a post-window predicate on the carried tuple, not
+      become a join.
+    - q_cdc_agg_incremental: one scan (the changelog is folded to
+      deltas in-flight, no state-side rescan).
+    """
+    expect = {
+        "q_funnel": (2, 1),
+        "q_cohort_retention": (2, 1),
+        "q_histogram": (2, 1),
+        "q_gap_fill_interp": (2, 1),
+        "q_twap": (1, 1),
+        "q_cdc_agg_incremental": (2, 1),
+    }
+    for name, (n_ex, n_scan) in expect.items():
+        df = _q(name, spark, sf_dir)
+        assert count_exchanges(df) <= n_ex, name
+        assert len(scan_infos(df)) == n_scan, name
+        assert join_strategies(df) == {}, f"{name}: unexpected join"
+
+    tol = _q("q_join_asof_tol", spark, sf_dir)
+    assert count_exchanges(tol) == 1
+    assert join_strategies(tol) == {}, "asof tolerance must not plan a join"
