@@ -155,3 +155,102 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy()
     )
     return b.select("bucket_lo", "n_events", dround(share, 6).alias("pct"))
+
+
+@register(
+    "q_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           {sql_dround('(n * 100.0) / SUM(n) OVER (PARTITION BY prev_type)', 6)}
+             AS pct_of_prev
+    FROM t
+    """,
+    tags=("analytics", "window"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): per
+    user, each consecutive event pair contributes one (prev -> next)
+    transition; output counts and row-normalized percentages.
+
+    One LAG window on the user_id exchange, one agg; the normalizing
+    window runs over the |types|^2-row result, never raw events.
+    (user_id, ts) is verified-unique so the sequence order needs no
+    extra tiebreak."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    seq = e.select(
+        F.lag("event_type").over(wu).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    share = (F.col("n") * 100.0) / F.sum("n").over(Window.partitionBy("prev_type"))
+    return t.select(
+        "prev_type", "next_type", "n", dround(share, 6).alias("pct_of_prev")
+    )
+
+
+@register(
+    "q_outliers_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, event_type, value,
+             CAST(cents AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)))
+                       OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                       OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS s2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_id, event_type, value,
+           CAST(CAST(ROUND(CAST(
+             (x - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))
+           AS DECIMAL(25,10)), 6) AS VARCHAR) AS DOUBLE) AS z
+    FROM m
+    WHERE abs((x - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) >= 3.0
+    """,
+    tags=("analytics", "window"),
+)
+def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outliers (|z| >= 3 vs the key's own population
+    moments) in ONE pass: the moments come from exact DECIMAL(38,0)
+    integer-cent window sums -- order-independent, so the engine's
+    nondeterministic partial order can't move a value across the |z|=3
+    boundary -- then mean/std/z are the identical double expression DAG
+    in both engines (exact ints -> varchar-hop doubles -> same ops).
+    No stddev() aggregate anywhere: float stddev is merge-order
+    dependent and would flap the cut. One exchange, no join: the stats
+    window and the row filter share the event_type partitioning."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wk = Window.partitionBy("event_type")
+    c = e.select("event_id", "event_type", "value", cents.alias("cents"))
+    s1 = F.sum(F.col("cents").cast("decimal(38,0)")).over(wk).cast("string").cast("double")
+    s2 = (
+        F.sum((F.col("cents").cast("decimal(38,0)") * F.col("cents"))).over(wk)
+        .cast("string").cast("double")
+    )
+    n = F.count(F.lit(1)).over(wk)
+    x = F.col("cents").cast("double")
+    mu = s1 / n
+    z = (x - mu) / F.sqrt(s2 / n - mu * mu)
+    return (
+        c.select("event_id", "event_type", "value", z.alias("_z"))
+        .filter(F.abs(F.col("_z")) >= 3.0)
+        .select("event_id", "event_type", "value", dround(F.col("_z"), 6).alias("z"))
+    )
