@@ -461,6 +461,10 @@ def test_round4_query_plan_shapes(spark, sf_dir):
         "q_gap_fill_interp": (2, 1),
         "q_twap": (1, 1),
         "q_cdc_agg_incremental": (2, 1),
+        # user window -> pair agg -> tiny normalizing window
+        "q_transition_matrix": (3, 1),
+        # stats window and row filter share the key partitioning
+        "q_outliers_zscore": (1, 1),
     }
     for name, (n_ex, n_scan) in expect.items():
         df = _q(name, spark, sf_dir)
