@@ -62,6 +62,7 @@ def encode_envelope(
     lsn: Column,
     table: str,
     before: Column | None = None,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Wrap rows as Debezium-shaped JSON envelope strings (the test/
     replay producer standing in for Debezium itself). Delete events
@@ -71,7 +72,8 @@ def encode_envelope(
     the key had no prior image) supplies TRUE before-images the way a
     WAL decoder does — required by delta consumers (incremental
     aggregate maintenance); without it the default before is the
-    delete-image-only approximation."""
+    delete-image-only approximation. ``keep_cols`` ride alongside the
+    envelope string (e.g. a timestamp for replay slicing)."""
     after = F.struct(*[F.col(c) for c in row_cols])
     is_del = op == F.lit("d")
     env = F.struct(
@@ -83,7 +85,7 @@ def encode_envelope(
         op.alias("op"),
         ts_ms.alias("ts_ms"),
     )
-    return df.select(F.to_json(env).alias("value"))
+    return df.select(F.to_json(env).alias("value"), *[F.col(c) for c in keep_cols])
 
 
 def decode_envelope(df: DataFrame, row_schema: T.StructType, value_col: str = "value") -> DataFrame:

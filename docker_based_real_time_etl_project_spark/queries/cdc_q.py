@@ -155,6 +155,28 @@ def q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the continuous-view pattern: O(changes) per refresh instead of
     O(state), with the same plan per micro-batch in foreachBatch.
     """
+    envelopes = _before_image_changelog(spark, sf_dir)
+    ch = decode_envelope_images(envelopes, ROW_SCHEMA)
+    return (
+        _bucket_deltas(ch)
+        .groupBy("bucket")
+        .agg(F.sum("dn").alias("n_keys"), F.sum("delta").alias("total_cents"))
+        .filter(F.col("n_keys") > 0)
+        .select(
+            "bucket",
+            "n_keys",
+            (F.col("total_cents") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def _before_image_changelog(
+    spark: SparkSession, sf_dir: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """events -> envelope strings carrying TRUE before-images, the way a
+    WAL decoder emits them: one LAG window in the (ts_ms, lsn) delivery
+    order supplies each change's prior image (NULL after a delete or
+    for a key's first change)."""
     ev = table(spark, sf_dir, "events")
     op = (
         F.when(F.col("event_type") == "error", "d")
@@ -174,7 +196,7 @@ def q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_value").isNotNull(),
         F.struct(F.col("user_id"), F.col("prev_value").alias("value")),
     )
-    envelopes = encode_envelope(
+    return encode_envelope(
         staged,
         row_cols=["user_id", "value"],
         op=F.col("op"),
@@ -182,21 +204,115 @@ def q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsn=F.col("event_id"),
         table="events",
         before=before,
+        keep_cols=keep_cols,
     )
-    ch = decode_envelope_images(envelopes, ROW_SCHEMA)
+
+
+def _bucket_deltas(ch: DataFrame) -> DataFrame:
+    """Decoded change images -> (bucket, delta, dn) contribution rows.
+    Image-driven: insert +after, update +after-before, delete -before;
+    a re-insert after delete has a NULL before and acts as an insert."""
     cents_after = F.round(F.col("_after.value") * 100).cast("bigint")
     cents_before = F.round(F.col("_before.value") * 100).cast("bigint")
     delta = F.coalesce(cents_after, F.lit(0)) - F.coalesce(cents_before, F.lit(0))
     dn = F.col("_after").isNotNull().cast("long") - F.col("_before").isNotNull().cast("long")
     key = F.coalesce(F.col("_after.user_id"), F.col("_before.user_id"))
-    return (
-        ch.select((key % 10).alias("bucket"), delta.alias("delta"), dn.alias("dn"))
+    return ch.select((key % 10).alias("bucket"), delta.alias("delta"), dn.alias("dn"))
+
+
+# One changelog-slicing pass per sf_dir per session (the input is
+# immutable), mirroring streaming_q._SLICE_CACHE.
+_CDC_SLICE_CACHE: dict[str, str] = {}
+
+
+def _cdc_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
+    """Write the before-image changelog as time-ordered text slices so a
+    file-source stream replays it as realistic micro-batches (envelope
+    JSON lines, one slice per trigger, mtimes stamped in slice order)."""
+    import os
+    import tempfile
+    import time as _time
+
+    if sf_dir in _CDC_SLICE_CACHE:
+        return _CDC_SLICE_CACHE[sf_dir]
+    env = _before_image_changelog(spark, sf_dir, keep_cols=("ts",))
+    qs = [str((i + 1) / n_slices) for i in range(n_slices - 1)]
+    bounds = env.selectExpr(
+        f"percentile_approx(unix_millis(ts), array({','.join(qs)}), 10000) p"
+    ).collect()[0]["p"]
+    ms = F.unix_millis("ts")
+    slice_idx = F.lit(n_slices - 1)
+    for i in range(n_slices - 2, -1, -1):
+        slice_idx = F.when(ms <= bounds[i], i).otherwise(slice_idx)
+    out = tempfile.mkdtemp(prefix="cdc_stream_")
+    (
+        env.withColumn("slice", F.format_string("%03d", slice_idx))
+        .repartition(n_slices, "slice")
+        .select("value", "slice")
+        .write.partitionBy("slice")
+        .mode("append")
+        .text(out)
+    )
+    base = _time.time()
+    for rank in range(n_slices):
+        d = os.path.join(out, f"slice={rank:03d}")
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (base + 2 * rank, base + 2 * rank))
+    _CDC_SLICE_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "q_stream_cdc_agg",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, value, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    state AS (
+      SELECT user_id, value FROM last WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id % 10 AS bucket,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM state GROUP BY user_id % 10
+    """,
+    tags=("cdc", "streaming", "agg"),
+)
+def q_stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING materialized view: the before-image changelog
+    replayed as a multi-micro-batch JSON stream, folded into per-bucket
+    COUNT/SUM purely by delta addition inside a streaming aggregation
+    (complete mode). Because every delta is associative integer-cent
+    arithmetic, the final state is independent of how micro-batches
+    split or interleave — so this streaming query carries the SAME
+    full-state-recompute oracle as its batch twin q_cdc_agg_incremental.
+    This is the end-to-end continuous-view pattern: Debezium-shaped
+    transport in, O(changes) state maintenance, hash-exact result out.
+    """
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+        run_to_memory,
+    )
+
+    src = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .text(_cdc_slices(spark, sf_dir))
+    )
+    ch = decode_envelope_images(src, ROW_SCHEMA)
+    agg = (
+        _bucket_deltas(ch)
         .groupBy("bucket")
         .agg(F.sum("dn").alias("n_keys"), F.sum("delta").alias("total_cents"))
-        .filter(F.col("n_keys") > 0)
-        .select(
-            "bucket",
-            "n_keys",
-            (F.col("total_cents") / 100.0).alias("total_value"),
-        )
+    )
+    final = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    return final.filter(F.col("n_keys") > 0).select(
+        "bucket", "n_keys", (F.col("total_cents") / 100.0).alias("total_value")
     )
