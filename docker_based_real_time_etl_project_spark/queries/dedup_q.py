@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.operators.dedup import (
-    connected_components, exact_jaccard, hamming64, minhash_neardup_pairs,
+    connected_components, hamming64, minhash_neardup_pairs,
     shingles, simhash64,
 )
 from docker_based_real_time_etl_project_spark.operators.similarity import cosine
@@ -125,18 +125,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity for document pairs, blocked by
-    source (the blocking key bounds the pair space -- at scale the block
-    would be an LSH bucket, q_dedup_minhash). Set math only: oracled."""
+    """Exact 3-gram Jaccard similarity for document pairs sharing the
+    source blocking key, computed by inverted-index postings join (the
+    same exact-candidates shape as q_dedup_clusters): any pair with
+    J >= 0.3 shares a gram, so joining exploded (source, gram) postings
+    finds every qualifying pair while doing work bounded by real gram
+    co-occurrence — never the per-block O(n^2) the oracle's all-pairs
+    SQL spells out. Jaccard comes straight from the shared-gram count:
+    |A∩B| / (|A| + |B| - |A∩B|). Set math only: oracled."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("grams").alias("g_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("grams").alias("g_b"))
-    jac = exact_jaccard(F.col("g_a"), F.col("g_b"))
+    posts = sh.select(
+        "doc_id", "source", F.size("grams").alias("n"), F.explode("grams").alias("g")
+    )
+    pa = posts.select(
+        F.col("source").alias("src_a"), F.col("g").alias("g_a"),
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+    )
+    pb = posts.select(
+        F.col("source").alias("src_b"), F.col("g").alias("g_b"),
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+    )
+    shared = F.count(F.lit(1))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
     return (
-        a.join(b, (a.src_a == b.src_b) & (a.id_a < b.id_b))
+        pa.join(pb, (pa.src_a == pb.src_b) & (pa.g_a == pb.g_b) & (pa.id_a < pb.id_b))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(shared.alias("shared"))
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
