@@ -254,3 +254,47 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("_z")) >= 3.0)
         .select("event_id", "event_type", "value", dround(F.col("_z"), 6).alias("z"))
     )
+
+
+@register(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT ud.user_id) AS active_users_7d
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+    tags=("analytics", "window"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per observed day (the
+    rolling-DAU/WAU family). Sliding COUNT DISTINCT does not merge, so
+    the scale shape is contribution fan-out, not a range self-join:
+    dedup to (user, day) once, explode each activity day to the <= 7
+    target days it supports, then one exact distinct count per target
+    day. Work is 7x|user-days| narrow rows; the oracle's range join is
+    the O(days x user-days) spelling of the same set. Target days are
+    semi-joined against observed days (broadcast-sized) so both engines
+    emit exactly the days that exist in the data."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("day"),
+    )
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d"
+        )
+    )
