@@ -55,8 +55,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_join_semi", "q_join_range", "q_filter_pred", "q_project_cast",
     "q_topk_orders", "q_agg_distinct", "q_rollup", "q_cube",
     "q_grouping_sets", "q_union_all", "q_intersect", "q_union_distinct",
-    "q_exists_subquery", "q_scalar_subquery",
-    # (still r1-green, rotate in r5: q_pivot, q_null_handling, q_array_agg_sorted,
+    # (e) implementation changed this round -> must re-verify:
+    # inverted-index postings rewrite (both), edge-touched propagation
+    "q_ngram_jaccard", "q_dedup_clusters",
+    # (still r1-green, rotate in r5: q_exists_subquery, q_scalar_subquery,
+    #  q_pivot, q_null_handling, q_array_agg_sorted,
     #  q_percentiles, q_filtered_agg, q_math_round_pct,
     #  q_arr_elem, q_arr_explode, q_arr_zip, q_media_resize_meta,
     #  q_media_frame_sample, q_media_features, q_ngram_jaccard,
