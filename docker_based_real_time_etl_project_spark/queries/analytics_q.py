@@ -298,3 +298,45 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d"
         )
     )
+
+
+@register(
+    "q_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type, 2) OVER w AS step_1,
+             LAG(event_type, 1) OVER w AS step_2,
+             event_type AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT step_1, step_2, step_3, COUNT(*) AS n
+    FROM seq WHERE step_1 IS NOT NULL
+    GROUP BY step_1, step_2, step_3
+    ORDER BY n DESC, step_1, step_2, step_3
+    LIMIT 10
+    """,
+    tags=("analytics", "window"),
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user paths (sequence mining one order up from
+    the transition matrix): two LAGs over the same user ordering emit
+    each sliding event-type triple, then count + total-order top-k
+    (ties broken by the path itself, so LIMIT is deterministic).
+    The triple space is |types|^3, so everything after the one window
+    pass is constant-bounded; TakeOrderedAndProject keeps the top-k
+    driver-side tiny."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    seq = e.select(
+        F.lag("event_type", 2).over(wu).alias("step_1"),
+        F.lag("event_type", 1).over(wu).alias("step_2"),
+        F.col("event_type").alias("step_3"),
+    ).filter(F.col("step_1").isNotNull())
+    return (
+        seq.groupBy("step_1", "step_2", "step_3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step_1", "step_2", "step_3")
+        .limit(10)
+    )
