@@ -59,6 +59,18 @@ def _nanos_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
     return _NANOS_SNIFF_CACHE[path]
 
 
+# One-file-one-row-group testdata reads as a single scan task. Instead of
+# paying a full-table repartition in EVERY query plan, each table is
+# re-chunked ONCE per session into a multi-file temp layout (what any real
+# deployment's ingest would have produced): scans then parallelize
+# natively, predicate pushdown lands in parallel scan tasks, and plans
+# stay injection-eligible for runtime row-level filters (a leading
+# Repartition blocks Spark's bloom-filter injection rule). Disable with
+# SPARK_GRAFT_RECHUNK=0 to read the raw files directly.
+_RECHUNK = os.environ.get("SPARK_GRAFT_RECHUNK", "1") != "0"
+_RECHUNK_CACHE: dict[str, str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its declared schema."""
     # the driver calls queries() with ITS OWN SparkSession; pin the two
@@ -68,6 +80,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if _RECHUNK and path in _RECHUNK_CACHE:
+        return spark.read.parquet(_RECHUNK_CACHE[path])
     schema = TESTDATA_SCHEMAS.get(name)
     nanos_cols = _nanos_cols(path, _MAYBE_NANOS_TS_COLS.get(name, ()))
     reader = spark.read
@@ -83,6 +97,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    target = spark.sparkContext.defaultParallelism
+    if _RECHUNK and df.rdd.getNumPartitions() < max(2, target // 4):
+        import tempfile
+
+        # chunk count scales with bytes (32 KB/file, >=2, <=cores): a
+        # 25-row dim stays 2 files so its size STATISTICS stay near
+        # truth — 32 near-empty files inflate sizeInBytes ~5x, and join
+        # output estimates (products of side sizes) then cross the
+        # broadcast threshold and flip star joins to sort-merge
+        n_chunks = min(target, max(2, os.path.getsize(path) // 32768))
+        out = tempfile.mkdtemp(prefix=f"rechunk_{name}_")
+        # timestamps are written post-normalization (ns already truncated
+        # to us), so the cached copy reads back with the declared types
+        df.repartition(n_chunks).write.mode("overwrite").parquet(out)
+        _RECHUNK_CACHE[path] = out
+        return spark.read.parquet(out)
     return _ensure_parallelism(spark, df)
 
 
