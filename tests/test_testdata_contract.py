@@ -92,3 +92,49 @@ def test_nanos_sniff_tracks_footer():
             and arrow.field(arrow.get_field_index(c)).type.unit == "ns"
         )
         assert _nanos_cols(path, cols) == expect
+
+
+def test_rechunk_cache_reuse_and_sizing(spark):
+    """The session re-chunk must (a) serve repeat loads from the cached
+    layout without re-writing, (b) keep tiny dims at a couple of files
+    so their size statistics stay near truth, and (c) give big tables
+    real scan parallelism."""
+    import os
+
+    from docker_based_real_time_etl_project_spark.sources import parquet as pq_src
+
+    if not pq_src._RECHUNK:
+        import pytest
+
+        pytest.skip("rechunk disabled via env")
+    sf = "/root/testdata/sf0.001"
+    nation = pq_src.load_table(spark, sf, "nation")
+    key = os.path.join(sf, "nation.parquet")
+    assert key in pq_src._RECHUNK_CACHE
+    cached_dir = pq_src._RECHUNK_CACHE[key]
+    n_files = len([f for f in os.listdir(cached_dir) if f.endswith(".parquet")])
+    assert n_files <= 4, "tiny dim exploded into many files — stats inflation"
+    assert nation.count() == 25
+    # repeat load: same cached dir, no second write
+    again = pq_src.load_table(spark, sf, "nation")
+    assert pq_src._RECHUNK_CACHE[key] == cached_dir
+    assert again.rdd.getNumPartitions() == nation.rdd.getNumPartitions()
+
+    li = pq_src.load_table(spark, sf, "lineitem")
+    assert li.rdd.getNumPartitions() >= 2, "big table should scan in parallel"
+
+
+def test_rechunk_preserves_rows_and_schema(spark):
+    """Cached layout must be value-identical to a direct raw read
+    (timestamps normalized identically, row multiset preserved)."""
+    from docker_based_real_time_etl_project_spark.sources import parquet as pq_src
+
+    sf = "/root/testdata/sf0.001"
+    via_cache = pq_src.load_table(spark, sf, "events")
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    assert via_cache.count() == raw.count()
+    a = {tuple(r) for r in via_cache.select("event_id", "ts", "value").collect()}
+    b = {tuple(r) for r in raw.selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "value"
+    ).collect()}
+    assert a == b
