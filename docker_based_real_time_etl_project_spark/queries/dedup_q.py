@@ -280,3 +280,74 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("cluster_rep"),
         (F.col("id") == F.col("rep")).alias("is_kept"),
     )
+
+
+@register(
+    "q_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / CAST(len(a.grams) AS DOUBLE), 6) AS containment
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE ROUND(len(list_intersect(a.grams, b.grams))
+                / CAST(len(a.grams) AS DOUBLE), 6) >= 0.5
+    """,
+    tags=("dedup", "text"),
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A in B) = |A∩B| / |A| at >= 0.5 — the
+    one-sided near-dup (quotes, extractions, supersets) that symmetric
+    Jaccard under-scores when documents differ in length. Same exact
+    inverted-index postings join as q_ngram_jaccard; each unordered
+    candidate pair yields BOTH directions from the one shared-gram
+    count, so asymmetry costs nothing extra."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+    )
+    posts = sh.select(
+        "doc_id", "source", F.size("grams").alias("n"), F.explode("grams").alias("g")
+    )
+    pa = posts.select(
+        F.col("source").alias("src_a"), F.col("g").alias("g_a"),
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+    )
+    pb = posts.select(
+        F.col("source").alias("src_b"), F.col("g").alias("g_b"),
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+    )
+    pairs = (
+        pa.join(pb, (pa.src_a == pb.src_b) & (pa.g_a == pb.g_b) & (pa.id_a < pb.id_b))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    (F.col("shared") / F.col("n_a")).alias("c"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    (F.col("shared") / F.col("n_b")).alias("c"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        both.withColumn("containment", F.round(F.col("c"), 6))
+        .filter(F.col("containment") >= 0.5)
+        .select("contained_id", "container_id", "containment")
+    )
