@@ -255,3 +255,56 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
     )
     return run_to_memory(out, output_mode="complete", state_partitions=8)
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(click_ts) FROM clicks),
+                   (SELECT MAX(ts) FROM purch)) - INTERVAL 2 HOUR AS cut
+    ),
+    matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM clicks c JOIN purch p
+        ON c.user_id = p.user_id
+       AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM clicks c, wm
+      WHERE c.click_ts + INTERVAL 1 HOUR < wm.cut
+        AND NOT EXISTS (
+          SELECT 1 FROM purch p
+          WHERE p.user_id = c.user_id
+            AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join, fully oracled: matches replicate
+    the batch self-join; the NULL rows are exactly the unmatched clicks
+    whose 1 h match window closed before the final watermark cut
+    (min of the two sides' max event times minus 2 h) — proving the
+    join state evicts-and-emits on watermark advance rather than
+    holding unmatched rows forever."""
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+        stream_stream_join_outer,
+    )
+
+    src = _slices(spark, sf_dir)
+    clicks = replay_events(spark, src).filter(F.col("event_type") == "click")
+    purchases = replay_events(spark, src).filter(F.col("event_type") == "purchase")
+    out = stream_stream_join_outer(clicks, purchases)
+    return run_to_memory(out, output_mode="append", state_partitions=8)

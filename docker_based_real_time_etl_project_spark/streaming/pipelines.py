@@ -228,3 +228,41 @@ def stream_stream_join(
         & (r.purchase_ts <= l.click_ts + F.expr(f"INTERVAL {max_gap}")),
         "inner",
     ).select("user_id", "click_id", "purchase_id")
+
+
+def stream_stream_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with two-sided watermarks: same
+    attribution shape as :func:`stream_stream_join`, but a click with no
+    purchase in its window emits a NULL row once the watermark passes
+    the end of its match window (click_ts + max_gap) — the state
+    machine's proof that it evicts, not just buffers. Determinism under
+    availableNow: the final no-data batch advances the watermark to
+    min(max ts per side) - `watermark`, so exactly the unmatched clicks
+    whose window closed before that cut emit nulls — a SQL-expressible
+    set."""
+    l = (
+        left.select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return l.join(
+        r,
+        (l.user_id == r.r_user_id)
+        & (r.purchase_ts > l.click_ts)
+        & (r.purchase_ts <= l.click_ts + F.expr(f"INTERVAL {max_gap}")),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
