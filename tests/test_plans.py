@@ -432,6 +432,23 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
         )
         plan = j._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in plan, "runtime bloom filter not injected"
+
+        # the engine's OWN read path must stay eligible too — the session
+        # re-chunk replaced the repartition wrapper that used to break
+        # the scan->filter->join pattern the injection rule requires
+        from docker_based_real_time_etl_project_spark.sources.parquet import load_table
+
+        l2 = load_table(spark, sf_dir, "lineitem")
+        o2 = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j2 = (
+            l2.join(o2, l2.l_orderkey == o2.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan2, "load_table path lost injection eligibility"
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
