@@ -37,7 +37,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_gap_fill_interp", "q_twap", "q_join_asof_tol",
     "q_join_cross", "q_cdc_agg_incremental",
     "q_transition_matrix", "q_outliers_zscore", "q_stream_cdc_agg",
-    "q_rolling_active_users", "q_stream_join_outer",
+    "q_rolling_active_users", "q_stream_join_outer", "q_zorder_pruned_scan",
     # (b) r3 reds, root cause fixed (parquet timestamp-precision sniff)
     "q_gap_fill", "q_join_asof", "q_win_range_frame",
     # (c) events-time queries re-verifying on post-regeneration data
@@ -54,11 +54,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_str_funcs", "q_agg_salted", "q_join_star", "q_join_left",
     "q_join_semi", "q_join_range", "q_filter_pred", "q_project_cast",
     "q_topk_orders", "q_agg_distinct", "q_rollup", "q_cube",
-    "q_grouping_sets", "q_union_all", "q_intersect",
+    "q_grouping_sets", "q_union_all",
     # (e) implementation changed this round -> must re-verify:
     # inverted-index postings rewrite (both), edge-touched propagation
     "q_ngram_jaccard", "q_dedup_clusters",
-    # (still r1-green, rotate in r5: q_union_distinct, q_exists_subquery, q_scalar_subquery,
+    # (still r1-green, rotate in r5: q_intersect, q_union_distinct, q_exists_subquery, q_scalar_subquery,
     #  q_pivot, q_null_handling, q_array_agg_sorted,
     #  q_percentiles, q_filtered_agg, q_math_round_pct,
     #  q_arr_elem, q_arr_explode, q_arr_zip, q_media_resize_meta,

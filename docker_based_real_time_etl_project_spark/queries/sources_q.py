@@ -161,3 +161,69 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_ZLAYOUT_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _zordered_lineitem(spark: SparkSession, sf_dir: str):
+    """lineitem clustered once per session on the (l_partkey, l_suppkey)
+    Morton grid — the write-side OPTIMIZE pass a 100 TB table owner
+    would schedule (operators/zorder.py); readers get 2-D box pruning
+    from then on."""
+    from docker_based_real_time_etl_project_spark.operators.zorder import fit_grid, zorder_write
+
+    if sf_dir not in _ZLAYOUT_CACHE:
+        li = table(spark, sf_dir, "lineitem")
+        grid = fit_grid(li, "l_partkey", "l_suppkey", bits=3)
+        out = tempfile.mkdtemp(prefix="lineitem_zorder_")
+        zorder_write(li, out, grid)
+        _ZLAYOUT_CACHE[sf_dir] = (out, grid)
+    out, grid = _ZLAYOUT_CACHE[sf_dir]
+    return spark.read.parquet(out), grid
+
+
+@register(
+    "q_zorder_pruned_scan",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+               MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem, b
+    WHERE l_partkey BETWEEN pmn + (pmx - pmn) // 10 AND pmn + (pmx - pmn) // 4
+      AND l_suppkey BETWEEN smn + (smx - smn) * 3 // 10 AND smn + (smx - smn) * 3 // 5
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "layout", "scale"),
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box aggregate over the z-ordered lineitem copy: the bucket
+    IN-list derived from grid math prunes the scan to the covered
+    Morton cells (PartitionFilters — proven in tests/test_scale_ops.py)
+    while the re-applied exact predicate keeps results layout-
+    independent, so the oracle runs the SAME box on the unclustered
+    table. The box bounds are derived from the table's own min/max with
+    identical integer arithmetic on both sides, so the query is
+    scale-factor-agnostic."""
+    from docker_based_real_time_etl_project_spark.operators.zorder import zorder_box_scan
+
+    zdf, grid = _zordered_lineitem(spark, sf_dir)
+    lo1 = grid.min1 + (grid.max1 - grid.min1) // 10
+    hi1 = grid.min1 + (grid.max1 - grid.min1) // 4
+    lo2 = grid.min2 + (grid.max2 - grid.min2) * 3 // 10
+    hi2 = grid.min2 + (grid.max2 - grid.min2) * 3 // 5
+    return zorder_box_scan(zdf, grid, lo1, hi1, lo2, hi2).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
