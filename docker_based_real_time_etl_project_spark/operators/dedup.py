@@ -141,6 +141,93 @@ def exact_jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+# Posting lists are Zipf-distributed on a real corpus: a stop-gram shared
+# by k documents makes k^2 candidate pairs in any inverted-index self-join.
+# Grams whose document frequency exceeds this cap are dropped from the
+# postings BEFORE the join (standard practice in ExactSubstr / suffix-array
+# dedup pipelines). See SCALE.md "Hot-gram cap" for the exactness argument.
+DEFAULT_MAX_GRAM_DF = 1000
+
+
+def gram_postings_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    grams_col: str = "grams",
+    max_df: int | None = DEFAULT_MAX_GRAM_DF,
+    size_ratio: float | None = None,
+) -> DataFrame:
+    """Exact near-dup candidate pairs by inverted-index postings join:
+    ``(id_a, id_b, n_a, n_b, shared)`` for every pair of documents (in
+    the same ``block_col`` block, ``id_a < id_b``) sharing at least one
+    gram, where ``shared`` is the exact count of shared distinct grams
+    (``grams_col`` must hold DISTINCT grams per doc). Any overlap
+    measure — Jaccard ``shared/(n_a+n_b-shared)``, containment
+    ``shared/n_a`` — is plain arithmetic on the result.
+
+    The scale contract, in order of importance:
+
+    1. Work is bounded by real gram co-occurrence (sum of df^2 over
+       grams), never the per-block O(n^2) all-pairs space.
+    2. The join key is ``xxhash64(gram)`` — 8 bytes — so the shuffle
+       never carries gram text. Two distinct grams colliding at 64 bits
+       would inflate ``shared`` for one pair by 1; at corpus scale the
+       expected number of colliding gram pairs is ~(distinct grams)^2 /
+       2^64 — negligible, and irrelevant to the final thresholded
+       output unless a pair sits exactly at the threshold.
+    3. ``max_df`` drops grams hotter than the cap from the postings (a
+       window count over the SAME (block, gram-hash) partitioning the
+       self-join shuffles on, so the guard rides the join's exchange —
+       exchange-reused, not an extra shuffle). A stop-gram in k docs
+       would otherwise emit k^2 pairs. With the cap, ``shared``
+       undercounts by the number of shared HOT grams, so computed
+       overlap is a lower bound; a qualifying pair is missed only if
+       ALL its shared grams are hot — on real corpora near-dup pairs
+       share many rare grams (their content), which is the standard
+       exactness argument for df-capping. ``max_df=None`` disables.
+    4. ``size_ratio`` (optional, e.g. the Jaccard threshold t): prunes
+       pairs where min(n)/max(n) < t before the aggregate — Jaccard
+       can never reach t across that size gap, so the filter is
+       semantics-free for a >= t cut.
+    """
+    from pyspark.sql import Window
+
+    block = [block_col] if block_col else []
+    posts = sh.select(
+        F.col(id_col).alias("_pid"),
+        *block,
+        F.size(grams_col).alias("_n"),
+        F.explode(grams_col).alias("_g"),
+    ).select("_pid", *block, "_n", F.xxhash64("_g").alias("_gh"))
+    if max_df is not None:
+        w = Window.partitionBy(*block, "_gh")
+        posts = posts.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    pa = posts.select(
+        *[F.col(c).alias(f"{c}_a") for c in block],
+        F.col("_gh").alias("_gh_a"),
+        F.col("_pid").alias("id_a"),
+        F.col("_n").alias("n_a"),
+    )
+    pb = posts.select(
+        *[F.col(c).alias(f"{c}_b") for c in block],
+        F.col("_gh").alias("_gh_b"),
+        F.col("_pid").alias("id_b"),
+        F.col("_n").alias("n_b"),
+    )
+    cond = (pa["_gh_a"] == pb["_gh_b"]) & (pa["id_a"] < pb["id_b"])
+    for c in block:
+        cond = (pa[f"{c}_a"] == pb[f"{c}_b"]) & cond
+    joined = pa.join(pb, cond)
+    if size_ratio is not None:
+        na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+        joined = joined.filter(F.least(na, nb) >= size_ratio * F.greatest(na, nb))
+    return joined.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -10,8 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.operators.dedup import (
-    connected_components, hamming64, minhash_neardup_pairs,
-    shingles, simhash64,
+    connected_components, gram_postings_pairs, hamming64,
+    minhash_neardup_pairs, shingles, simhash64,
 )
 from docker_based_real_time_etl_project_spark.operators.similarity import cosine
 from docker_based_real_time_etl_project_spark.queries.registry import register, table
@@ -126,36 +126,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for document pairs sharing the
-    source blocking key, computed by inverted-index postings join (the
-    same exact-candidates shape as q_dedup_clusters): any pair with
-    J >= 0.3 shares a gram, so joining exploded (source, gram) postings
-    finds every qualifying pair while doing work bounded by real gram
-    co-occurrence — never the per-block O(n^2) the oracle's all-pairs
-    SQL spells out. Jaccard comes straight from the shared-gram count:
-    |A∩B| / (|A| + |B| - |A∩B|). Set math only: oracled."""
+    source blocking key, computed by inverted-index postings join
+    (operators.dedup.gram_postings_pairs — hot-gram df cap + 8-byte
+    xxhash64 join key): any pair with J >= 0.3 shares a gram, so
+    joining the postings finds every qualifying pair while doing work
+    bounded by real gram co-occurrence — never the per-block O(n^2)
+    the oracle's all-pairs SQL spells out. Jaccard comes straight from
+    the shared-gram count: |A∩B| / (|A| + |B| - |A∩B|)."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
     )
-    posts = sh.select(
-        "doc_id", "source", F.size("grams").alias("n"), F.explode("grams").alias("g")
-    )
-    pa = posts.select(
-        F.col("source").alias("src_a"), F.col("g").alias("g_a"),
-        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
-    )
-    pb = posts.select(
-        F.col("source").alias("src_b"), F.col("g").alias("g_b"),
-        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-    )
-    shared = F.count(F.lit(1))
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return (
-        pa.join(pb, (pa.src_a == pb.src_b) & (pa.g_a == pb.g_b) & (pa.id_a < pb.id_b))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(shared.alias("shared"))
+        gram_postings_pairs(sh, block_col="source")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
@@ -240,34 +226,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
     )
     # EXACT candidate generation by inverted index, not all-pairs: a pair
-    # with J >= 0.3 shares at least one shingle, so joining the exploded
-    # (source, gram) postings finds every qualifying pair while touching
-    # only pairs that actually co-occur. The per-source all-pairs join
-    # this replaces is O(n^2) per block and dies when one source holds
-    # 10M docs; postings-join work is bounded by sum(df_gram^2), i.e. by
-    # real overlap, and the count of shared grams comes out of the SAME
-    # groupBy -- so exact Jaccard = shared/(|A|+|B|-shared) needs no
-    # array_intersect afterwards. Size-ratio bound (J <= min/max sizes)
-    # prunes before the aggregate; both filters are semantics-free
-    # (oracle-checked against the recursive-CTE transitive closure).
-    posts = sh.select(
-        "doc_id", "source", F.size("grams").alias("n"), F.explode("grams").alias("g")
-    )
-    pa = posts.select(
-        F.col("source").alias("src_a"), F.col("g").alias("g_a"),
-        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
-    )
-    pb = posts.select(
-        F.col("source").alias("src_b"), F.col("g").alias("g_b"),
-        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-    )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    shared = F.count(F.lit(1))
+    # with J >= 0.3 shares at least one shingle, so joining the postings
+    # (gram_postings_pairs: xxhash64 join key, hot-gram df cap, and the
+    # size-ratio bound J <= min/max sizes — all semantics-free at this
+    # corpus, oracle-checked against the recursive-CTE transitive
+    # closure) finds every qualifying pair while touching only pairs
+    # that actually co-occur. The per-source all-pairs join this
+    # replaces is O(n^2) per block and dies when one source holds 10M
+    # docs; postings-join work is bounded by sum(df_gram^2) and exact
+    # Jaccard = shared/(|A|+|B|-shared) comes from the same groupBy.
     pairs = (
-        pa.join(pb, (pa.src_a == pb.src_b) & (pa.g_a == pb.g_b) & (pa.id_a < pb.id_b))
-        .filter(F.least(na, nb) >= 0.3 * F.greatest(na, nb))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(shared.alias("shared"))
+        gram_postings_pairs(sh, block_col="source", size_ratio=0.3)
         .filter(
             F.col("shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
@@ -314,22 +283,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
     )
-    posts = sh.select(
-        "doc_id", "source", F.size("grams").alias("n"), F.explode("grams").alias("g")
-    )
-    pa = posts.select(
-        F.col("source").alias("src_a"), F.col("g").alias("g_a"),
-        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
-    )
-    pb = posts.select(
-        F.col("source").alias("src_b"), F.col("g").alias("g_b"),
-        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-    )
-    pairs = (
-        pa.join(pb, (pa.src_a == pb.src_b) & (pa.g_a == pb.g_b) & (pa.id_a < pb.id_b))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    pairs = gram_postings_pairs(sh, block_col="source")
     both = pairs.select(
         F.explode(
             F.array(

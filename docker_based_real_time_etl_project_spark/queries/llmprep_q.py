@@ -85,8 +85,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one linear pass shingles both splits; train collapses
     to DISTINCT grams (map-side partials); the overlap is a gram-key
-    join carrying only (gram, doc_id); per-doc counts are a final
+    join carrying only (gram-hash, doc_id); per-doc counts are a final
     small aggregate. Never joins document text against document text.
+
+    Both the train-side distinct and the semi-join run on
+    ``xxhash64(gram)`` — 8 bytes — instead of the ~40-60-byte 5-gram
+    string, so the two widest shuffles in the plan carry longs, not
+    text. A 64-bit collision would mark one test gram as contaminated
+    when it is not; for a contamination SCREEN the expected error is
+    ~(distinct train grams) * (test grams) / 2^64 — negligible.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -96,12 +103,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_g = (
         d.filter(F.col("ticket") < 8000)
         .select(F.explode("grams").alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    test_g = d.filter(F.col("ticket") >= 9000).select(
-        "doc_id", F.explode("grams").alias("g")
+    test_g = (
+        d.filter(F.col("ticket") >= 9000)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gh"))
     )
-    shared = test_g.join(train_g, "g", "left_semi").groupBy("doc_id").agg(
+    shared = test_g.join(train_g, "gh", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared")
     )
     totals = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

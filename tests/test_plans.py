@@ -492,3 +492,33 @@ def test_round4_query_plan_shapes(spark, sf_dir):
     tol = _q("q_join_asof_tol", spark, sf_dir)
     assert count_exchanges(tol) == 1
     assert join_strategies(tol) == {}, "asof tolerance must not plan a join"
+
+
+def test_postings_joins_hash_key_not_gram_text(spark, sf_dir):
+    """The exact postings joins (ngram jaccard / containment /
+    contamination) must join and shuffle on xxhash64(gram) — 8 bytes —
+    never the gram string, and the hot-gram df guard must not add a
+    shuffle of its own: its window partitioning is the join's
+    partitioning, so at runtime AQE reuses one exchange for both join
+    sides (plus, no plan regrows a cartesian)."""
+    for name in ("q_ngram_jaccard", "q_containment", "q_contamination"):
+        df = _q(name, spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "xxhash64" in plan, name
+        assert join_strategies(df).get("CartesianProduct", 0) == 0, name
+        assert count_exchanges(df) <= 3, name
+
+    # the at-scale (no-broadcast) path: both postings sides come from ONE
+    # materialized exchange
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _q("q_ngram_jaccard", spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

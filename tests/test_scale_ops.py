@@ -206,3 +206,38 @@ def test_zorder_layout_prunes_box_reads(spark, sf_dir, tmp_path):
         ~F.col("zb").isin(list(buckets))
     )
     assert outside.count() == 0
+
+
+def test_hot_gram_cap_bounds_postings_fanout(spark):
+    """The Zipf stress for the exact postings joins (the mirror of
+    q_join_skew_stress for the dedup path): a stop-gram shared by k
+    docs yields k*(k-1)/2 candidate pairs in an uncapped inverted-index
+    self-join. With the df cap, the hot gram drops out of the postings
+    entirely, so (a) pairs connected ONLY through hot grams disappear,
+    (b) pairs that also share rare grams survive with `shared` counting
+    just their rare grams, and (c) the candidate count is bounded by
+    rare-gram co-occurrence, independent of k."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        gram_postings_pairs,
+    )
+
+    k = 60
+    # every doc carries the stop-gram "the of and"; docs 0/1 also share
+    # the rare gram "alpha beta gamma"
+    rows = []
+    for i in range(k):
+        rare = ["alpha beta gamma"] if i < 2 else [f"unique gram {i}"]
+        rows.append((i, "s", rare + ["the of and"]))
+    sh = spark.createDataFrame(rows, "doc_id long, source string, grams array<string>")
+
+    uncapped = gram_postings_pairs(sh, max_df=None)
+    assert uncapped.count() == k * (k - 1) // 2  # the quadratic blow-up
+
+    capped = gram_postings_pairs(sh, max_df=10)
+    got = {(r.id_a, r.id_b): r.shared for r in capped.collect()}
+    assert got == {(0, 1): 1}  # only the rare-gram pair, hot gram uncounted
+
+    # the cap is inert when no gram is hot: identical output
+    calm = gram_postings_pairs(sh.filter(F.col("doc_id") < 2), max_df=1000)
+    got_calm = {(r.id_a, r.id_b): (r.n_a, r.n_b, r.shared) for r in calm.collect()}
+    assert got_calm == {(0, 1): (2, 2, 2)}
