@@ -82,17 +82,40 @@ def _plan_fingerprint(df) -> str:
     return hashlib.sha256(p.encode()).hexdigest()[:12]
 
 
+# Fixed contention sentinel: a cheap, plan-stable query timed right
+# after warmup and again after the full suite. Interpretation:
+# drift (= last/first) substantially > 1 means the machine got busier
+# WHILE the suite ran, so suite timings are contention-inflated noise,
+# not plan regressions — r4 lost exactly that signal. drift <= 1 is
+# normal (progressive C2/JIT warmup keeps speeding the JVM up across
+# the suite even with a dedicated sentinel warmup). load_avg gives the
+# absolute machine-business context for cross-round comparison.
+SENTINEL = "q_topk_orders"
+
+
+def _time_once(fn, spark) -> float:
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from docker_based_real_time_etl_project_spark.queries import REGISTRY
     from docker_based_real_time_etl_project_spark.session import get_spark
 
     spark = get_spark("bench")
     sf = _sf_from_dir(SF_DIR)
+    load_start = round(os.getloadavg()[0], 2)
 
     # Warm the JVM + parquet footers with one cheap pass.
     REGISTRY["q_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    _time_once(REGISTRY[SENTINEL].fn, spark)  # JIT the sentinel's own codegen
+    sentinel_first = min(
+        _time_once(REGISTRY[SENTINEL].fn, spark) for _ in range(3)
+    )
 
     # best-of-3: single-run timings at this scale carry ~30% scheduler/JIT
     # noise; the min is the reproducible cost of the plan, and n=3 makes
@@ -109,6 +132,9 @@ def main() -> None:
         timings[name] = round(best, 3)
         plans[name] = _plan_fingerprint(fn(spark, SF_DIR))
 
+    sentinel_last = min(
+        _time_once(REGISTRY[SENTINEL].fn, spark) for _ in range(3)
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -118,6 +144,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "plan_fingerprints": plans,
+                "sentinel": {
+                    "query": SENTINEL,
+                    "first": sentinel_first,
+                    "last": sentinel_last,
+                    "drift": round(
+                        sentinel_last / sentinel_first, 2
+                    ) if sentinel_first > 0 else None,
+                },
+                "load_avg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
                 "sf": sf,
             }
         )

@@ -164,19 +164,37 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
     )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 _require_codec("frame_sample")  # pragma: no cover
-            rows = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
-            for _, r in pdf.iterrows():
-                dur = r["meta"]["duration_ms"] or 0
-                for i, ms in enumerate(range(0, int(dur), every_ms)):
-                    rows["media_id"].append(r["media_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame_ms"].append(ms)
-                    rows["frame"].append(
-                        hashlib.sha256(bytes(r["content"]) + str(i).encode()).digest()
-                    )
-            yield pd.DataFrame(rows)
+            # vectorized 1:N expansion: per-row frame counts, then one
+            # repeat for the row index and one cumsum-offset subtraction
+            # for the within-row frame index — no per-row Python loop.
+            # Only the sha256 stand-in for the codec touches rows.
+            dur = np.array(
+                [int((m or {}).get("duration_ms") or 0) for m in pdf["meta"]],
+                dtype="int64",
+            )
+            n_frames = np.maximum(dur, 0) // every_ms + (
+                np.maximum(dur, 0) % every_ms > 0
+            )  # == len(range(0, dur, every_ms))
+            total = int(n_frames.sum())
+            rep = np.repeat(np.arange(len(pdf)), n_frames)
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(total) - starts
+            contents = pdf["content"].to_numpy(dtype=object)[rep]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[rep],
+                    "frame_idx": pd.array(frame_idx, dtype="int32"),
+                    "frame_ms": pd.array(frame_idx * every_ms, dtype="int64"),
+                    "frame": [
+                        hashlib.sha256(bytes(c) + str(int(i)).encode()).digest()
+                        for c, i in zip(contents, frame_idx)
+                    ],
+                }
+            )
 
     return df.filter(F.col("kind") == "video").mapInPandas(frames, out_schema)

@@ -52,6 +52,19 @@ class ZGrid:
     max2: int
     bits: int
 
+    def __post_init__(self) -> None:
+        # cell() computes (v - lo) * 2^bits in signed-64 executor math;
+        # refuse grids where that product could overflow (the driver's
+        # Python bigints would silently diverge from the executors)
+        for lo, hi in ((self.min1, self.max1), (self.min2, self.max2)):
+            if hi < lo:
+                raise ValueError(f"empty key domain [{lo}, {hi}]")
+            if (hi - lo) > (1 << (62 - self.bits)):
+                raise ValueError(
+                    f"key domain [{lo}, {hi}] too wide for bits={self.bits}: "
+                    "(max - min) << bits must stay inside signed 64-bit"
+                )
+
     @property
     def n_buckets(self) -> int:
         return 1 << (2 * self.bits)
@@ -71,8 +84,13 @@ class ZGrid:
 
     def box_buckets(self, lo1: int, hi1: int, lo2: int, hi2: int) -> list[int]:
         """Every z-bucket whose cell rectangle intersects the query box
-        [lo1, hi1] x [lo2, hi2] — the exact (minimal AND sufficient)
-        pruning set, because cell() is monotonic per dimension."""
+        [lo1, hi1] x [lo2, hi2]. Sufficient (a superset — no matching
+        row lives outside it) because cell() is monotonic per
+        dimension; minimal exactly when every cell index in the covered
+        ranges is occupied by some value, which can fail when 2**bits
+        exceeds a dimension's value range (cell() then skips indices
+        and the range enumeration lists empty cells — harmless for
+        pruning, just not minimal)."""
         c1_lo, c1_hi = self.cell(1, lo1), self.cell(1, hi1)
         c2_lo, c2_hi = self.cell(2, lo2), self.cell(2, hi2)
         return sorted(
@@ -83,24 +101,45 @@ class ZGrid:
 
 
 def _cell_expr(col: Column, lo: int, hi: int, bits: int) -> Column:
-    """Spark twin of ZGrid.cell — identical integer arithmetic."""
+    """Spark twin of ZGrid.cell — EXACT floor division, bit-identical to
+    the driver's Python ``//`` by construction. Spark's ``/`` on longs
+    goes through double, whose 53-bit mantissa could round the quotient
+    across an integer boundary on a wide key domain; a row would then
+    land in a bucket the driver never enumerates and be silently
+    dropped by partition pruning. So: take the double-floor as a ±1
+    candidate, then correct it with the exact long-arithmetic residual
+    (num - q*den is always long-exact; ZGrid.__post_init__ guarantees
+    num itself cannot overflow)."""
     clamped = F.greatest(F.least(col.cast("long"), F.lit(hi)), F.lit(lo))
-    return F.floor(((clamped - F.lit(lo)) * F.lit(1 << bits)) / F.lit(hi - lo + 1)).cast(
-        "long"
-    )
+    num = (clamped - F.lit(lo)) * F.lit(1 << bits)
+    den = F.lit(hi - lo + 1)
+    q = F.floor(num / den).cast("long")
+    r = num - q * den
+    return F.when(r < 0, q - 1).when(r >= den, q + 1).otherwise(q)
 
 
 def zvalue_expr(grid: ZGrid) -> Column:
     """Morton value of (grid.col1, grid.col2) as a pure bit-twiddling
     expression tree: 2*bits shift/and/shift terms, whole-stage-codegen
-    friendly, no Python in the row path."""
+    friendly, no Python in the row path.
+
+    NULL in either cluster key yields a NULL z-value (the write path
+    then files the row under the Hive null partition instead of
+    clamping it into the max cell, where an IS NULL query would have
+    to scan a data cell and a box scan would co-locate unrelated
+    rows). ``zorder_box_scan``'s bucket IN-list and exact BETWEEN both
+    evaluate NULL -> filtered out, so box queries skip the null
+    partition entirely — by semantics, not by luck. Without the guard,
+    F.least/F.greatest would silently skip the NULL and clamp to hi."""
     c1 = _cell_expr(F.col(grid.col1), grid.min1, grid.max1, grid.bits)
     c2 = _cell_expr(F.col(grid.col2), grid.min2, grid.max2, grid.bits)
     z = F.lit(0).cast("long")
     for i in range(grid.bits):
         z = z + F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)), 2 * i)
         z = z + F.shiftleft(F.shiftright(c2, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    return z
+    return F.when(
+        F.col(grid.col1).isNull() | F.col(grid.col2).isNull(), F.lit(None).cast("long")
+    ).otherwise(z)
 
 
 def fit_grid(df: DataFrame, col1: str, col2: str, bits: int = 3) -> ZGrid:

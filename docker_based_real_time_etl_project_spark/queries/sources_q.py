@@ -193,7 +193,7 @@ def _zordered_lineitem(spark: SparkSession, sf_dir: str):
     )
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
            MIN(l_orderkey) AS min_key,
            MAX(l_orderkey) AS max_key
@@ -222,7 +222,10 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi2 = grid.min2 + (grid.max2 - grid.min2) * 3 // 5
     return zorder_box_scan(zdf, grid, lo1, hi1, lo2, hi2).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        # dsum, not a bigint cast: the repo-wide exact-decimal convention
+        # for double columns (a truncating cast only agreed with DuckDB
+        # because l_quantity happens to be integer-valued)
+        dsum("l_quantity").alias("sum_qty"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),

@@ -241,3 +241,46 @@ def test_hot_gram_cap_bounds_postings_fanout(spark):
     calm = gram_postings_pairs(sh.filter(F.col("doc_id") < 2), max_df=1000)
     got_calm = {(r.id_a, r.id_b): (r.n_a, r.n_b, r.shared) for r in calm.collect()}
     assert got_calm == {(0, 1): (2, 2, 2)}
+
+
+def test_zorder_cell_twins_bit_identical_on_wide_domain(spark):
+    """The executor cell expression and the driver's ZGrid.cell must be
+    bit-identical even where (v - lo) * 2^bits exceeds 2^53: plain
+    double division could round the quotient across an integer
+    boundary there, and a row whose executor bucket falls outside the
+    driver-enumerated IN-list is silently LOST to partition pruning.
+    The expression uses exact floor-div (double candidate + long
+    residual correction), so cell-boundary-adjacent values on a
+    2^55-wide domain must agree exactly. NULL keys must yield NULL
+    z-values (the null partition), not clamp into the max cell."""
+    from docker_based_real_time_etl_project_spark.operators.zorder import (
+        ZGrid, zvalue_expr,
+    )
+
+    bits, lo, hi = 6, 0, (1 << 55) - 1
+    grid = ZGrid("a", "b", lo, hi, 0, 100, bits)
+    den = hi - lo + 1
+    vals = []
+    for c in range(1, 1 << bits):
+        edge = (c * den) >> bits  # first v at (or just below) cell c
+        vals.extend([edge - 1, edge, edge + 1])
+    rows = [(int(v), 50) for v in vals if lo <= v <= hi]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        r.a: r.z
+        for r in df.withColumn("z", zvalue_expr(grid)).collect()
+    }
+    for v, z in got.items():
+        want = grid.interleave(grid.cell(1, v), grid.cell(2, 50))
+        assert z == want, f"v={v}: executor {z} != driver {want}"
+
+    nulls = spark.createDataFrame([(None, 50), (3, None)], "a long, b long")
+    assert [r.z for r in nulls.withColumn("z", zvalue_expr(grid)).collect()] == [
+        None, None,
+    ]
+
+    # overflow-unsafe grids are refused at construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ZGrid("a", "b", 0, 1 << 60, 0, 100, 6)
