@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.operators.aggregates import rollup_bars
-from docker_based_real_time_etl_project_spark.operators.asof import asof_join_backward
+from docker_based_real_time_etl_project_spark.operators.asof import (
+    asof_join_backward, asof_join_backward_same_source,
+)
 from docker_based_real_time_etl_project_spark.queries.registry import (
     DEC, dround, dsum, register, sql_dround, sql_dsum, table,
 )
@@ -49,40 +51,33 @@ from docker_based_real_time_etl_project_spark.queries.registry import (
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase paired with the user's most recent
-    view at-or-before it (the point-in-time quote attach). The oracle
-    is the O(n^2) LATERAL formulation; the engine runs the
-    union-and-carry-forward form -- one shuffle, no pair blow-up
-    (operators/asof.py)."""
+    view at-or-before it (the point-in-time quote attach). Both sides
+    are predicates over the ONE events stream — the reference's own
+    pairing shape — so this runs the same-source carry-forward form:
+    one scan, one shuffle, no pair blow-up (operators/asof.py;
+    measured ~2x the two-scan form). The two-table general operator
+    stays exercised by q_join_asof_tol. The oracle is the O(n^2)
+    LATERAL formulation."""
     e = table(spark, sf_dir, "events")
-    trades = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("trade_id"),
-        "user_id",
-        F.col("ts").alias("trade_ts"),
-        F.col("value").alias("trade_value"),
+    ev = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id", "user_id", "ts", "value", "event_type"
     )
-    quotes = e.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("quote_id"),
-        F.col("value").alias("quote_value"),
-    )
-    out = asof_join_backward(
-        trades,
-        quotes,
+    out = asof_join_backward_same_source(
+        ev,
         on=["user_id"],
-        left_ts="trade_ts",
-        right_ts="ts",
-        carry={"quote_id": "quote_id", "quote_value": "quote_value", "ts": "quote_ts"},
-        right_tiebreak="quote_id",
+        ts_col="ts",
+        is_left=F.col("event_type") == "purchase",
+        carry={"event_id": "quote_id", "value": "quote_value", "ts": "quote_ts"},
+        right_tiebreak="event_id",
     )
     return out.select(
-        "trade_id",
+        F.col("event_id").alias("trade_id"),
         "user_id",
-        F.unix_micros("trade_ts").alias("trade_ts_us"),
-        "trade_value",
+        F.unix_micros("ts").alias("trade_ts_us"),
+        F.col("value").alias("trade_value"),
         "quote_id",
         "quote_value",
-        (F.unix_micros("trade_ts") - F.unix_micros("quote_ts")).alias("quote_age_us"),
+        (F.unix_micros("ts") - F.unix_micros("quote_ts")).alias("quote_age_us"),
     )
 
 

@@ -69,13 +69,16 @@ def test_minhash_shuffles_are_bounded(spark, sf_dir):
 
 
 def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
-    """The as-of join must stay in its union-and-carry-forward form:
-    ONE exchange on the key, ZERO physical join nodes. A join node
-    appearing means someone rewrote it into the O(|L|*|R|) pair
-    formulation."""
+    """The as-of join must stay in its carry-forward form: ONE exchange
+    on the key, ZERO physical join nodes (a join node appearing means
+    someone rewrote it into the O(|L|*|R|) pair formulation) — and,
+    since both sides are predicates of the one events stream, ONE scan
+    (the same-source tagged form; the two-scan union form is pinned on
+    q_join_asof_tol in test_round4_query_plan_shapes)."""
     df = _q("q_join_asof", spark, sf_dir)
     assert count_exchanges(df) == 1
     assert join_strategies(df) == {}
+    assert len(scan_infos(df)) == 1
 
 
 def test_rollup_cascade_one_shuffle_per_level(spark, sf_dir):

@@ -245,3 +245,51 @@ def test_asof_tolerance_drops_stale_matches(spark):
     assert out[1] == (100, 5.0)
     assert out[2] == (None, None)
     assert out[3] == (300, 7.0)
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=100),  # ts (ties likely)
+            st.integers(min_value=0, max_value=1),    # side: 0=quote, 1=trade
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_same_source_equals_general(spark, events):
+    """asof_join_backward_same_source (one scan, tag from a predicate)
+    must equal asof_join_backward over the two filtered sides — on
+    adversarial tiny inputs with shared timestamps, quote-less users,
+    and NULL-tolerance interplay off. Same tiebreak, same inclusivity."""
+    from docker_based_real_time_etl_project_spark.operators.asof import (
+        asof_join_backward, asof_join_backward_same_source,
+    )
+
+    rows = [
+        (i, int(u), float(ts), int(side)) for i, (u, ts, side) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, side long")
+    fused = {
+        (r.event_id, r.quote_id)
+        for r in asof_join_backward_same_source(
+            df, on=["user_id"], ts_col="ts", is_left=F.col("side") == 1,
+            carry={"event_id": "quote_id"}, right_tiebreak="event_id",
+        ).collect()
+    }
+    left = df.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("trade_id"), "user_id", F.col("ts").alias("trade_ts")
+    )
+    right = df.filter(F.col("side") == 0).select(
+        "user_id", "ts", F.col("event_id").alias("quote_id")
+    )
+    general = {
+        (r.trade_id, r.quote_id)
+        for r in asof_join_backward(
+            left, right, on=["user_id"], left_ts="trade_ts", right_ts="ts",
+            carry={"quote_id": "quote_id"}, right_tiebreak="quote_id",
+        ).collect()
+    }
+    assert fused == general
