@@ -23,48 +23,41 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E402
 
 # The driver's correctness gate checks the first 50 entries in queries()
-# iteration order. Round-4 window: (a) queries the driver has never
-# seen (the round-4 analytics/time-series pack + q_join_cross), (b) the
-# three r3 reds — all three were one root cause, the loader's hard-coded
-# nanos shim corrupting events.ts after the testdata regenerated as
-# timestamp[us]; the loader now sniffs the footer — re-verify, (c) every
-# OTHER events-time query: their greens predate the us regeneration and
-# were earned on nanos-era data, (d) the oldest (r1) greens, continuing
-# the rotation cadence. Remaining r1 greens re-enter in r5.
+# iteration order. Round-5 window, by staleness of driver evidence
+# (computed from CORRECTNESS_r01..r04): (a) the 8 queries the driver
+# has NEVER seen (incl. the rows-only sketch/ANN/media entries — the
+# driver's weaker rows-only check is still evidence; their oracled
+# twins are all already green), (b) queries whose implementation
+# changed this round (hash-gram postings rewrite, same-source as-of,
+# z-order exact cell math, vectorized frame sampling), (c) every
+# remaining r1-era green, (d) 20 of the 27 r2-era greens. After r5,
+# no oracled query's evidence is older than r2, and only 7 r2-era
+# greens remain for the r6 window (q_text_tokenize, q_win_rank,
+# q_win_distribution, q_doc_stats, q_token_count, q_lang_id,
+# q_quality_score — the linear text/window pack, whose shared helpers
+# this window's dedup/contamination queries exercise daily and two of
+# which run in bench every round).
 _DRIVER_WINDOW_PRIORITY = [
     # (a) never driver-verified
-    "q_funnel", "q_cohort_retention", "q_histogram",
-    "q_gap_fill_interp", "q_twap", "q_join_asof_tol",
-    "q_join_cross", "q_cdc_agg_incremental",
-    "q_transition_matrix", "q_outliers_zscore", "q_stream_cdc_agg",
-    "q_rolling_active_users", "q_stream_join_outer", "q_zorder_pruned_scan",
-    # (b) r3 reds, root cause fixed (parquet timestamp-precision sniff)
-    "q_gap_fill", "q_join_asof", "q_win_range_frame",
-    # (c) events-time queries re-verifying on post-regeneration data
-    "q_ohlcv_1h", "q_ticker_24h", "q_session_window", "q_rollup_cascade",
-    "q_date_trunc_extract", "q_dedup_latest", "q_win_lag", "q_win_moving",
-    "q_json_extract", "q_date_arith",
-    "q_stream_ohlcv_1h", "q_stream_sliding_24h", "q_stream_session_window",
-    "q_stream_stateful_totals", "q_stream_static_join",
-    "q_stream_stream_join", "q_stream_dedup_latest",
-    # (d) oldest greens (last verified r1), rotating back in
-    # (q_dedup_minhash is rows-only by design — its oracled twin
-    #  q_dedup_minhash_pairs carries the hash evidence — so the slot
-    #  goes to q_str_funcs to keep the window 50/50 hash-checkable)
-    "q_str_funcs", "q_agg_salted", "q_join_star", "q_join_left",
-    "q_join_semi", "q_join_range", "q_filter_pred", "q_project_cast",
-    "q_topk_orders", "q_agg_distinct", "q_rollup", "q_cube",
-    "q_grouping_sets", "q_union_all",
-    # (e) implementation changed this round -> must re-verify:
-    # inverted-index postings rewrite (both), edge-touched propagation
-    "q_ngram_jaccard", "q_dedup_clusters",
-    # (still r1-green, rotate in r5: q_intersect, q_union_distinct, q_exists_subquery, q_scalar_subquery,
-    #  q_pivot, q_null_handling, q_array_agg_sorted,
-    #  q_percentiles, q_filtered_agg, q_math_round_pct,
-    #  q_arr_elem, q_arr_explode, q_arr_zip, q_media_resize_meta,
-    #  q_media_frame_sample, q_media_features, q_ngram_jaccard,
-    #  q_udf_scalar, q_dedup_simhash, q_agg_approx_distinct,
-    #  q_dedup_minhash rows-only)
+    "q_top_paths", "q_containment", "q_dedup_minhash", "q_dedup_simhash",
+    "q_media_features", "q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
+    # (b) implementation changed this round -> must re-verify
+    "q_ngram_jaccard", "q_dedup_clusters", "q_contamination",
+    "q_join_asof", "q_join_asof_tol", "q_zorder_pruned_scan",
+    # (c) r1-era greens (oldest hash evidence in the registry)
+    "q_math_round_pct", "q_arr_elem", "q_arr_explode", "q_arr_zip",
+    "q_udf_scalar", "q_media_resize_meta", "q_media_frame_sample",
+    "q_intersect", "q_exists_subquery", "q_scalar_subquery", "q_pivot",
+    "q_null_handling", "q_array_agg_sorted", "q_percentiles",
+    "q_union_distinct", "q_filtered_agg",
+    # (d) r2-era greens
+    "q_dedup_minhash_pairs", "q_dedup_embedding", "q_embed_centroids",
+    "q_embed_norms", "q_udaf_median", "q_sample_split",
+    "q_sample_stratified", "q_media_meta_stats", "q_join_anti",
+    "q_approx_distinct_err", "q_except", "q_percentiles_approx",
+    "q_regexp_all", "q_join_salted", "q_heavy_hitters_cms",
+    "q_source_csv", "q_source_json", "q_fingerprint", "q_tfidf",
+    "q_udtf_chunk",
 ]
 
 
