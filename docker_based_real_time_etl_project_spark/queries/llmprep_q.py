@@ -336,3 +336,213 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap (boilerplate-farm guard)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_domain_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, rnk FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 3
+    """,
+    tags=("llm", "sampling"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most N (=3 here) documents per
+    source, preferring the longest (n_chars DESC, doc_id tiebreak) —
+    the guard against a single boilerplate farm dominating a crawl
+    slice (per-domain caps are standard crawl-curation practice;
+    C4/RefinedWeb-style). One window over the source partitioning,
+    rank filter inside the same stage: a single exchange, and at
+    100 TB the per-source state is a 3-row heap per partition, never
+    a sort of the whole corpus."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs straddling train/val/test
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_split_leakage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN t < 8000 THEN 'train'
+                  WHEN t < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, {_sql_ticket('doc_id')} AS t FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.grams, b.grams))
+                   / CAST(len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams)) AS DOUBLE),
+                   6) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.grams, b.grams))
+            / CAST(len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) >= 0.3
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+    tags=("llm", "dedup", "sampling"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (exact 3-gram Jaccard
+    >= 0.3, source-blocked — the same gram_postings_pairs machinery as
+    q_ngram_jaccard) whose two documents landed in DIFFERENT
+    train/val/test splits. A near-dup straddling train and test leaks
+    evaluation data into training even after per-doc dedup 'passed' —
+    this is the audit that says the split must be cluster-aware. The
+    split comes from the SAME hash tickets as q_sample_split, so the
+    audit checks the split the sampler would actually emit. The ticket
+    attach is two hash joins of a 2-column doc->split table against
+    the (small) pair list."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        gram_postings_pairs, shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    pairs = (
+        gram_postings_pairs(sh, block_col="source")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+    t = hash_ticket(F.col("doc_id"))
+    sp = d.select(
+        "doc_id",
+        F.when(t < 8000, "train").when(t < 9000, "val").otherwise("test").alias("split"),
+    )
+    return (
+        pairs.join(sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"}), "id_a")
+        .join(sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"}), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contamination span: longest run of consecutive shared 5-grams
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_contamination_span",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_sql_ticket('doc_id')} AS ticket,
+             {_sql_shingles(5)} AS gl
+      FROM documents
+    ),
+    train_g AS (
+      SELECT DISTINCT unnest(list_distinct(gl)) AS gram
+      FROM g WHERE ticket < 8000
+    ),
+    test_pos AS (
+      SELECT doc_id,
+             unnest(range(1, len(gl) + 1)) AS pos,
+             unnest(gl) AS gram
+      FROM g WHERE ticket >= 9000
+    ),
+    flagged AS (
+      SELECT doc_id, pos, gram IN (SELECT gram FROM train_g) AS shared
+      FROM test_pos
+    ),
+    isl AS (
+      SELECT doc_id,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged WHERE shared
+    ),
+    spans AS (SELECT doc_id, COUNT(*) AS span FROM isl GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT doc_id, MAX(span) AS max_span,
+             CAST(SUM(span) AS BIGINT) AS n_shared
+      FROM spans GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM test_pos GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(p.max_span, 0) AS max_span,
+           COALESCE(p.n_shared, 0) AS n_shared
+    FROM totals t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SPAN metric: per test document, the longest run of
+    CONSECUTIVE word 5-grams that also occur in the train split (plus
+    the total shared-occurrence count). A 50-gram verbatim quote and
+    50 scattered common phrases have the same q_contamination
+    fraction; only the span metric separates them — spans are what
+    ExactSubstr-style decontamination actually removes. Gaps-and-
+    islands over gram positions: flag each occurrence via a hash join
+    against the train gram set (xxhash64 keys, as q_contamination),
+    then pos - row_number() within shared rows groups each
+    consecutive run, and two small aggregates produce per-doc span
+    stats. Shuffles: train distinct, the flag join, and the per-doc
+    window — all on 8-byte keys."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+        shingles("text", 5).alias("grams"),  # positional: NOT distinct
+    )
+    train_g = (
+        d.filter(F.col("ticket") < 8000)
+        .select(F.explode(F.array_distinct("grams")).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_pos = (
+        d.filter(F.col("ticket") >= 9000)
+        .select("doc_id", F.posexplode("grams").alias("pos", "g"))
+        .select("doc_id", "pos", F.xxhash64("g").alias("gh"))
+    )
+    flagged = test_pos.join(train_g, "gh", "left")
+    shared_rows = flagged.filter(F.col("hit").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = shared_rows.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("span"))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.max("span").alias("max_span"), F.sum("span").alias("n_shared")
+    )
+    totals = test_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("max_span", F.lit(0)).alias("max_span"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )

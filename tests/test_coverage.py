@@ -18,7 +18,8 @@ REQUIRED_PREFIXES = {
              "q_priority_waiting", "q_market_share", "q_top_supplier",
              "q_supplier_cnt", "q_excess_shippers"),
     "llm": ("q_contamination", "q_repetition_ratio", "q_pii_scrub",
-            "q_chunk_dedup"),
+            "q_chunk_dedup", "q_contamination_span", "q_split_leakage",
+            "q_domain_cap"),
     "agg": ("q_pricing_summary", "q_agg_distinct", "q_rollup", "q_cube",
             "q_grouping_sets", "q_pivot", "q_agg_salted", "q_percentiles"),
     "window": ("q_win_rank", "q_win_lag", "q_win_moving", "q_win_ntile"),
