@@ -308,3 +308,108 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = replay_events(spark, src).filter(F.col("event_type") == "purchase")
     out = stream_stream_join_outer(clicks, purchases)
     return run_to_memory(out, output_mode="append", state_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Streaming LLM-prep: the contamination screen running AS the corpus
+# streams in
+# ---------------------------------------------------------------------------
+
+_DOC_SLICE_CACHE: dict[str, str] = {}
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> DataFrame:
+    """documents replayed as an 8-micro-batch file stream in doc_id
+    (ingest) order — one slicing pass per sf_dir per session."""
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table, slice_table_to_dir,
+    )
+
+    if sf_dir not in _DOC_SLICE_CACHE:
+        _DOC_SLICE_CACHE[sf_dir] = slice_table_to_dir(
+            spark, sf_dir, "documents", "doc_id", n_slices=n_slices
+        )
+    return replay_table(spark, _DOC_SLICE_CACHE[sf_dir], "documents")
+
+
+def _contamination_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _sql_shingles,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _sql_ticket,
+    )
+
+    return f"""
+    WITH grams AS (
+      SELECT doc_id,
+             {_sql_ticket('doc_id')} AS ticket,
+             unnest(list_distinct({_sql_shingles(5)})) AS g
+      FROM documents
+    ),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE ticket < 8000),
+    test_g  AS (SELECT doc_id, g FROM grams WHERE ticket >= 9000),
+    totals  AS (SELECT doc_id, COUNT(*) AS n_grams FROM test_g GROUP BY doc_id),
+    shared  AS (
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM test_g WHERE g IN (SELECT g FROM train_g)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) / t.n_grams AS contamination
+    FROM totals t LEFT JOIN shared s USING (doc_id)
+    """
+
+
+@register(
+    "q_stream_contamination",
+    oracle=_contamination_oracle(),
+    tags=("streaming", "llm", "dedup"),
+)
+def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination screen AS an ingest gate: documents arrive as
+    an 8-micro-batch stream; each batch's test-split docs explode to
+    5-gram hashes and stream-static LEFT-join the (static) train gram
+    set; a complete-mode per-doc aggregate accumulates gram/shared
+    counts across batches. Hash-matches the SAME oracle as the batch
+    q_contamination — the streaming screen must agree with the batch
+    screen exactly.
+
+    The stream-static join is stateless (each batch joins
+    independently; the static side never buffers), which is what makes
+    the screen deployable at ingest time: at 100 TB the train gram set
+    is a bucketed static table (or a bloom-filter prefilter + exact
+    join on the survivors, SCALE.md), and counts are exact integers so
+    complete-mode state merge is order-free."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import shingles
+    from docker_based_real_time_etl_project_spark.queries.registry import table as _t
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
+
+    train_g = (
+        _t(spark, sf_dir, "documents")
+        .filter(hash_ticket(F.col("doc_id")) < 8000)
+        .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_g = (
+        _doc_stream(spark, sf_dir)
+        .filter(hash_ticket(F.col("doc_id")) >= 9000)
+        .select("doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+    )
+    out = (
+        test_g.join(train_g, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+    )
+    res = run_to_memory(out, output_mode="complete", state_partitions=8)
+    return res.select(
+        "doc_id", "n_grams", "n_shared",
+        (F.col("n_shared") / F.col("n_grams")).alias("contamination"),
+    )

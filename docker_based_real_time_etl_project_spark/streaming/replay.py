@@ -42,12 +42,35 @@ def slice_events_to_dir(
     source orders by modification time, so mtimes are stamped strictly
     increasing in slice order after the write.
     """
-    ev = load_table(spark, sf_dir, "events")
-    out = out_dir or tempfile.mkdtemp(prefix="events_stream_")
+    return slice_table_to_dir(
+        spark, sf_dir, "events", "ts",
+        n_slices=n_slices, out_dir=out_dir, hold_back_range=hold_back_range,
+        prefix="events_stream_",
+    )
+
+
+def slice_table_to_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_col: str,
+    n_slices: int = 8,
+    out_dir: str | None = None,
+    hold_back_range: tuple[int, int] | None = None,
+    prefix: str | None = None,
+) -> str:
+    """Generalized replay slicer: any testdata table becomes an
+    `n_slices`-micro-batch file stream, sliced into contiguous
+    ``order_col`` ranges (arrival order = that column's order). Used
+    with ``order_col='ts'`` for event-time replay and with
+    ``order_col='doc_id'`` to replay a corpus arriving in ingest
+    order (the streaming-LLM-prep queries)."""
+    ev = load_table(spark, sf_dir, table)
+    out = out_dir or tempfile.mkdtemp(prefix=prefix or f"{table}_stream_")
     bounds = ev.selectExpr(
-        f"percentile_approx(cast(ts as double), array({','.join(str((i + 1) / n_slices) for i in range(n_slices - 1))}), 10000) p"
+        f"percentile_approx(cast({order_col} as double), array({','.join(str((i + 1) / n_slices) for i in range(n_slices - 1))}), 10000) p"
     ).collect()[0]["p"]
-    tsd = F.col("ts").cast("double")
+    tsd = F.col(order_col).cast("double")
     slice_idx = F.lit(n_slices - 1)
     for i in range(n_slices - 2, -1, -1):
         slice_idx = F.when(tsd <= bounds[i], i).otherwise(slice_idx)
@@ -90,8 +113,19 @@ def replay_events(
     ``maxFilesPerTrigger=1`` -> one slice per micro-batch, so an
     availableNow run still exercises multi-batch state transitions.
     """
+    return replay_table(spark, slices_dir, "events", max_files_per_trigger)
+
+
+def replay_table(
+    spark: SparkSession,
+    slices_dir: str,
+    table: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Generalized replay reader: declared-schema file stream over any
+    table's slice dir (see :func:`slice_table_to_dir`)."""
     return (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        spark.readStream.schema(TESTDATA_SCHEMAS[table])
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
