@@ -525,3 +525,29 @@ def test_postings_joins_hash_key_not_gram_text(spark, sf_dir):
         assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_round5_llmprep_plan_shapes(spark, sf_dir):
+    """Scale pins for the round-5 LLM-prep additions:
+
+    - q_domain_cap: ONE exchange (the source window), no joins — a
+      per-source top-N must never become a global sort or a self-join.
+    - q_contamination_span: the flag join + islands window + two
+      aggregates stay within 5 exchanges, all on 8-byte or doc_id
+      keys; no cartesian; the only scan is documents.
+    - q_split_leakage: postings join (hash-keyed) + two ticket
+      attaches; no cartesian anywhere.
+    """
+    cap = _q("q_domain_cap", spark, sf_dir)
+    assert count_exchanges(cap) == 1
+    assert join_strategies(cap) == {}
+    assert len(scan_infos(cap)) == 1
+
+    span = _q("q_contamination_span", spark, sf_dir)
+    assert count_exchanges(span) <= 5
+    assert join_strategies(span).get("CartesianProduct", 0) == 0
+    assert "xxhash64" in formatted_plan(span)
+
+    leak = _q("q_split_leakage", spark, sf_dir)
+    assert join_strategies(leak).get("CartesianProduct", 0) == 0
+    assert "xxhash64" in formatted_plan(leak)
