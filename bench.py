@@ -59,6 +59,10 @@ HEADLINE = [
     "q_funnel",            # stacked conditional-min windows, one exchange
     "q_gap_fill_interp",   # spine gapfill + linear interpolation frames
     "q_twap",              # time-weighted average, exact integer accumulation
+    # round 5 additions
+    "q_contamination_span",  # gaps-and-islands longest shared-gram run
+    "q_split_leakage",       # near-dup pairs straddling splits (postings join)
+    "q_domain_cap",          # per-source top-N window
 ]
 
 
