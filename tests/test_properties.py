@@ -293,3 +293,46 @@ def test_asof_same_source_equals_general(spark, events):
         ).collect()
     }
     assert fused == general
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    block=st.lists(st.integers(min_value=0, max_value=1), min_size=12, max_size=12),
+)
+def test_gram_postings_pairs_matches_bruteforce(spark, docs, block):
+    """gram_postings_pairs == brute-force pairwise distinct-gram
+    intersection on random tiny corpora (single-char 'grams' from a
+    small alphabet force heavy gram sharing): every same-block pair
+    with >= 1 shared distinct gram appears exactly once with the exact
+    (n_a, n_b, shared) triple; no cross-block or self pairs. Cap
+    disabled so the property is the uncapped exact contract (the cap's
+    own semantics are pinned by the Zipf stress test)."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        gram_postings_pairs,
+    )
+
+    rows = [
+        (i, str(block[i]), sorted(set(g)))
+        for i, g in enumerate(docs)
+    ]
+    sh = spark.createDataFrame(
+        rows, "doc_id long, source string, grams array<string>"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.shared)
+        for r in gram_postings_pairs(sh, max_df=None).collect()
+    }
+    want = {}
+    for i, (ia, ba, ga) in enumerate(rows):
+        for ib, bb, gb in rows[i + 1:]:
+            if ba != bb:
+                continue
+            shared = len(set(ga) & set(gb))
+            if shared:
+                want[(ia, ib)] = (len(ga), len(gb), shared)
+    assert got == want
