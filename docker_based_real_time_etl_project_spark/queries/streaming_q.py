@@ -413,3 +413,55 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_shared",
         (F.col("n_shared") / F.col("n_grams")).alias("contamination"),
     )
+
+
+@register(
+    "q_stream_join_asof",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id AS trade_id, user_id, ts AS trade_ts, value AS trade_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.trade_id, t.user_id,
+           epoch_us(t.trade_ts) AS trade_ts_us, t.trade_value,
+           q.quote_id, q.quote_value,
+           epoch_us(t.trade_ts) - epoch_us(q.ts) AS quote_age_us
+    FROM trades t
+    LEFT JOIN LATERAL (
+      SELECT quote_id, quote_value, ts
+      FROM quotes q
+      WHERE q.user_id = t.user_id AND q.ts <= t.trade_ts
+      ORDER BY q.ts DESC, q.quote_id DESC LIMIT 1
+    ) q ON TRUE
+    """,
+    tags=("streaming", "join", "timeseries"),
+)
+def q_stream_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of join — the temporal join Spark has no built-in
+    for: each purchase, as it arrives over 8 replayed micro-batches, is
+    emitted once with the user's latest view at-or-before it, carried
+    as ONE applyInPandasWithState tuple per key (streaming/stateful.py:
+    asof_attach_stream). Hash-matches the SAME O(n^2) LATERAL oracle as
+    the batch q_join_asof: the O(keys)-state streaming operator and the
+    full-history batch window must agree exactly. The time-range replay
+    slices guarantee the per-key ts-monotone arrival the operator
+    documents (equal timestamps always share a slice)."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        asof_attach_stream,
+    )
+
+    tagged = (
+        _stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id", "user_id", "ts", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("side"),
+        )
+    )
+    return run_to_memory(
+        asof_attach_stream(tagged), output_mode="append", state_partitions=8
+    )

@@ -99,6 +99,8 @@ def slice_table_to_dir(
     base = max([time.time(), *[m + 2.0 for m in existing]])
     for rank, i in enumerate(sorted(keep)):
         d = os.path.join(out, f"slice={i:03d}")
+        if not os.path.isdir(d):
+            continue  # a quantile bucket can be empty on tiny tables
         for f in os.listdir(d):
             p = os.path.join(d, f)
             os.utime(p, (base + 2 * rank, base + 2 * rank))

@@ -74,3 +74,120 @@ def final_totals(emitted: DataFrame) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("value_sum", "n_events").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of join (temporal join): attach latest right-side state
+# ---------------------------------------------------------------------------
+
+_ASOF_OUT = T.StructType(
+    [
+        T.StructField("trade_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("trade_ts_us", T.LongType()),
+        T.StructField("trade_value", T.DoubleType()),
+        T.StructField("quote_id", T.LongType()),
+        T.StructField("quote_value", T.DoubleType()),
+        T.StructField("quote_age_us", T.LongType()),
+    ]
+)
+_ASOF_STATE = T.StructType(
+    [
+        T.StructField("q_id", T.LongType()),
+        T.StructField("q_val", T.DoubleType()),
+        T.StructField("q_ts_us", T.LongType()),
+    ]
+)
+
+
+def _attach_asof(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    q_id, q_val, q_ts = state.get if state.exists else (None, None, None)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic event order inside the batch: quotes before trades at
+    # equal ts (inclusive match), event_id as the final tiebreak
+    pdf = pdf.sort_values(["ts", "side", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    side = pdf["side"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    val = pdf["value"].to_numpy()
+    # vectorized within-batch carry: index of the latest quote row at or
+    # before each row (-1 = none yet in this batch -> fall back to state)
+    is_q = side == 0
+    last_q = np.maximum.accumulate(np.where(is_q, np.arange(len(pdf)), -1))
+    tr = np.flatnonzero(side == 1)
+    src = last_q[tr]
+    in_batch = src >= 0
+    qid_out = np.where(in_batch, eid[np.maximum(src, 0)], np.nan)
+    qval_out = np.where(in_batch, val[np.maximum(src, 0)], np.nan)
+    qts_out = np.where(in_batch, ts_us[np.maximum(src, 0)], np.nan)
+    if q_id is not None:
+        qid_out = np.where(in_batch, qid_out, q_id)
+        qval_out = np.where(in_batch, qval_out, q_val)
+        qts_out = np.where(in_batch, qts_out, q_ts)
+    # roll the state forward to the batch's latest quote
+    if is_q.any():
+        last = int(np.flatnonzero(is_q)[-1])
+        state.update((int(eid[last]), float(val[last]), int(ts_us[last])))
+    elif state.exists:
+        state.update((q_id, q_val, q_ts))
+    has_q = ~np.isnan(qid_out)
+    yield pd.DataFrame(
+        {
+            "trade_id": eid[tr],
+            "user_id": np.full(len(tr), key[0], dtype="int64"),
+            "trade_ts_us": ts_us[tr],
+            "trade_value": val[tr],
+            "quote_id": pd.array(
+                [int(v) if ok else None for v, ok in zip(qid_out, has_q)],
+                dtype="Int64",
+            ),
+            "quote_value": qval_out,
+            "quote_age_us": pd.array(
+                [
+                    int(t - q) if ok else None
+                    for t, q, ok in zip(ts_us[tr], qts_out, has_q)
+                ],
+                dtype="Int64",
+            ),
+        }
+    )
+
+
+def asof_attach_stream(tagged: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """STREAMING as-of join (the temporal join Spark lacks; Flink calls
+    it a temporal table join): per key, every left row (``side`` 1) is
+    emitted once, carrying the latest right row (``side`` 0) at or
+    before its timestamp — right state is ONE tuple per key, updated as
+    right rows flow past.
+
+    Input: a single tagged stream with columns (event_id, user_id, ts,
+    value, side) — the same same-source shape as the batch
+    ``asof_join_backward_same_source``. Correctness across micro-batches
+    requires per-key ts-monotone arrival (equal timestamps must share a
+    batch), which the engine's time-range replay slicing guarantees and
+    a Kafka source partitioned by key with in-order producers matches;
+    within a batch, order is re-established by an explicit sort.
+
+    The batch window form needs the full history shuffled per query; this
+    form's state is O(keys) — ONE carried tuple per key however long the
+    stream runs, which is what makes the operator deployable on an
+    unbounded stream. applyInPandasWithState processes whole Arrow
+    batches; the carry is a vectorized maximum.accumulate, no per-row
+    Python."""
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attach_asof,
+            outputStructType=_ASOF_OUT,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -186,3 +186,77 @@ def test_concurrent_streaming_queries(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     assert spark.table(names[1]).count() == total
     assert spark.table(names[0]).count() > 0
+
+
+def test_stream_asof_state_carries_across_batches(spark, tmp_path):
+    """A quote must attach to a trade arriving SEVERAL micro-batches
+    later purely via the carried state tuple: 3 slices where the only
+    quote for user 1 is in slice 0 and their trades are in slices 1
+    and 2; a quote-less user's trades emit NULL quote fields; a
+    same-timestamp (quote, trade) pair in one slice matches
+    inclusively. Emitted rows equal the batch same-source as-of."""
+    from datetime import datetime, timezone
+
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table, slice_table_to_dir,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        asof_attach_stream,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+        run_to_memory,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 12, minute, tzinfo=timezone.utc)
+
+    rows = [
+        # event_id, user_id, event_type, ts, value
+        (1, 1, "view", t(0), 5.0),       # slice 0: the only quote for user 1
+        (2, 2, "purchase", t(1), 9.0),   # slice 0: user 2 never sees a quote
+        (3, 1, "purchase", t(10), 1.0),  # slice 1: one batch later
+        (4, 1, "view", t(20), 6.0),      # slice 2 (same ts as the trade below)
+        (5, 1, "purchase", t(20), 2.0),  # slice 2: inclusive same-ts match
+    ]
+    # one single-file table, exactly like the driver testdata layout
+    # (the loader's footer sniff reads the file directly)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "user_id": pa.array(cols[1], pa.int64()),
+            "event_type": pa.array(cols[2], pa.string()),
+            "ts": pa.array(cols[3], pa.timestamp("us", tz="UTC")),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    src = str(tmp_path / "mini_sf")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(tbl, f"{src}/events.parquet")
+
+    slices = slice_table_to_dir(spark, src, "events", "ts", n_slices=3)
+    tagged = (
+        replay_table(spark, slices, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id", "user_id", "ts", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("side"),
+        )
+    )
+    got = {
+        r.trade_id: (r.quote_id, r.quote_value, r.quote_age_us)
+        for r in run_to_memory(
+            asof_attach_stream(tagged), output_mode="append", state_partitions=2
+        ).collect()
+    }
+    assert got == {
+        2: (None, None, None),                    # no quote for user 2
+        3: (1, 5.0, 10 * 60 * 1_000_000),         # carried from slice 0 state
+        5: (4, 6.0, 0),                           # same-ts inclusive, same slice
+    }
