@@ -465,3 +465,56 @@ def q_stream_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         asof_attach_stream(tagged), output_mode="append", state_partitions=8
     )
+
+
+@register(
+    "q_stream_join_asof_tol",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id AS trade_id, user_id, ts AS trade_ts, value AS trade_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.trade_id, t.user_id,
+           epoch_us(t.trade_ts) AS trade_ts_us, t.trade_value,
+           q.quote_id, q.quote_value,
+           epoch_us(t.trade_ts) - epoch_us(q.ts) AS quote_age_us
+    FROM trades t
+    LEFT JOIN LATERAL (
+      SELECT quote_id, quote_value, ts
+      FROM quotes q
+      WHERE q.user_id = t.user_id AND q.ts <= t.trade_ts
+        AND q.ts >= t.trade_ts - INTERVAL 1 HOUR
+      ORDER BY q.ts DESC, q.quote_id DESC LIMIT 1
+    ) q ON TRUE
+    """,
+    tags=("streaming", "join", "timeseries"),
+)
+def q_stream_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join with a 1 h staleness bound: the carried
+    per-key state tuple still rolls forward with every quote, but a
+    trade whose latest quote is older than the bound emits NULL quote
+    columns — evaluated per trade against its own timestamp, exactly
+    the batch q_join_asof_tol semantics (and the same LATERAL+INTERVAL
+    oracle). The state itself is NOT dropped at the bound: a newer
+    quote may bring the key back inside tolerance for later trades."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        asof_attach_stream,
+    )
+
+    tagged = (
+        _stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id", "user_id", "ts", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("side"),
+        )
+    )
+    return run_to_memory(
+        asof_attach_stream(tagged, tolerance_us=3_600_000_000),
+        output_mode="append",
+        state_partitions=8,
+    )

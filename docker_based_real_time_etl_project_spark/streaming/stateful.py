@@ -100,66 +100,80 @@ _ASOF_STATE = T.StructType(
 )
 
 
-def _attach_asof(
-    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    import numpy as np
+def _make_attach_asof(tolerance_us: int | None):
+    def _attach_asof(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
 
-    q_id, q_val, q_ts = state.get if state.exists else (None, None, None)
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    # deterministic event order inside the batch: quotes before trades at
-    # equal ts (inclusive match), event_id as the final tiebreak
-    pdf = pdf.sort_values(["ts", "side", "event_id"], kind="mergesort").reset_index(
-        drop=True
-    )
-    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-    side = pdf["side"].to_numpy()
-    eid = pdf["event_id"].to_numpy()
-    val = pdf["value"].to_numpy()
-    # vectorized within-batch carry: index of the latest quote row at or
-    # before each row (-1 = none yet in this batch -> fall back to state)
-    is_q = side == 0
-    last_q = np.maximum.accumulate(np.where(is_q, np.arange(len(pdf)), -1))
-    tr = np.flatnonzero(side == 1)
-    src = last_q[tr]
-    in_batch = src >= 0
-    qid_out = np.where(in_batch, eid[np.maximum(src, 0)], np.nan)
-    qval_out = np.where(in_batch, val[np.maximum(src, 0)], np.nan)
-    qts_out = np.where(in_batch, ts_us[np.maximum(src, 0)], np.nan)
-    if q_id is not None:
-        qid_out = np.where(in_batch, qid_out, q_id)
-        qval_out = np.where(in_batch, qval_out, q_val)
-        qts_out = np.where(in_batch, qts_out, q_ts)
-    # roll the state forward to the batch's latest quote
-    if is_q.any():
-        last = int(np.flatnonzero(is_q)[-1])
-        state.update((int(eid[last]), float(val[last]), int(ts_us[last])))
-    elif state.exists:
-        state.update((q_id, q_val, q_ts))
-    has_q = ~np.isnan(qid_out)
-    yield pd.DataFrame(
-        {
-            "trade_id": eid[tr],
-            "user_id": np.full(len(tr), key[0], dtype="int64"),
-            "trade_ts_us": ts_us[tr],
-            "trade_value": val[tr],
-            "quote_id": pd.array(
-                [int(v) if ok else None for v, ok in zip(qid_out, has_q)],
-                dtype="Int64",
-            ),
-            "quote_value": qval_out,
-            "quote_age_us": pd.array(
-                [
-                    int(t - q) if ok else None
-                    for t, q, ok in zip(ts_us[tr], qts_out, has_q)
-                ],
-                dtype="Int64",
-            ),
-        }
-    )
+        q_id, q_val, q_ts = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic event order inside the batch: quotes before trades
+        # at equal ts (inclusive match), event_id as the final tiebreak
+        pdf = pdf.sort_values(
+            ["ts", "side", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        side = pdf["side"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        val = pdf["value"].to_numpy()
+        # vectorized within-batch carry: index of the latest quote row at
+        # or before each row (-1 = none yet in batch -> fall back to state)
+        is_q = side == 0
+        last_q = np.maximum.accumulate(np.where(is_q, np.arange(len(pdf)), -1))
+        tr = np.flatnonzero(side == 1)
+        src = last_q[tr]
+        in_batch = src >= 0
+        qid_out = np.where(in_batch, eid[np.maximum(src, 0)], np.nan)
+        qval_out = np.where(in_batch, val[np.maximum(src, 0)], np.nan)
+        qts_out = np.where(in_batch, ts_us[np.maximum(src, 0)], np.nan)
+        if q_id is not None:
+            qid_out = np.where(in_batch, qid_out, q_id)
+            qval_out = np.where(in_batch, qval_out, q_val)
+            qts_out = np.where(in_batch, qts_out, q_ts)
+        # roll the state forward to the batch's latest quote. The state
+        # tuple is kept even under a tolerance (the bound is evaluated
+        # per trade against the trade's own timestamp, exactly like the
+        # batch operator's post-window predicate — dropping state early
+        # would change semantics for a later trade inside the bound).
+        if is_q.any():
+            last = int(np.flatnonzero(is_q)[-1])
+            state.update((int(eid[last]), float(val[last]), int(ts_us[last])))
+        elif state.exists:
+            state.update((q_id, q_val, q_ts))
+        has_q = ~np.isnan(qid_out)
+        if tolerance_us is not None:
+            # a carried quote older than the bound nulls out atomically
+            has_q &= ts_us[tr] - qts_out <= tolerance_us
+        yield pd.DataFrame(
+            {
+                "trade_id": eid[tr],
+                "user_id": np.full(len(tr), key[0], dtype="int64"),
+                "trade_ts_us": ts_us[tr],
+                "trade_value": val[tr],
+                "quote_id": pd.array(
+                    [int(v) if ok else None for v, ok in zip(qid_out, has_q)],
+                    dtype="Int64",
+                ),
+                "quote_value": np.where(has_q, qval_out, np.nan),
+                "quote_age_us": pd.array(
+                    [
+                        int(t - q) if ok else None
+                        for t, q, ok in zip(ts_us[tr], qts_out, has_q)
+                    ],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return _attach_asof
 
 
-def asof_attach_stream(tagged: DataFrame, watermark: str = "4 hours") -> DataFrame:
+def asof_attach_stream(
+    tagged: DataFrame,
+    watermark: str = "4 hours",
+    tolerance_us: int | None = None,
+) -> DataFrame:
     """STREAMING as-of join (the temporal join Spark lacks; Flink calls
     it a temporal table join): per key, every left row (``side`` 1) is
     emitted once, carrying the latest right row (``side`` 0) at or
@@ -179,12 +193,16 @@ def asof_attach_stream(tagged: DataFrame, watermark: str = "4 hours") -> DataFra
     stream runs, which is what makes the operator deployable on an
     unbounded stream. applyInPandasWithState processes whole Arrow
     batches; the carry is a vectorized maximum.accumulate, no per-row
-    Python."""
+    Python.
+
+    ``tolerance_us`` bounds staleness exactly like the batch operator's
+    ``tolerance``: a carried quote older than the bound (relative to
+    each trade's own timestamp) nulls the whole attached tuple."""
     return (
         tagged.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _attach_asof,
+            _make_attach_asof(tolerance_us),
             outputStructType=_ASOF_OUT,
             stateStructType=_ASOF_STATE,
             outputMode="append",
