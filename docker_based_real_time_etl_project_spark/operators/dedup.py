@@ -248,6 +248,14 @@ def minhash_neardup_pairs(
          intersect on the two shingle sets).
     Never materializes the n^2 pair space; candidates ~ docs * avg
     bucket size.
+
+    Measured dead end (do not retry): folding the gram set into the
+    signature aggregate (collect_set alongside the 64 mins) to spare
+    the verify sides their re-shingling makes the WHOLE aggregate an
+    ObjectHashAggregate — no whole-stage codegen for the 64-min hot
+    path, every consumer pays it — and AQE does not reuse the wider
+    exchange across the three consumers at bench scale: net +25%
+    wall over the re-derivation this keeps (2.44s vs 1.95s at sf0.1).
     """
     rows_per_band = n_hashes // bands
     sh = df.select(
