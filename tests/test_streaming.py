@@ -260,3 +260,73 @@ def test_stream_asof_state_carries_across_batches(spark, tmp_path):
         3: (1, 5.0, 10 * 60 * 1_000_000),         # carried from slice 0 state
         5: (4, 6.0, 0),                           # same-ts inclusive, same slice
     }
+
+
+def test_stream_asof_out_of_order_degrades_as_documented(spark, tmp_path):
+    """asof_attach_stream's contract is per-key ts-monotone arrival
+    ACROSS batches. This pins the documented degradation when that is
+    violated (slicing by event_id so a quote with an older ts arrives
+    a batch late): the already-emitted trade keeps NULL (append mode —
+    no retro-update), the late quote still rolls the state forward,
+    and a later trade picks it up. No crash, no duplicate emission."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+        run_to_memory,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table, slice_table_to_dir,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        asof_attach_stream,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 12, minute, tzinfo=timezone.utc)
+
+    rows = [
+        # event_id order != ts order: the quote (id 3) has the OLDEST
+        # ts but arrives in the last of three id-sliced batches
+        (1, 1, "purchase", t(10), 1.0),
+        (2, 1, "purchase", t(30), 2.0),
+        (3, 1, "view", t(0), 5.0),
+    ]
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "user_id": pa.array(cols[1], pa.int64()),
+            "event_type": pa.array(cols[2], pa.string()),
+            "ts": pa.array(cols[3], pa.timestamp("us", tz="UTC")),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    src = str(tmp_path / "mini_sf2")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(tbl, f"{src}/events.parquet")
+
+    slices = slice_table_to_dir(spark, src, "events", "event_id", n_slices=3)
+    tagged = (
+        replay_table(spark, slices, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id", "user_id", "ts", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("side"),
+        )
+    )
+    out = run_to_memory(
+        asof_attach_stream(tagged), output_mode="append", state_partitions=2
+    ).collect()
+    got = {r.trade_id: r.quote_id for r in out}
+    assert len(out) == 2  # each trade emitted exactly once
+    assert got[1] is None  # quote hadn't arrived yet: NULL, not retro-fixed
+    # trade 2 is in the batch BEFORE the late quote too -> also NULL;
+    # the batch as-of (full history) would attach quote 3 to both —
+    # that delta IS the documented monotone-arrival contract
+    assert got[2] is None
