@@ -204,3 +204,81 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "q_corpus_mix_temperature",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_sql_ticket('doc_id')} AS ticket
+      FROM documents
+    ),
+    c AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(ROUND(SQRT(COUNT(*)) * 1e6) AS BIGINT) AS w
+      FROM t GROUP BY source
+    ),
+    g AS (
+      SELECT source, n, w,
+             SUM(w) OVER () AS tot_w, SUM(n) OVER () AS tot_n
+      FROM c
+    ),
+    kept AS (
+      SELECT t.doc_id, t.source
+      FROM t JOIN g ON t.source = g.source
+      WHERE CAST(ticket AS HUGEINT) * tot_w * n * 10
+            < CAST(tot_n AS HUGEINT) * 4 * w * 10000
+    )
+    SELECT g.source, g.n AS n_total,
+           COUNT(k.doc_id) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS doc_sum
+    FROM g LEFT JOIN kept k ON g.source = k.source
+    GROUP BY g.source, g.n
+    """,
+    tags=("sampling", "llm"),
+)
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (multilingual/domain rebalancing,
+    alpha = 0.5): per-source keep probability proportional to
+    sqrt(n_source), normalized to a 40% total-document budget — small
+    sources are upweighted relative to their share, the standard
+    alpha-sampling used to keep head domains from drowning the tail.
+    Rates are DERIVED FROM THE DATA in-plan (per-source counts + a
+    10-row global window), unlike q_corpus_mix's fixed tiers.
+
+    Exactness across engines: the keep decision is
+    ``ticket * tot_w * n * 10 < tot_n * 4 * w * 10000`` — a pure
+    integer cross-multiplication (weights pre-scaled to integers via
+    ROUND(SQRT(n)*1e6), sums exact) — so there is NO float division or
+    floor-of-rounded-quotient to diverge between engines; Spark runs it
+    in DECIMAL(38,0), DuckDB in HUGEINT. Membership is a scan-side
+    filter against a broadcast 10-row rate table: zero extra shuffles
+    over the corpus at 100 TB."""
+    DEC0 = "decimal(38,0)"
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", hash_ticket(F.col("doc_id")).alias("ticket")
+    )
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "w", F.round(F.sqrt("n") * 1e6).cast("long")
+    )
+    g_win = Window.partitionBy()
+    g = c.withColumn("tot_w", F.sum("w").over(g_win)).withColumn(
+        "tot_n", F.sum("n").over(g_win)
+    )
+    joined = d.join(F.broadcast(g), "source")
+    kept = joined.filter(
+        F.col("ticket").cast(DEC0) * F.col("tot_w") * F.col("n") * 10
+        < F.col("tot_n").cast(DEC0) * 4 * F.col("w") * 10000
+    )
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("doc_sum")
+    )
+    return (
+        g.select("source", F.col("n").alias("n_total"))
+        .join(agg, "source", "left")
+        .select(
+            "source", "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("doc_sum", F.lit(0)).alias("doc_sum"),
+        )
+    )

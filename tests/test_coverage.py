@@ -35,7 +35,8 @@ REQUIRED_PREFIXES = {
                    "q_join_asof", "q_rollup_cascade", "q_session_window",
                    "q_gap_fill"),
     "sketch": ("q_heavy_hitters_cms",),
-    "sampling": ("q_sample_split", "q_sample_stratified", "q_corpus_mix"),
+    "sampling": ("q_sample_split", "q_sample_stratified", "q_corpus_mix",
+                 "q_corpus_mix_temperature"),
     "embedding": ("q_embed_centroids", "q_embed_norms"),
     "sources": ("q_source_csv", "q_source_json", "q_source_orc"),
     "streaming": ("q_stream_ohlcv_1h", "q_stream_sliding_24h",
