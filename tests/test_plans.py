@@ -542,6 +542,11 @@ def test_round5_llmprep_plan_shapes(spark, sf_dir):
     assert count_exchanges(cap) == 1
     assert join_strategies(cap) == {}
     assert len(scan_infos(cap)) == 1
+    # the rank<=3 filter must push INTO the window as a per-partition
+    # top-k heap (WindowGroupLimit) — map-side pre-prune BEFORE the
+    # exchange, so at 100 TB the shuffle carries <=3 rows per
+    # (source, mapper), not the corpus
+    assert "WindowGroupLimit" in formatted_plan(cap)
 
     span = _q("q_contamination_span", spark, sf_dir)
     assert count_exchanges(span) <= 5

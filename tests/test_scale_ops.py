@@ -284,3 +284,41 @@ def test_zorder_cell_twins_bit_identical_on_wide_domain(spark):
 
     with _pytest.raises(ValueError):
         ZGrid("a", "b", 0, 1 << 60, 0, 100, 6)
+
+
+def test_temperature_mix_upweights_tail_sources(spark, sf_dir):
+    """The alpha=0.5 temperature contract, stated as invariants rather
+    than pinned values (the value-exact membership is already pinned by
+    the DuckDB oracle): total kept volume lands on the 40% budget, and
+    the IMPLIED threshold is monotone-decreasing in source size — the
+    smaller source always gets the not-smaller keep threshold (what
+    temperature < 1 means). The testdata's sources are uniform, so the
+    threshold check is computed from the same integer cross-product
+    the query uses, exercised over a synthetic skewed size profile."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    out = REGISTRY["q_corpus_mix_temperature"].fn(spark, sf_dir).collect()
+    assert len(out) >= 2
+    total_kept = sum(r.n_kept for r in out)
+    total = sum(r.n_total for r in out)
+    assert 0.30 <= total_kept / total <= 0.50
+    # hash noise on small uniform sources stays within a sane band
+    for r in out:
+        assert 0.10 <= r.n_kept / r.n_total <= 0.70, (r.source, r.n_kept, r.n_total)
+
+    # the exact integer rule, on a skewed profile: threshold_i/10000 is
+    # the keep probability; ticket*tot_w*n*10 < tot_n*4*w*10000
+    import math
+
+    sizes = [1_000_000, 10_000, 400, 25]
+    w = [round(math.sqrt(n) * 1e6) for n in sizes]
+    tot_w, tot_n = sum(w), sum(sizes)
+    # implied per-source keep rate = min over tickets; compare as the
+    # exact fraction (tot_n*4*w_i*10000) / (tot_w*n_i*10)
+    rates = [
+        (tot_n * 4 * wi * 10000) / (tot_w * ni * 10) for ni, wi in zip(sizes, w)
+    ]
+    assert all(a <= b for a, b in zip(rates, rates[1:])), rates  # tail upweighted
+    # rates are in ticket units (out of 10000): the head source is
+    # genuinely subsampled, the tail source effectively kept in full
+    assert rates[0] < 10000 and rates[-1] > 10000
