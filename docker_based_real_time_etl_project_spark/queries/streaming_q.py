@@ -518,3 +518,32 @@ def q_stream_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
+
+
+@register(
+    "q_stream_dedup_content",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("streaming", "dedup", "llm"),
+)
+def q_stream_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-ingest dedup AS a stream: documents arrive over 8
+    micro-batches; exactly one row per distinct content fingerprint is
+    admitted (min doc_id — deterministic within a batch, earliest
+    batch across batches, which under the id-ordered replay equals the
+    global min). Hash-matches the batch q_dedup_exact keep-decision
+    oracle: the streaming gate admits PRECISELY the set the batch
+    dedup would keep. State = one entry per distinct fingerprint
+    (streaming/stateful.py:content_dedup_stream)."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        content_dedup_stream,
+    )
+
+    return run_to_memory(
+        content_dedup_stream(_doc_stream(spark, sf_dir)),
+        output_mode="append",
+        state_partitions=8,
+    )

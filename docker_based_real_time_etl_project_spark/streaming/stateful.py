@@ -209,3 +209,51 @@ def asof_attach_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming content dedup: first-arrival-wins by content fingerprint
+# ---------------------------------------------------------------------------
+
+_DEDUP_OUT = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("keep_doc_id", T.LongType()),
+    ]
+)
+_DEDUP_STATE = T.StructType([T.StructField("kept", T.LongType())])
+
+
+def _keep_first(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    mn = min(int(pdf["doc_id"].min()) for pdf in pdfs)
+    if state.exists:
+        # fingerprint already admitted in an earlier batch: drop copies
+        return
+    state.update((mn,))
+    yield pd.DataFrame({"fp": [key[0]], "keep_doc_id": [mn]})
+
+
+def content_dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Streaming corpus-ingest dedup: exactly one row is admitted per
+    distinct content fingerprint, the MINIMUM id among same-batch
+    copies (deterministic — plain ``dropDuplicates`` keeps whichever
+    copy a partition happened to process first) and the earliest batch
+    across batches. State is one entry per distinct fingerprint —
+    irreducible for exact dedup (every fingerprint ever admitted must
+    stay queryable); at 100 TB that is the RocksDB-backed state store
+    with the fingerprint itself as the grouping key, ~50 bytes per
+    DISTINCT document, sharded across executors by the same hash the
+    groupBy already does."""
+    keyed = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.col(id_col).alias("doc_id"),
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _keep_first,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -43,7 +43,8 @@ REQUIRED_PREFIXES = {
                   "q_stream_session_window", "q_stream_dedup_latest",
                   "q_stream_stateful_totals", "q_stream_stream_join",
                   "q_stream_static_join", "q_stream_contamination",
-                  "q_stream_join_asof", "q_stream_join_asof_tol"),
+                  "q_stream_join_asof", "q_stream_join_asof_tol",
+                  "q_stream_dedup_content"),
     "cdc": ("q_cdc_materialize", "q_cdc_stream_upsert"),
     "etl": ("q_etl_poll_cycle",),
     "dedup": ("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
