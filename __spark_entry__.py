@@ -49,7 +49,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_top_paths", "q_containment", "q_dedup_minhash", "q_dedup_simhash",
     "q_media_features", "q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
     # (b) implementation changed this round -> must re-verify;
-    # plus the three queries ADDED this round
+    # plus the eight queries ADDED this round
     "q_ngram_jaccard", "q_dedup_clusters", "q_contamination",
     "q_join_asof", "q_join_asof_tol", "q_zorder_pruned_scan",
     "q_domain_cap", "q_split_leakage", "q_contamination_span",
