@@ -547,3 +547,93 @@ def q_stream_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
+
+
+@register(
+    "q_stream_dedup_minhash_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.4
+    """,
+    tags=("streaming", "dedup", "sketch", "llm"),
+)
+def q_stream_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection AS an ingest gate: each arriving
+    document computes its MinHash band hashes IN-STREAM (pure
+    expressions — stateless, no stream-side shuffle), probes the
+    static LSH band index of the already-ingested corpus
+    (stream-static inner join, restricted to earlier doc_ids so every
+    unordered pair fires exactly once, when its LATER member arrives),
+    dedups multi-band hits, and exact-Jaccard-verifies using the
+    stream row's own gram set against the static side's. Must
+    hash-match the all-pairs exact-Jaccard truth (the same DuckDB
+    oracle as the batch q_dedup_minhash_pairs): the streaming gate
+    finds every pair the batch LSH finds, as it streams.
+
+    Scale: the arriving batch does expression-only work + two
+    hash-joins against static tables (band index, gram sets) that at
+    100 TB are bucketed by their join keys; per-pair state exists only
+    in the dropDuplicates dedup (one entry per emitted pair). The
+    in-stream signature uses the expression form — per-doc cost is
+    n_hashes * grams hashing; a production deployment precomputes
+    signatures at write time and this probe path stays as-is."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        band_hashes, exact_jaccard, minhash_signature,
+        minhash_signatures_agg, shingles,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table as _t
+
+    n_hashes, bands, rows_per_band, k = 64, 16, 4, 3
+
+    # static side: the corpus's LSH band index + gram sets (at 100 TB:
+    # written bucketed by (band_idx, band_hash) / doc_id respectively)
+    corpus = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", k)).alias("grams")
+    )
+    static_sigs = minhash_signatures_agg(corpus, "doc_id", "grams", n_hashes)
+    static_bands = static_sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("_b"),
+    ).select("id_a", F.col("_b.band_idx").alias("bi"), F.col("_b.band_hash").alias("bh"))
+    static_grams = corpus.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+
+    # stream side: expression-only signature + bands; the doc's own
+    # gram set rides the row for the verify step
+    arriving = _doc_stream(spark, sf_dir).select(
+        F.col("doc_id").alias("id_b"),
+        F.array_distinct(shingles("text", k)).alias("grams_b"),
+    ).withColumn("sig", minhash_signature(F.col("grams_b"), n_hashes))
+    probes = arriving.select(
+        "id_b", "grams_b",
+        F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("_b"),
+    ).select("id_b", "grams_b", F.col("_b.band_idx").alias("bi"), F.col("_b.band_hash").alias("bh"))
+
+    hits = (
+        probes.join(static_bands, ["bi", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "grams_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(static_grams, "id_a")
+        .withColumn(
+            "jaccard", F.round(exact_jaccard(F.col("grams_a"), F.col("grams_b")), 6)
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return run_to_memory(hits, output_mode="append", state_partitions=8)

@@ -44,7 +44,7 @@ REQUIRED_PREFIXES = {
                   "q_stream_stateful_totals", "q_stream_stream_join",
                   "q_stream_static_join", "q_stream_contamination",
                   "q_stream_join_asof", "q_stream_join_asof_tol",
-                  "q_stream_dedup_content"),
+                  "q_stream_dedup_content", "q_stream_dedup_minhash_pairs"),
     "cdc": ("q_cdc_materialize", "q_cdc_stream_upsert"),
     "etl": ("q_etl_poll_cycle",),
     "dedup": ("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
