@@ -30,32 +30,35 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # twins are all already green), (b) queries whose implementation
 # changed this round (hash-gram postings rewrite, same-source as-of,
 # z-order exact cell math, vectorized frame sampling), (c) every
-# remaining r1-era green, (d) 11 of the 27 r2-era greens. After r5
-# 16 r2-era greens remain for the r6 window (q_text_tokenize,
+# remaining r1-era green, (d) 10 of the 27 r2-era greens. After r5
+# 17 r2-era greens remain for the r6 window (q_text_tokenize,
 # q_win_rank, q_win_distribution, q_doc_stats, q_token_count,
 # q_lang_id, q_quality_score, q_fingerprint, q_tfidf, q_udtf_chunk,
 # q_regexp_all, q_join_salted, q_heavy_hitters_cms,
-# q_media_meta_stats, q_join_anti, q_embed_norms — mostly the linear
+# q_media_meta_stats, q_join_anti, q_embed_norms, q_udaf_median —
+# mostly the linear
 # text/window/UDF pack, whose shared helpers this window's
 # dedup/contamination queries exercise daily; several carry standing
-# pytest gates of their own and two run in bench every round). Nine
+# pytest gates of their own and two run in bench every round). Ten
 # slots go instead to the brand-new round-5 queries (q_domain_cap,
 # q_split_leakage, q_contamination_span, q_stream_contamination,
 # q_stream_join_asof, q_stream_join_asof_tol,
 # q_corpus_mix_temperature, q_stream_dedup_content,
-# q_stream_dedup_minhash_pairs) so no new query ships unverified.
+# q_stream_dedup_minhash_pairs, q_quality_corpus_freq) so no new
+# query ships unverified.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) never driver-verified
     "q_top_paths", "q_containment", "q_dedup_minhash", "q_dedup_simhash",
     "q_media_features", "q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
     # (b) implementation changed this round -> must re-verify;
-    # plus the nine queries ADDED this round
+    # plus the ten queries ADDED this round
     "q_ngram_jaccard", "q_dedup_clusters", "q_contamination",
     "q_join_asof", "q_join_asof_tol", "q_zorder_pruned_scan",
     "q_domain_cap", "q_split_leakage", "q_contamination_span",
     "q_stream_contamination", "q_stream_join_asof",
     "q_stream_join_asof_tol", "q_corpus_mix_temperature",
     "q_stream_dedup_content", "q_stream_dedup_minhash_pairs",
+    "q_quality_corpus_freq",
     # (c) r1-era greens (oldest hash evidence in the registry)
     "q_math_round_pct", "q_arr_elem", "q_arr_explode", "q_arr_zip",
     "q_udf_scalar", "q_media_resize_meta", "q_media_frame_sample",
@@ -64,7 +67,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_union_distinct", "q_filtered_agg",
     # (d) r2-era greens
     "q_dedup_minhash_pairs", "q_dedup_embedding", "q_embed_centroids",
-    "q_udaf_median", "q_sample_split",
+    "q_sample_split",
     "q_sample_stratified",
     "q_approx_distinct_err", "q_except", "q_percentiles_approx",
     "q_source_csv", "q_source_json",

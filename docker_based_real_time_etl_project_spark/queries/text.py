@@ -338,3 +338,57 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "q_quality_corpus_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tok,
+           CAST(MIN(tf.c) AS BIGINT) AS min_tok_freq,
+           CAST(SUM(tf.c) AS BIGINT) AS sum_tok_freq,
+           ROUND(CAST(SUM(tf.c) AS DOUBLE) / COUNT(*), 6) AS mean_tok_freq
+    FROM toks t JOIN tf ON t.tok = tf.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "llm"),
+)
+def q_quality_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality proxy (the integer-exact stand-in for
+    CCNet-style LM-perplexity filtering): per document, the mean and
+    minimum CORPUS frequency of its token occurrences. Gibberish and
+    OCR noise score low (their tokens barely occur elsewhere); fluent
+    prose scores high. Unlike q_quality_score's per-doc surface
+    statistics, this score is relative to the whole corpus.
+
+    Exactness: all counts are integers; the single division happens
+    once per output row on exact longs (IEEE-identical across
+    engines), so no log()/float-accumulation divergence — the reason
+    the score is frequency, not log-probability.
+
+    Plan shape: one explode + token hash-count (map-side partials),
+    one join of occurrences against the vocabulary (at 100 TB both
+    sides hash-partition on the token; the vocabulary side is Zipf
+    but the JOIN is keyed by token only to attach one counter — a
+    hot token's postings stay distributed across its occurrences'
+    partitions after the join), one per-doc aggregate."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.min("c").alias("min_tok_freq"),
+            F.sum("c").alias("sum_tok_freq"),
+            F.round(F.sum("c") / F.count(F.lit(1)), 6).alias("mean_tok_freq"),
+        )
+    )

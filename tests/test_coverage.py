@@ -51,7 +51,8 @@ REQUIRED_PREFIXES = {
               "q_ngram_jaccard", "q_dedup_embedding", "q_dedup_clusters"),
     "similarity": ("q_cosine_topk", "q_ann_lsh", "q_ann_ivf"),
     "text": ("q_text_tokenize", "q_doc_stats", "q_token_count",
-             "q_lang_id", "q_quality_score", "q_fingerprint", "q_tfidf",
+             "q_lang_id", "q_quality_score", "q_quality_corpus_freq",
+             "q_fingerprint", "q_tfidf",
              "q_corpus_pipeline"),
     "multimodal": ("q_media_meta_stats", "q_media_resize_meta",
                    "q_media_frame_sample", "q_media_features"),
