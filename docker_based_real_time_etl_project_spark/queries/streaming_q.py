@@ -362,6 +362,9 @@ def _contamination_oracle() -> str:
     """
 
 
+_TRAIN_GRAMS_CACHE: dict[str, str] = {}
+
+
 @register(
     "q_stream_contamination",
     oracle=_contamination_oracle(),
@@ -381,18 +384,29 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the screen deployable at ingest time: at 100 TB the train gram set
     is a bucketed static table (or a bloom-filter prefilter + exact
     join on the survivors, SCALE.md), and counts are exact integers so
-    complete-mode state merge is order-free."""
+    complete-mode state merge is order-free. The train gram set is
+    materialized once per session (a stream-static join re-executes
+    the static subplan EVERY micro-batch — the same 8x-rebuild the LSH
+    gate's index hit; in production it is a written table anyway)."""
     from docker_based_real_time_etl_project_spark.operators.dedup import shingles
     from docker_based_real_time_etl_project_spark.queries.registry import table as _t
     from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
 
-    train_g = (
-        _t(spark, sf_dir, "documents")
-        .filter(hash_ticket(F.col("doc_id")) < 8000)
-        .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    if sf_dir not in _TRAIN_GRAMS_CACHE:
+        import tempfile
+
+        g_dir = tempfile.mkdtemp(prefix="train_grams_")
+        (
+            _t(spark, sf_dir, "documents")
+            .filter(hash_ticket(F.col("doc_id")) < 8000)
+            .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
+            .select(F.xxhash64("g").alias("gh"))
+            .distinct()
+            .write.mode("overwrite").parquet(g_dir)
+        )
+        _TRAIN_GRAMS_CACHE[sf_dir] = g_dir
+    train_g = spark.read.parquet(_TRAIN_GRAMS_CACHE[sf_dir]).withColumn(
+        "hit", F.lit(1)
     )
     test_g = (
         _doc_stream(spark, sf_dir)
