@@ -76,7 +76,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard result (DuckDB computes the unblocked n^2 truth; the
     LSH path must find every qualifying pair). Sound here because the
     qualifying pairs on this corpus sit at j >= 0.9 where 16x4 banding
-    recall is ~1 - 4e-8 -- measured 100% at sf0.001 and sf0.01. The
+    recall is ~1 - 4e-8 -- measured 100% (hash-exact vs the all-pairs
+    truth) at sf0.001, sf0.01 AND sf0.1. The
     rows-only q_dedup_minhash remains the under-threshold sketch check."""
     d = table(spark, sf_dir, "documents")
     return minhash_neardup_pairs(d, threshold=0.4)
