@@ -185,6 +185,11 @@ def gram_postings_pairs(
        ALL its shared grams are hot — on real corpora near-dup pairs
        share many rare grams (their content), which is the standard
        exactness argument for df-capping. ``max_df=None`` disables.
+       Callers registered against EXACT all-pairs oracles rely on the
+       shipped corpora staying far below the cap — pinned with 10x
+       headroom per SF by tests/test_testdata_contract.py::
+       test_gram_df_below_postings_cap, so a hotter future corpus
+       fails loudly there instead of silently undercounting.
     4. ``size_ratio`` (optional, e.g. the Jaccard threshold t): prunes
        pairs where min(n)/max(n) < t before the aggregate — Jaccard
        can never reach t across that size gap, so the filter is

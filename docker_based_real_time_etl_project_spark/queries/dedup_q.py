@@ -133,7 +133,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joining the postings finds every qualifying pair while doing work
     bounded by real gram co-occurrence — never the per-block O(n^2)
     the oracle's all-pairs SQL spells out. Jaccard comes straight from
-    the shared-gram count: |A∩B| / (|A| + |B| - |A∩B|)."""
+    the shared-gram count: |A∩B| / (|A| + |B| - |A∩B|). "Exact"
+    carries the df-cap caveat: all-pairs parity holds while no
+    (source, gram) df reaches the postings cap, an invariant
+    guard-tested with 10x headroom at every shipped SF
+    (tests/test_testdata_contract.py::test_gram_df_below_postings_cap)."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
@@ -221,7 +225,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative min-label propagation) -> keep exactly one doc (the
     smallest id) per cluster. Oracled against a DuckDB recursive-CTE
     transitive closure -- the iterative DataFrame fixpoint must land on
-    the identical clustering."""
+    the identical clustering. Pair generation rides the df-capped
+    postings join; the cap's exactness caveat is guard-tested per SF
+    (tests/test_testdata_contract.py::test_gram_df_below_postings_cap)."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
@@ -277,9 +283,10 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment C(A in B) = |A∩B| / |A| at >= 0.5 — the
     one-sided near-dup (quotes, extractions, supersets) that symmetric
     Jaccard under-scores when documents differ in length. Same exact
-    inverted-index postings join as q_ngram_jaccard; each unordered
-    candidate pair yields BOTH directions from the one shared-gram
-    count, so asymmetry costs nothing extra."""
+    inverted-index postings join as q_ngram_jaccard (including its
+    df-cap caveat, guard-tested per SF); each unordered candidate
+    pair yields BOTH directions from the one shared-gram count, so
+    asymmetry costs nothing extra."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")

@@ -425,7 +425,8 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split comes from the SAME hash tickets as q_sample_split, so the
     audit checks the split the sampler would actually emit. The ticket
     attach is two hash joins of a 2-column doc->split table against
-    the (small) pair list."""
+    the (small) pair list. Df-cap caveat as q_ngram_jaccard:
+    guard-tested per SF in tests/test_testdata_contract.py."""
     from docker_based_real_time_etl_project_spark.operators.dedup import (
         gram_postings_pairs, shingles,
     )

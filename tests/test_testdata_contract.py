@@ -138,3 +138,49 @@ def test_rechunk_preserves_rows_and_schema(spark):
         "event_id", "cast(ts as timestamp) ts", "value"
     ).collect()}
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_gram_df_below_postings_cap(sf_dir):
+    """The df-capped postings join (operators.dedup.gram_postings_pairs,
+    DEFAULT_MAX_GRAM_DF) is registered against EXACT all-pairs oracles
+    in q_ngram_jaccard / q_containment / q_dedup_clusters /
+    q_split_leakage. Parity is exact only while no (source, gram) block
+    df reaches the cap; this pins that invariant, with wide margin, at
+    every shipped scale factor (k=3 grams are the hottest gram size any
+    capped query uses — larger k only lowers df). If the testdata
+    generator ever produces a hotter corpus, this fails BEFORE the
+    driver's oracle compare silently diverges."""
+    import duckdb
+
+    from docker_based_real_time_etl_project_spark.operators.dedup import DEFAULT_MAX_GRAM_DF
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip("documents not in testdata")
+    (max_df,) = duckdb.connect().execute(
+        f"""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+                 )) AS grams
+          FROM '{path}'
+        )
+        SELECT MAX(df) FROM (
+          SELECT source, g, COUNT(*) AS df
+          FROM (SELECT doc_id, source, unnest(grams) AS g FROM sh)
+          GROUP BY source, g)
+        """
+    ).fetchone()
+    assert max_df is not None
+    # demand 10x headroom, not just "below": a corpus drifting toward the
+    # cap deserves a loud look before it gets within rounding of wrong
+    assert max_df * 10 <= DEFAULT_MAX_GRAM_DF, (
+        f"max per-(source,gram) df {max_df} is within 10x of the postings "
+        f"cap {DEFAULT_MAX_GRAM_DF}; exact-oracle parity is at risk"
+    )
