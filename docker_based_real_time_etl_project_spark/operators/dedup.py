@@ -348,9 +348,13 @@ def connected_components(
 
     Iterative DataFrame algorithm done right for scale: per-iteration
     localCheckpoint truncates the exploding join lineage (else the plan
-    doubles every round), and convergence is detected with a LIMIT 1
-    existence check, not a full count. The driver only steers; all data
-    movement is joins/aggregates on the cluster.
+    doubles every round), and convergence detection is folded into the
+    label aggregation itself — each id's OLD rep rides along as a
+    second min() in the same hash agg, so the per-round "did anything
+    change" probe is a LIMIT 1 filter scan over the freshly
+    checkpointed labels, not an extra labels-vs-labels join job. The
+    driver only steers; all data movement is joins/aggregates on the
+    cluster.
     """
     bidir = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -373,19 +377,24 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = bidir.join(labels, bidir.dst == labels.id).select(
-            F.col("src").alias("id"), "rep"
+            F.col("src").alias("id"), "rep", F.lit(False).alias("_own")
         )
+        # each id contributes exactly one _own=True row (its current
+        # label), so min(rep WHERE _own) recovers the old rep inside the
+        # SAME hash agg that computes the new one — no second join
         new = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("rep").alias("rep"))
+            labels.withColumn("_own", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(
+                F.min("rep").alias("rep"),
+                F.min(F.when(F.col("_own"), F.col("rep"))).alias("_old_rep"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
+            new.filter(F.col("rep") != F.col("_old_rep")).limit(1).count()
         )
-        labels = new
+        labels = new.select("id", "rep")
         if changed == 0:
             break
     # isolated nodes (touched no edge) are their own representatives.

@@ -336,3 +336,34 @@ def test_gram_postings_pairs_matches_bruteforce(spark, docs, block):
             if shared:
                 want[(ia, ib)] = (len(ga), len(gb), shared)
     assert got == want
+
+
+def test_connected_components_deep_chain(spark):
+    """The label-propagation fixpoint on a graph DEEPER than the
+    testdata's near-dup clusters (diameter ~2): a 9-node chain needs
+    ~8 propagation rounds, so this pins both convergence-to-fixpoint
+    and the folded old-rep convergence probe (rep != _old_rep inside
+    the label agg) on a shape where early termination would be wrong.
+    Also covers multiple components and isolated nodes rejoining."""
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 0-1-...-8, triangle 20-21-22, pair 30-31; 40,41 isolated
+    edges = [(i, i + 1) for i in range(8)] + [
+        (20, 21), (21, 22), (20, 22), (30, 31),
+    ]
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(9)) + [20, 21, 22, 30, 31, 40, 41]],
+        "id long",
+    )
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.rep
+        for r in connected_components(nodes, e).select("id", "rep").collect()
+    }
+    want = {i: 0 for i in range(9)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41})
+    assert got == want
