@@ -74,8 +74,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, _query_df(spark, sf_dir), planes, k=10)
 
 
-_RECALL_GATE = 0.6   # per-query floor (matches tests/test_scale_ops.py)
-_MEAN_GATE = 0.8     # mean recall across all 20 queries
+# Raised from 0.6/0.8 in round 6: 0.6 per-query recall would be a weak
+# dedup/retrieval guarantee in a real pipeline. Measured margins at the
+# shipped settings (min/mean over the 20 fixed queries):
+#   LSH 2 planes x 12 tables — sf0.001: 0.90/0.995, sf0.01: 1.00/1.000
+#   IVF 8 cells, probe 7     — sf0.001: 0.80/0.965, sf0.01: 0.90/0.985
+# (full tables/probes-vs-recall curve: SCALE.md "Round-6 scale notes")
+_RECALL_GATE = 0.8   # per-query floor
+_MEAN_GATE = 0.9     # mean recall across all 20 queries
 
 _RECALL_ORACLE = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -104,9 +110,9 @@ FROM exact10
 def _recall_df(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """(q_id, n_exact, recall_ok): per-query recall@10 of the approximate
     result vs exact brute force, collapsed to the >= gate boolean, plus
-    one q_id=-1 summary row whose recall_ok asserts MEAN recall >= 0.8
-    across all 20 queries (so a broad degradation fails even if every
-    query individually clears the 0.6 floor). The raw hit count is
+    one q_id=-1 summary row whose recall_ok asserts MEAN recall >=
+    _MEAN_GATE across all 20 queries (so a broad degradation fails even
+    if every query individually clears the _RECALL_GATE floor). The raw hit count is
     engine-specific (bucket/cell seeds), so only the gate verdicts are
     exposed to the hash compare -- but a row goes RED in CORRECTNESS if
     recall ever collapses, which is the contract."""
@@ -140,38 +146,44 @@ def _recall_df(approx: DataFrame, exact: DataFrame) -> DataFrame:
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall contract for multi-table sign-LSH ANN over
     20 fixed query vectors: recall@10 vs the exact top-10 must clear
-    the 0.6 floor for EVERY query AND average >= 0.8 (measured min 0.8
-    / mean 0.965 at test SFs with 3 planes x 12 tables -- the synthetic
-    corpus is near-random, so OR-amplification has to carry all of the
-    recall; a single 8-plane table measured ~0.1). The oracle
-    recomputes the exact side and expects recall_ok=TRUE rows."""
+    the 0.8 floor for EVERY query AND average >= 0.9 (measured min
+    0.90 sf0.001 / 1.00 sf0.01 with 2 planes x 12 tables -- the
+    synthetic corpus is near-random, so OR-amplification has to carry
+    all of the recall: a single 8-plane table measured ~0.1, and the
+    0.8-floor config trades bucket selectivity for it, which is the
+    honest curve on clusterless data; SCALE.md round-6 notes tabulate
+    it). The oracle recomputes the exact side and expects
+    recall_ok=TRUE rows."""
     from docker_based_real_time_etl_project_spark.operators.similarity import (
         lsh_tables, lsh_topk_multi,
     )
 
     e = table(spark, sf_dir, "embeddings")
     q = _query_df(spark, sf_dir, _RECALL_QUERY_IDS)
-    tables = lsh_tables(dim=64, n_planes=3, n_tables=12, seed=42)
+    tables = lsh_tables(dim=64, n_planes=2, n_tables=12, seed=42)
     return _recall_df(lsh_topk_multi(e, q, tables, k=10), brute_force_topk(e, q, k=10))
 
 
 @register("q_ann_ivf_recall", oracle=_RECALL_ORACLE, tags=("similarity", "approx"))
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall contract for IVF ANN over 20 fixed query
-    vectors (probe-6 of 8 cells for the contract: the near-random
+    vectors (probe-7 of 8 cells for the contract: the near-random
     synthetic corpus gives IVF little cluster structure to exploit, so
-    probe-4 dips to 0.5 on individual queries; probe-6 measured min
-    0.7 / mean 0.94 at test SFs): recall@10 vs exact top-10 >= 0.6 per
-    query AND mean >= 0.8, oracled like the LSH twin. The scale path
-    (cell-partitioned layout, probed-cell pruning) is independent of
-    n_probe and is pinned by tests/test_scale_ops.py."""
+    probe-4 dips to 0.5 on individual queries and a FINER 16-cell
+    quantizer is strictly worse — min 0.4 at probe-8/16; probe-7/8
+    measured min 0.80 sf0.001 / 0.90 sf0.01, mean 0.965/0.985):
+    recall@10 vs exact top-10 >= 0.8 per query AND mean >= 0.9,
+    oracled like the LSH twin. sf0.001 sits exactly at the floor —
+    deterministic data, gate is >=. The scale path (cell-partitioned
+    layout, probed-cell pruning) is independent of n_probe and is
+    pinned by tests/test_scale_ops.py."""
     from docker_based_real_time_etl_project_spark.operators.similarity import ivf_topk, ivf_train
 
     e = table(spark, sf_dir, "embeddings")
     q = _query_df(spark, sf_dir, _RECALL_QUERY_IDS)
     centroids = ivf_train(e, n_centroids=8, iters=3)
     return _recall_df(
-        ivf_topk(e, q, centroids, n_probe=6, k=10), brute_force_topk(e, q, k=10)
+        ivf_topk(e, q, centroids, n_probe=7, k=10), brute_force_topk(e, q, k=10)
     )
 
 
