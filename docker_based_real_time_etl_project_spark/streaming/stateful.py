@@ -124,13 +124,23 @@ def _make_attach_asof(tolerance_us: int | None):
         tr = np.flatnonzero(side == 1)
         src = last_q[tr]
         in_batch = src >= 0
-        qid_out = np.where(in_batch, eid[np.maximum(src, 0)], np.nan)
-        qval_out = np.where(in_batch, val[np.maximum(src, 0)], np.nan)
-        qts_out = np.where(in_batch, ts_us[np.maximum(src, 0)], np.nan)
+        # masked int64 carry, never float NaN sentinels: routing 64-bit
+        # ids/timestamps through float64 would silently corrupt values
+        # above 2^53 (snowflake-style ids exceed it). Where a row has no
+        # in-batch quote, the np.where fallback is the state value (an
+        # int, so the arrays STAY int64); `valid` tracks which rows
+        # genuinely carry a quote and masks the rest at emission.
+        src_idx = np.maximum(src, 0)
+        qid_out = eid[src_idx]
+        qval_out = val[src_idx]
+        qts_out = ts_us[src_idx]
         if q_id is not None:
-            qid_out = np.where(in_batch, qid_out, q_id)
+            qid_out = np.where(in_batch, qid_out, np.int64(q_id))
             qval_out = np.where(in_batch, qval_out, q_val)
-            qts_out = np.where(in_batch, qts_out, q_ts)
+            qts_out = np.where(in_batch, qts_out, np.int64(q_ts))
+            valid = np.ones(len(tr), dtype=bool)
+        else:
+            valid = in_batch.copy()
         # roll the state forward to the batch's latest quote. The state
         # tuple is kept even under a tolerance (the bound is evaluated
         # per trade against the trade's own timestamp, exactly like the
@@ -141,27 +151,25 @@ def _make_attach_asof(tolerance_us: int | None):
             state.update((int(eid[last]), float(val[last]), int(ts_us[last])))
         elif state.exists:
             state.update((q_id, q_val, q_ts))
-        has_q = ~np.isnan(qid_out)
+        has_q = valid
         if tolerance_us is not None:
             # a carried quote older than the bound nulls out atomically
-            has_q &= ts_us[tr] - qts_out <= tolerance_us
+            # (garbage lanes are already False in has_q, so the int64
+            # arithmetic on them cannot flip a masked row back on)
+            has_q = has_q & (ts_us[tr] - qts_out <= tolerance_us)
+        miss = ~has_q
         yield pd.DataFrame(
             {
                 "trade_id": eid[tr],
                 "user_id": np.full(len(tr), key[0], dtype="int64"),
                 "trade_ts_us": ts_us[tr],
                 "trade_value": val[tr],
-                "quote_id": pd.array(
-                    [int(v) if ok else None for v, ok in zip(qid_out, has_q)],
-                    dtype="Int64",
+                "quote_id": pd.arrays.IntegerArray(
+                    qid_out.astype("int64"), mask=miss.copy()
                 ),
                 "quote_value": np.where(has_q, qval_out, np.nan),
-                "quote_age_us": pd.array(
-                    [
-                        int(t - q) if ok else None
-                        for t, q, ok in zip(ts_us[tr], qts_out, has_q)
-                    ],
-                    dtype="Int64",
+                "quote_age_us": pd.arrays.IntegerArray(
+                    (ts_us[tr] - qts_out).astype("int64"), mask=miss.copy()
                 ),
             }
         )

@@ -330,3 +330,65 @@ def test_stream_asof_out_of_order_degrades_as_documented(spark, tmp_path):
     # the batch as-of (full history) would attach quote 3 to both —
     # that delta IS the documented monotone-arrival contract
     assert got[2] is None
+
+
+def test_stream_asof_carry_is_exact_above_2_53():
+    """The carry path must move 64-bit ids/timestamps as masked int64,
+    never float NaN-sentinel arrays: any id above 2^53 (snowflake-style
+    ids exceed it) would silently round. Drives _make_attach_asof
+    directly with a stub GroupState: a quote id at 2^53 + 1 must round-
+    trip bit-exact both in-batch and via the carried state tuple."""
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        _make_attach_asof,
+    )
+
+    big = (1 << 53) + 1  # not representable in float64
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    def t(minute):
+        return datetime(2024, 1, 1, 12, minute, tzinfo=timezone.utc)
+
+    fn = _make_attach_asof(None)
+    state = StubState()
+    # batch 1: the big-id quote, then one trade (in-batch attach)
+    b1 = pd.DataFrame(
+        {
+            "event_id": pd.array([big, 10], dtype="int64"),
+            "user_id": pd.array([1, 1], dtype="int64"),
+            "ts": [t(0), t(1)],
+            "value": [5.0, 1.0],
+            "side": pd.array([0, 1], dtype="int32"),
+        }
+    )
+    (out1,) = fn((1,), [b1], state)
+    assert out1["quote_id"].tolist() == [big]
+    assert state.get[0] == big
+    # batch 2: trade only -> the big id must survive the state carry too
+    b2 = pd.DataFrame(
+        {
+            "event_id": pd.array([11], dtype="int64"),
+            "user_id": pd.array([1], dtype="int64"),
+            "ts": [t(2)],
+            "value": [2.0],
+            "side": pd.array([1], dtype="int32"),
+        }
+    )
+    (out2,) = fn((1,), [b2], state)
+    assert out2["quote_id"].tolist() == [big]
+    assert out2["quote_age_us"].tolist() == [2 * 60 * 1_000_000]
