@@ -14,6 +14,8 @@ tests/test_streaming.py instead.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,16 +41,46 @@ from docker_based_real_time_etl_project_spark.streaming.stateful import (
 CENT_SUM_SQL = "SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0"
 
 
-# One slicing pass per (sf_dir, n_slices) per session: the replay input
-# is immutable, so every streaming query reuses the same slice dir.
-_SLICE_CACHE: dict[tuple[str, int], str] = {}
+# Session-scoped materializations (slice dirs, static-index parquet):
+# one build per DISTINCT (purpose, sf_dir, parameters, source-file
+# fingerprint) — the fingerprint (mtime_ns, size) means regenerating
+# testdata under the same path mid-session rebuilds instead of serving
+# a stale artifact, and every parameter a build depends on is in the
+# key so two callers with different settings never share one. All
+# temp dirs are removed at interpreter exit.
+_MATERIALIZATION_CACHE: dict[tuple, str] = {}
+
+
+def _cleanup_materializations() -> None:
+    import shutil
+
+    for d in _MATERIALIZATION_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_materializations)
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> tuple[int, int]:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _materialize_once(key: tuple, build) -> str:
+    """``build() -> dir`` runs once per key; the dir is cached for the
+    session and cleaned up at exit."""
+    if key not in _MATERIALIZATION_CACHE:
+        _MATERIALIZATION_CACHE[key] = build()
+    return _MATERIALIZATION_CACHE[key]
 
 
 def _slices(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> str:
-    key = (sf_dir, n_slices)
-    if key not in _SLICE_CACHE:
-        _SLICE_CACHE[key] = slice_events_to_dir(spark, sf_dir, n_slices=n_slices)
-    return _SLICE_CACHE[key]
+    return _materialize_once(
+        ("event_slices", sf_dir, n_slices, _table_fingerprint(sf_dir, "events")),
+        lambda: slice_events_to_dir(spark, sf_dir, n_slices=n_slices),
+    )
 
 
 def _stream(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> DataFrame:
@@ -315,21 +347,21 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streams in
 # ---------------------------------------------------------------------------
 
-_DOC_SLICE_CACHE: dict[str, str] = {}
-
-
 def _doc_stream(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> DataFrame:
     """documents replayed as an 8-micro-batch file stream in doc_id
-    (ingest) order — one slicing pass per sf_dir per session."""
+    (ingest) order — one slicing pass per (sf_dir, n_slices, data
+    fingerprint) per session."""
     from docker_based_real_time_etl_project_spark.streaming.replay import (
         replay_table, slice_table_to_dir,
     )
 
-    if sf_dir not in _DOC_SLICE_CACHE:
-        _DOC_SLICE_CACHE[sf_dir] = slice_table_to_dir(
+    d = _materialize_once(
+        ("doc_slices", sf_dir, n_slices, _table_fingerprint(sf_dir, "documents")),
+        lambda: slice_table_to_dir(
             spark, sf_dir, "documents", "doc_id", n_slices=n_slices
-        )
-    return replay_table(spark, _DOC_SLICE_CACHE[sf_dir], "documents")
+        ),
+    )
+    return replay_table(spark, d, "documents")
 
 
 def _contamination_oracle() -> str:
@@ -362,9 +394,6 @@ def _contamination_oracle() -> str:
     """
 
 
-_TRAIN_GRAMS_CACHE: dict[str, str] = {}
-
-
 @register(
     "q_stream_contamination",
     oracle=_contamination_oracle(),
@@ -392,7 +421,7 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docker_based_real_time_etl_project_spark.queries.registry import table as _t
     from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
 
-    if sf_dir not in _TRAIN_GRAMS_CACHE:
+    def _build_train_grams() -> str:
         import tempfile
 
         g_dir = tempfile.mkdtemp(prefix="train_grams_")
@@ -404,10 +433,14 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .write.mode("overwrite").parquet(g_dir)
         )
-        _TRAIN_GRAMS_CACHE[sf_dir] = g_dir
-    train_g = spark.read.parquet(_TRAIN_GRAMS_CACHE[sf_dir]).withColumn(
-        "hit", F.lit(1)
-    )
+        return g_dir
+
+    train_g = spark.read.parquet(
+        _materialize_once(
+            ("train_grams", sf_dir, 5, 8000, _table_fingerprint(sf_dir, "documents")),
+            _build_train_grams,
+        )
+    ).withColumn("hit", F.lit(1))
     test_g = (
         _doc_stream(spark, sf_dir)
         .filter(hash_ticket(F.col("doc_id")) >= 9000)
@@ -563,9 +596,6 @@ def q_stream_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_INDEX_CACHE: dict[str, tuple[str, str]] = {}
-
-
 def _lsh_index(
     spark: SparkSession, sf_dir: str,
     n_hashes: int, bands: int, rows_per_band: int, k: int,
@@ -584,24 +614,35 @@ def _lsh_index(
     )
     from docker_based_real_time_etl_project_spark.queries.registry import table as _t
 
-    if sf_dir not in _LSH_INDEX_CACHE:
-        corpus = _t(spark, sf_dir, "documents").select(
+    fp = _table_fingerprint(sf_dir, "documents")
+
+    def _corpus() -> DataFrame:
+        return _t(spark, sf_dir, "documents").select(
             "doc_id", F.array_distinct(shingles("text", k)).alias("grams")
         )
-        sigs = minhash_signatures_agg(corpus, "doc_id", "grams", n_hashes)
+
+    def _build_bands() -> str:
         b_dir = tempfile.mkdtemp(prefix="lsh_bands_")
+        sigs = minhash_signatures_agg(_corpus(), "doc_id", "grams", n_hashes)
         sigs.select(
             F.col("doc_id").alias("id_a"),
             F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("_b"),
         ).select(
             "id_a", F.col("_b.band_idx").alias("bi"), F.col("_b.band_hash").alias("bh")
         ).write.mode("overwrite").parquet(b_dir)
+        return b_dir
+
+    def _build_grams() -> str:
         g_dir = tempfile.mkdtemp(prefix="lsh_grams_")
-        corpus.select(
+        _corpus().select(
             F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
         ).write.mode("overwrite").parquet(g_dir)
-        _LSH_INDEX_CACHE[sf_dir] = (b_dir, g_dir)
-    b_dir, g_dir = _LSH_INDEX_CACHE[sf_dir]
+        return g_dir
+
+    b_dir = _materialize_once(
+        ("lsh_bands", sf_dir, n_hashes, bands, rows_per_band, k, fp), _build_bands
+    )
+    g_dir = _materialize_once(("lsh_grams", sf_dir, k, fp), _build_grams)
     return spark.read.parquet(b_dir), spark.read.parquet(g_dir)
 
 
