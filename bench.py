@@ -125,15 +125,19 @@ def main() -> None:
     # noise; the min is the reproducible cost of the plan, and n=3 makes
     # a round-over-round regression provable instead of arguable
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        # the min is the reproducible plan cost; the raw samples make a
+        # contention-vs-regression call auditable without a re-run
+        timings[name] = min(runs)
+        samples[name] = runs
         plans[name] = _plan_fingerprint(fn(spark, SF_DIR))
 
     sentinel_last = min(
@@ -147,6 +151,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "plan_fingerprints": plans,
                 "sentinel": {
                     "query": SENTINEL,
