@@ -207,6 +207,79 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sequence_pack_subword",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(
+                      list_filter(string_split(text, ' '), w -> w <> ''),
+                      w -> GREATEST(1, CAST(CEIL(strlen(w) / 4.0) AS BIGINT))
+                  )), 0) AS BIGINT) AS n_tok,
+             {_sql_ticket('doc_id', 16)} AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok, bucket,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 1024.0) AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT bucket, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY bucket, bin
+    """,
+    tags=("sampling", "text", "llm"),
+)
+def q_sequence_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sequence_pack with a SUBWORD token budget: whitespace tokens
+    undercount what a trainer's tokenizer emits (a BPE splits long and
+    rare words into several pieces), so packed lengths drift from the
+    real sequence budget. The deterministic proxy counts
+    max(1, ceil(bytes/4)) pieces per whitespace word — the ~4
+    bytes-per-token rule of thumb for BPE vocabularies — as a pure
+    integer expression (aggregate over the token array; no UDF, no
+    tokenizer dependency), then packs 1024-piece bins exactly like the
+    whitespace variant. Integer piece counts + integer cumsum keep the
+    whole pipeline hash-oracle-able; swapping in a real tokenizer at
+    deploy time only changes the per-word piece expression (an Arrow
+    UDF), not the packing plan."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_sub = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.octet_length(w) / F.lit(4.0)).cast("bigint"),
+        ),
+    )
+    t = d.select(
+        "doc_id",
+        n_sub.alias("n_tok"),
+        hash_ticket(F.col("doc_id"), 16).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = t.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 1024.0).cast("bigint"),
+    )
+    return packed.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
     "q_corpus_mix_temperature",
     oracle=f"""
     WITH t AS (
