@@ -719,3 +719,230 @@ def q_stream_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
     )
     return run_to_memory(hits, output_mode="append", state_partitions=8)
+
+
+def _gate_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _sql_shingles,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _sql_ticket,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tok,
+             {_sql_ticket('doc_id')} AS ticket
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM t
+      WHERE ticket < 9000
+        AND n_tok BETWEEN 20 AND 10000
+        AND (length(replace(text, ' ', '')) / CAST(n_tok AS DOUBLE))
+            BETWEEN 2 AND 12
+        AND ((length(text)
+              - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE)) < 0.2
+    ),
+    fpmin AS (SELECT md5(text) AS fp, MIN(doc_id) AS mid FROM documents GROUP BY 1),
+    ded AS (
+      SELECT q.* FROM q JOIN fpmin ON md5(q.text) = fpmin.fp AND q.doc_id = fpmin.mid
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct({_sql_shingles(3)}) AS g3 FROM documents
+    ),
+    nd AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN ded ON ded.doc_id = b.doc_id
+      WHERE len(list_intersect(a.g3, b.g3))
+            / CAST(len(a.g3) + len(b.g3)
+                   - len(list_intersect(a.g3, b.g3)) AS DOUBLE) >= 0.4
+    ),
+    g5 AS (
+      SELECT doc_id, unnest(list_distinct({_sql_shingles(5)})) AS g FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM g5 JOIN t USING (doc_id) WHERE t.ticket >= 9000
+    ),
+    contam AS (
+      SELECT ded.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS n_shared
+      FROM g5 JOIN ded USING (doc_id) GROUP BY ded.doc_id
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_tok AS BIGINT) AS n_tokens,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(c.n_shared AS BIGINT) AS n_shared
+    FROM ded d JOIN contam c USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
+      AND 2 * c.n_shared < c.n_grams
+    """
+
+
+@register(
+    "q_stream_corpus_gate",
+    oracle=_gate_oracle(),
+    tags=("streaming", "llm", "dedup", "pipeline"),
+)
+def q_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full corpus-ingest gate as ONE streaming pipeline —
+    quality filter -> exact-content dedup -> near-dup probe ->
+    benchmark-contamination screen — over 8 replayed micro-batches,
+    hash-matched end-to-end against the batch truth (the streaming
+    mirror of q_corpus_pipeline, with the r5 gates composed instead of
+    run standalone). A train-split document is ADMITTED iff it
+
+      1. passes the q_corpus_pipeline quality predicates (token count,
+         avg word length, punctuation ratio — stateless expressions);
+      2. is the first arrival of its content fingerprint (stream-static
+         join against the fingerprint->min-id ledger; equivalent under
+         the stream's id-ordered arrival to q_stream_dedup_content's
+         stateful keep-first, which is the form that proves the ledger
+         can be state instead; the shipped corpora contain no exact
+         dups, so this stage drops 0 rows at test SF — structurally
+         exercised, vacuous by data);
+      3. has NO earlier-id near-duplicate at exact 3-gram Jaccard >=
+         0.4 — in-stream MinHash bands probe the static LSH index,
+         survivors exact-verified against the static gram sets (the
+         q_stream_dedup_minhash_pairs machinery, whose own oracle
+         proves the banding misses nothing at this threshold);
+      4. shares < 50% of its distinct 5-grams with the benchmark gram
+         set (ticket >= 9000 docs) — the q_stream_contamination join
+         with the direction reversed (protect the benchmark by
+         dropping contaminated TRAIN docs); the keep test is the
+         integer comparison 2*n_shared < n_grams, no float division.
+
+    Plan shape: all three gate joins are stream-static against
+    once-materialized artifacts (fingerprint ledger, LSH band index +
+    gram sets, benchmark gram hashes — each a bucketed table at
+    100 TB); the dup-flag and gram-hit branches self-union into ONE
+    complete-mode per-doc aggregate, the single stateful operator in
+    the query (Spark's multi-stateful-op restrictions never bite).
+    State is O(admission candidates); every join key is an 8-byte
+    hash or (band_idx, band_hash) pair."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        band_hashes, exact_jaccard, minhash_signature, shingles,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table as _t
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
+
+    n_hashes, bands, rows_per_band, k = 64, 16, 4, 3
+    fp = _table_fingerprint(sf_dir, "documents")
+    static_bands, static_grams = _lsh_index(spark, sf_dir, n_hashes, bands, rows_per_band, k)
+
+    def _build_fp_ledger() -> str:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gate_fp_ledger_")
+        (
+            _t(spark, sf_dir, "documents")
+            .groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+            .agg(F.min("doc_id").alias("min_id"))
+            .write.mode("overwrite").parquet(d)
+        )
+        return d
+
+    def _build_bench_grams() -> str:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gate_bench_grams_")
+        (
+            _t(spark, sf_dir, "documents")
+            .filter(hash_ticket(F.col("doc_id")) >= 9000)
+            .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
+            .select(F.xxhash64("g").alias("gh"))
+            .distinct()
+            .write.mode("overwrite").parquet(d)
+        )
+        return d
+
+    fp_ledger = spark.read.parquet(
+        _materialize_once(("gate_fp_ledger", sf_dir, fp), _build_fp_ledger)
+    )
+    bench_g = spark.read.parquet(
+        _materialize_once(("gate_bench_grams", sf_dir, 5, 9000, fp), _build_bench_grams)
+    ).withColumn("hit", F.lit(1).cast("bigint"))
+
+    n_tok = F.size(F.split("text", " "))
+    awl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        / n_tok.cast("double")
+    )
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    admitted = (
+        _doc_stream(spark, sf_dir)
+        .filter(hash_ticket(F.col("doc_id")) < 9000)
+        .filter(n_tok.between(20, 10000) & awl.between(2, 12) & (punct < 0.2))
+        .select(
+            "doc_id", "lang", "text", n_tok.cast("bigint").alias("n_tokens"),
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+        )
+        .join(fp_ledger, "fp")
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.array_distinct(shingles("text", 3)).alias("grams_b"),
+            F.array_distinct(shingles("text", 5)).alias("grams5"),
+        )
+    )
+
+    # branch A: near-dup flag rows (one row per verified earlier dup)
+    probes = admitted.select(
+        "doc_id", "grams_b",
+        F.explode(
+            band_hashes(minhash_signature(F.col("grams_b"), n_hashes), bands, rows_per_band)
+        ).alias("_b"),
+    ).select(
+        "doc_id", "grams_b",
+        F.col("_b.band_idx").alias("bi"), F.col("_b.band_hash").alias("bh"),
+    )
+    dup_rows = (
+        probes.join(static_bands, ["bi", "bh"])
+        .filter(F.col("id_a") < F.col("doc_id"))
+        .select("doc_id", "id_a", "grams_b")
+        .dropDuplicates(["id_a", "doc_id"])
+        .join(static_grams, "id_a")
+        .filter(exact_jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.4)
+        .select(
+            "doc_id",
+            F.lit("dup").alias("tag"),
+            F.lit(1).cast("bigint").alias("hit"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("bigint").alias("n_tokens"),
+        )
+    )
+    # branch B: one row per distinct 5-gram, hit=1 iff in the benchmark
+    # set; carries the doc metadata (every admitted doc has >= 16 grams)
+    gram_rows = (
+        admitted.select(
+            "doc_id", "lang", "n_tokens",
+            F.explode("grams5").alias("g"),
+        )
+        .select("doc_id", "lang", "n_tokens", F.xxhash64("g").alias("gh"))
+        .join(bench_g, "gh", "left")
+        .select(
+            "doc_id",
+            F.lit("gram").alias("tag"),
+            F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("hit"),
+            "lang", "n_tokens",
+        )
+    )
+    agg = (
+        dup_rows.unionByName(gram_rows)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("tag") == "dup", 1).otherwise(0)).alias("has_dup"),
+            F.sum(F.when(F.col("tag") == "gram", 1).otherwise(0)).alias("n_grams"),
+            F.sum(F.when(F.col("tag") == "gram", F.col("hit"))).alias("n_shared"),
+            F.max("lang").alias("lang"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    return out.filter(
+        (F.col("has_dup") == 0) & (2 * F.col("n_shared") < F.col("n_grams"))
+    ).select("doc_id", "lang", "n_tokens", "n_grams", "n_shared")
