@@ -23,54 +23,43 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E402
 
 # The driver's correctness gate checks the first 50 entries in queries()
-# iteration order. Round-5 window, by staleness of driver evidence
-# (computed from CORRECTNESS_r01..r04): (a) the 8 queries the driver
-# has NEVER seen (incl. the rows-only sketch/ANN/media entries — the
-# driver's weaker rows-only check is still evidence; their oracled
-# twins are all already green), (b) queries whose implementation
-# changed this round (hash-gram postings rewrite, same-source as-of,
-# z-order exact cell math, vectorized frame sampling), (c) every
-# remaining r1-era green, (d) 10 of the 27 r2-era greens. After r5
-# 17 r2-era greens remain for the r6 window (q_text_tokenize,
-# q_win_rank, q_win_distribution, q_doc_stats, q_token_count,
-# q_lang_id, q_quality_score, q_fingerprint, q_tfidf, q_udtf_chunk,
-# q_regexp_all, q_join_salted, q_heavy_hitters_cms,
-# q_media_meta_stats, q_join_anti, q_embed_norms, q_udaf_median —
-# mostly the linear
-# text/window/UDF pack, whose shared helpers this window's
-# dedup/contamination queries exercise daily; several carry standing
-# pytest gates of their own and two run in bench every round). Ten
-# slots go instead to the brand-new round-5 queries (q_domain_cap,
-# q_split_leakage, q_contamination_span, q_stream_contamination,
-# q_stream_join_asof, q_stream_join_asof_tol,
-# q_corpus_mix_temperature, q_stream_dedup_content,
-# q_stream_dedup_minhash_pairs, q_quality_corpus_freq) so no new
-# query ships unverified.
+# iteration order. Round-6 window, by staleness of driver evidence
+# (computed from CORRECTNESS_r01..r05 — after r5 every registered
+# query has at least one driver green, so rotation is purely
+# oldest-first plus changed-first): (a) the 2 queries ADDED this round
+# (subword sequence packing, streaming corpus-gate capstone); (b)
+# queries whose implementation changed this round — the
+# connected-components convergence fold (q_dedup_clusters), the ANN
+# recall contracts retuned to the 0.8 floor, and EVERY streaming
+# query: all 14 ride the reworked session-materialization cache
+# (parameter+fingerprint keys) and the as-of pair additionally got the
+# masked-int64 carry; (c) all 17 remaining r2-era greens (text pack,
+# UDF/UDTF pack, window pair, anti/salted joins, CMS sketch, media
+# meta, embed norms); (d) 14 oldest r3-era rows led by the CDC pack.
+# After r6 no query's evidence is older than r3.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) never driver-verified
-    "q_top_paths", "q_containment", "q_dedup_minhash", "q_dedup_simhash",
-    "q_media_features", "q_agg_approx_distinct", "q_ann_lsh", "q_ann_ivf",
-    # (b) implementation changed this round -> must re-verify;
-    # plus the ten queries ADDED this round
-    "q_ngram_jaccard", "q_dedup_clusters", "q_contamination",
-    "q_join_asof", "q_join_asof_tol", "q_zorder_pruned_scan",
-    "q_domain_cap", "q_split_leakage", "q_contamination_span",
-    "q_stream_contamination", "q_stream_join_asof",
-    "q_stream_join_asof_tol", "q_corpus_mix_temperature",
-    "q_stream_dedup_content", "q_stream_dedup_minhash_pairs",
-    "q_quality_corpus_freq",
-    # (c) r1-era greens (oldest hash evidence in the registry)
-    "q_math_round_pct", "q_arr_elem", "q_arr_explode", "q_arr_zip",
-    "q_udf_scalar", "q_media_resize_meta", "q_media_frame_sample",
-    "q_intersect", "q_exists_subquery", "q_scalar_subquery", "q_pivot",
-    "q_null_handling", "q_array_agg_sorted", "q_percentiles",
-    "q_union_distinct", "q_filtered_agg",
-    # (d) r2-era greens
-    "q_dedup_minhash_pairs", "q_dedup_embedding", "q_embed_centroids",
-    "q_sample_split",
-    "q_sample_stratified",
-    "q_approx_distinct_err", "q_except", "q_percentiles_approx",
-    "q_source_csv", "q_source_json",
+    # (a) new this round
+    "q_sequence_pack_subword", "q_stream_corpus_gate",
+    # (b) implementation changed this round
+    "q_dedup_clusters", "q_ann_lsh_recall", "q_ann_ivf_recall",
+    "q_stream_ohlcv_1h", "q_stream_sliding_24h", "q_stream_stateful_totals",
+    "q_stream_session_window", "q_stream_dedup_latest",
+    "q_stream_stream_join", "q_stream_static_join", "q_stream_join_outer",
+    "q_stream_cdc_agg", "q_stream_contamination", "q_stream_join_asof",
+    "q_stream_join_asof_tol", "q_stream_dedup_content",
+    "q_stream_dedup_minhash_pairs",
+    # (c) r2-era greens (oldest evidence in the registry)
+    "q_embed_norms", "q_udaf_median", "q_media_meta_stats", "q_join_anti",
+    "q_regexp_all", "q_join_salted", "q_heavy_hitters_cms",
+    "q_text_tokenize", "q_doc_stats", "q_token_count", "q_lang_id",
+    "q_quality_score", "q_fingerprint", "q_tfidf", "q_udtf_chunk",
+    "q_win_rank", "q_win_distribution",
+    # (d) oldest r3-era rows, CDC pack first
+    "q_cdc_materialize", "q_cdc_stream_upsert", "q_dedup_exact",
+    "q_etl_poll_cycle", "q_corpus_mix", "q_sequence_pack",
+    "q_repetition_ratio", "q_pii_scrub", "q_chunk_dedup",
+    "q_pricing_summary", "q_join_inner", "q_join_skew_stress",
+    "q_join_full", "q_shipping_priority",
 ]
 
 
