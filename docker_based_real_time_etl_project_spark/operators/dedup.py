@@ -241,8 +241,19 @@ def minhash_neardup_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
+
+    ``rows_per_band`` defaults to ``n_hashes // bands`` (all hashes
+    used); passing fewer (e.g. 3 with 16 bands = 48 of 64 hashes)
+    shifts the banding S-curve left — candidate recall RISES (per-pair
+    detection at J: 1-(1-J^r)^b), spurious candidates rise modestly,
+    and since every candidate is exact-Jaccard-verified the output is
+    unchanged except for previously-MISSED true pairs. At the shipped
+    corpora's minimum qualifying J of 0.8, r=4 leaves a 2.3e-4 per-pair
+    miss (a ~6% chance of one red pair per fresh 256-pair corpus);
+    r=3 cuts it to ~1.1e-5.
 
     Plan shape (the part that matters at 100 TB):
       1. one linear pass computes shingles + signature + band hashes;
@@ -262,7 +273,8 @@ def minhash_neardup_pairs(
     exchange across the three consumers at bench scale: net +25%
     wall over the re-derivation this keeps (2.44s vs 1.95s at sf0.1).
     """
-    rows_per_band = n_hashes // bands
+    if rows_per_band is None:
+        rows_per_band = n_hashes // bands
     sh = df.select(
         F.col(id_col).alias("_id"), F.array_distinct(shingles(text_col, k)).alias("_sh")
     )

@@ -40,12 +40,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_minhash", oracle=None, tags=("dedup", "sketch"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs (shingle k=3, 64 hashes, 16
-    bands, Jaccard >= 0.4 verify). Rows-only: bucket hashes are
-    Spark-specific; the Jaccard *verification* math is exact and is
-    unit-tested against literal fixtures."""
+    """MinHash+LSH near-duplicate pairs (shingle k=3, 64-hash
+    signature, 16 bands x 3 rows, Jaccard >= 0.4 verify). Rows-only:
+    bucket hashes are Spark-specific; the Jaccard *verification* math
+    is exact and is unit-tested against literal fixtures."""
     d = table(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(d, threshold=0.4)
+    return minhash_neardup_pairs(d, threshold=0.4, rows_per_band=3)
 
 
 @register(
@@ -74,13 +74,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs held to a FULL hash oracle: the
     LSH-surfaced, exact-Jaccard-verified output must equal the all-pairs
     exact-Jaccard result (DuckDB computes the unblocked n^2 truth; the
-    LSH path must find every qualifying pair). Sound here because the
-    qualifying pairs on this corpus sit at j >= 0.9 where 16x4 banding
-    recall is ~1 - 4e-8 -- measured 100% (hash-exact vs the all-pairs
-    truth) at sf0.001, sf0.01 AND sf0.1. The
-    rows-only q_dedup_minhash remains the under-threshold sketch check."""
+    LSH path must find every qualifying pair). Banding is 16 bands x 3
+    rows (48 of the 64 signature hashes): the shipped corpora's minimum
+    qualifying J is 0.8 (measured per SF), where r=4 banding leaves a
+    2.3e-4 per-pair miss — a ~6% chance of ONE red pair on a fresh
+    256-pair corpus — while r=3 cuts it to ~1.1e-5; the extra spurious
+    candidates are removed by the exact verify, so only recall moves.
+    Measured 100% (hash-exact vs the all-pairs truth) at sf0.001,
+    sf0.01 AND sf0.1. The rows-only q_dedup_minhash remains the
+    under-threshold sketch check."""
     d = table(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(d, threshold=0.4)
+    return minhash_neardup_pairs(d, threshold=0.4, rows_per_band=3)
 
 
 @register("q_dedup_simhash", oracle=None, tags=("dedup", "sketch"))

@@ -692,7 +692,7 @@ def q_stream_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_hashes, exact_jaccard, minhash_signature, shingles,
     )
 
-    n_hashes, bands, rows_per_band, k = 64, 16, 4, 3
+    n_hashes, bands, rows_per_band, k = 64, 16, 3, 3
     static_bands, static_grams = _lsh_index(spark, sf_dir, n_hashes, bands, rows_per_band, k)
 
     # stream side: expression-only signature + bands; the doc's own
@@ -828,7 +828,7 @@ def q_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docker_based_real_time_etl_project_spark.queries.registry import table as _t
     from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
 
-    n_hashes, bands, rows_per_band, k = 64, 16, 4, 3
+    n_hashes, bands, rows_per_band, k = 64, 16, 3, 3
     fp = _table_fingerprint(sf_dir, "documents")
     static_bands, static_grams = _lsh_index(spark, sf_dir, n_hashes, bands, rows_per_band, k)
 
