@@ -18,14 +18,17 @@ arithmetic here is Kirsch-Mitzenmacher double hashing — k probe
 positions (h1 + i*h2) mod m derived from one xxhash64 — with every
 intermediate kept below 2^63 so ANSI mode cannot overflow.
 
-Scale note: the bitmap rides the plan as ONE array<long> literal.
-That is the right call exactly when the static side is small — which
-a contamination screen's benchmark suite genuinely is (even millions
-of grams fold into a few MB of bitmap). For a static side where m
-would not fit a plan literal (billions of keys), the honest paths are
-a broadcast-joined bucketed table or Catalyst's own runtime filter,
-not a giant literal; this operator documents that boundary rather
-than pretending one mechanism covers both regimes.
+Scale note: the bitmap rides as a BROADCAST single-row array<long>
+table (a plan literal is a measured dead end: PySpark's lit(list)
+expands to a CreateArray with one py4j-built child per element —
+131072 words took 53 s to even construct). The broadcast form is the
+right call exactly when the static side is small — which a
+contamination screen's benchmark suite genuinely is (even millions
+of grams fold into a few MB of bitmap). For a static side where the
+bitmap would not broadcast (billions of keys), the honest paths are
+a broadcast-joined bucketed table or Catalyst's own runtime filter;
+this operator documents that boundary rather than pretending one
+mechanism covers both regimes.
 """
 
 from __future__ import annotations
@@ -47,16 +50,26 @@ def _probe_params_py(h: int, m_bits: int) -> tuple[int, int]:
 
 def build_bloom_words(hashes, m_bits: int, k: int = 4) -> list[int]:
     """Fold 64-bit key hashes into an m_bits bitmap; returns the bitmap
-    as m_bits/64 SIGNED longs (Spark's long literal domain). m_bits
-    must be a multiple of 64."""
+    as m_bits/64 SIGNED longs (Spark's long domain). m_bits must be a
+    multiple of 64. Vectorized: the same arithmetic as
+    :func:`_probe_params_py` on uint64 numpy lanes (every intermediate
+    < 2^34, so uint64 never wraps and the python/numpy paths agree —
+    the lockstep test drives both)."""
+    import numpy as np
+
     assert m_bits % 64 == 0
-    words = [0] * (m_bits // 64)
-    for h in hashes:
-        h1, h2 = _probe_params_py(int(h), m_bits)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h = np.asarray(list(hashes), dtype=np.int64).view(np.uint64)
+    if h.size:
+        h1 = (h.view(np.int64) % np.int64(_P31)).view(np.uint64)
+        h2 = (h >> np.uint64(31)) % np.uint64(_P31) * np.uint64(2) + np.uint64(1)
         for i in range(k):
-            pos = (h1 + i * h2) % m_bits
-            words[pos >> 6] |= 1 << (pos & 63)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    return [int(w) for w in words.view(np.int64)]
 
 
 def bloom_size_bits(n_keys: int, bits_per_key: int = 16) -> int:
@@ -68,13 +81,12 @@ def bloom_size_bits(n_keys: int, bits_per_key: int = 16) -> int:
     return m
 
 
-def bloom_might_contain(gh: Column, words: list[int], k: int = 4) -> Column:
-    """Membership test of a 64-bit hash column against the bitmap:
-    k getbit probes on one array<long> literal — no UDF, no shuffle,
-    fully codegen'd. True for every inserted key (no false negatives);
-    true spuriously at the bitmap's FPR."""
-    m_bits = len(words) * 64
-    lit_words = F.lit(words)
+def bloom_might_contain(gh: Column, words_col: Column, m_bits: int, k: int = 4) -> Column:
+    """Membership test of a 64-bit hash column against the bitmap held
+    in ``words_col`` (an array<long> column — attach it with
+    :func:`with_bloom_words`): k getbit probes, no UDF, fully
+    codegen'd. True for every inserted key (no false negatives); true
+    spuriously at the bitmap's FPR."""
     h1 = F.pmod(gh, F.lit(_P31))
     # unsigned top bits give a second independent 31-bit hash; *2+1
     # keeps it odd (full period mod the power-of-two m)
@@ -82,7 +94,15 @@ def bloom_might_contain(gh: Column, words: list[int], k: int = 4) -> Column:
     cond = F.lit(True)
     for i in range(k):
         pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
-        word = F.element_at(lit_words, F.shiftright(pos, 6).cast("int") + 1)
+        word = F.element_at(words_col, F.shiftright(pos, 6).cast("int") + 1)
         bit = F.call_function("getbit", word, F.pmod(pos, F.lit(64)).cast("int"))
         cond = cond & (bit == 1)
     return cond
+
+
+def with_bloom_words(df, spark, words: list[int], col_name: str = "_bloom_words"):
+    """Attach the bitmap to every row of ``df`` as ``col_name`` via a
+    broadcast crossJoin of a single-row table — one copy per executor,
+    zero shuffle, and none of the py4j literal-construction cost."""
+    bm = spark.createDataFrame([(words,)], f"{col_name} array<long>")
+    return df.crossJoin(F.broadcast(bm))

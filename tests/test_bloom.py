@@ -11,7 +11,7 @@ import random
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.operators.bloom import (
-    bloom_might_contain, bloom_size_bits, build_bloom_words,
+    bloom_might_contain, bloom_size_bits, build_bloom_words, with_bloom_words,
 )
 
 
@@ -20,13 +20,16 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark):
     members = [rng.getrandbits(64) - (1 << 63) for _ in range(2000)]
     others = [rng.getrandbits(64) - (1 << 63) for _ in range(20000)]
     others = [h for h in others if h not in set(members)]
-    words = build_bloom_words(members, bloom_size_bits(len(members)), k=4)
+    m_bits = bloom_size_bits(len(members))
+    words = build_bloom_words(members, m_bits, k=4)
 
     df = spark.createDataFrame(
         [(h, True) for h in members] + [(h, False) for h in others],
         "gh long, is_member boolean",
     )
-    got = df.withColumn("maybe", bloom_might_contain(F.col("gh"), words, k=4))
+    got = with_bloom_words(df, spark, words).withColumn(
+        "maybe", bloom_might_contain(F.col("gh"), F.col("_bloom_words"), m_bits, k=4)
+    )
     # EVERY member must test positive through the Spark expression
     fn = got.filter(F.col("is_member") & ~F.col("maybe")).count()
     assert fn == 0, f"{fn} false negatives — python/expression arithmetic drifted"
@@ -57,13 +60,18 @@ def test_bloom_prefilter_is_selective_on_testdata(spark):
         .distinct()
     )
     hashes = [r.gh for r in train_g.collect()]
-    words = build_bloom_words(hashes, bloom_size_bits(len(hashes)), k=4)
+    m_bits = bloom_size_bits(len(hashes))
+    words = build_bloom_words(hashes, m_bits, k=4)
     test_g = (
         d.filter(F.col("ticket") >= 9000)
         .select(F.explode("grams").alias("g"))
         .select(F.xxhash64("g").alias("gh"))
     )
     total = test_g.count()
-    passed = test_g.filter(bloom_might_contain(F.col("gh"), words, k=4)).count()
+    passed = (
+        with_bloom_words(test_g, spark, words)
+        .filter(bloom_might_contain(F.col("gh"), F.col("_bloom_words"), m_bits, k=4))
+        .count()
+    )
     true_hits = test_g.join(train_g, "gh", "left_semi").count()
     assert true_hits <= passed <= total * 0.5, (passed, true_hits, total)
