@@ -41,6 +41,7 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 _DRIVER_WINDOW_PRIORITY = [
     # (a) new this round
     "q_sequence_pack_subword", "q_stream_corpus_gate", "q_contamination_bloom",
+    "q_dedup_keep_best",
     # (b) implementation changed this round
     "q_dedup_clusters", "q_ann_lsh_recall", "q_ann_ivf_recall",
     "q_stream_ohlcv_1h", "q_stream_sliding_24h", "q_stream_stateful_totals",
@@ -60,7 +61,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_etl_poll_cycle", "q_corpus_mix", "q_sequence_pack",
     "q_repetition_ratio", "q_pii_scrub", "q_chunk_dedup",
     "q_pricing_summary", "q_join_inner", "q_join_skew_stress",
-    "q_join_full",
 ]
 
 

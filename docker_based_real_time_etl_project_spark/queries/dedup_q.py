@@ -317,3 +317,115 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.5)
         .select("contained_id", "container_id", "containment")
     )
+
+
+_KEEP_BEST_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+         )) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))
+        / CAST(len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+reps AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(r.rep, d.doc_id) AS cluster_rep,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 10000
+               AND length(replace(d.text, ' ', ''))
+                   / CAST(len(string_split(d.text, ' ')) AS DOUBLE) BETWEEN 2 AND 12
+               AND (length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')))
+                   / CAST(length(d.text) AS DOUBLE) < 0.2
+              THEN 1 ELSE 0 END AS passes_quality
+  FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+)
+SELECT doc_id, cluster_rep, n_tokens, passes_quality,
+       ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                          ORDER BY passes_quality DESC, n_tokens DESC, doc_id) = 1
+         AS is_kept
+FROM scored
+"""
+
+
+@register("q_dedup_keep_best", oracle=_KEEP_BEST_ORACLE, tags=("dedup", "graph", "llm"))
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy canonicalization: the same near-dup clusters as
+    q_dedup_clusters, but the survivor per cluster is chosen by a
+    QUALITY policy instead of min-id — keep the member that passes the
+    quality gate, then the longest, then the smallest id (a
+    deterministic total order). This is what production corpus dedup
+    actually ships: dropping a clean long document because a truncated
+    copy happened to get a smaller id is a real data-quality loss, so
+    the keep decision must compose the cluster structure with the
+    filter signals. One extra hash-partitioned window over the cluster
+    key on top of the components fixpoint; cluster sizes are bounded by
+    the near-dup neighborhoods, so the window partitions stay small at
+    any corpus scale (no single-partition global sort anywhere)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+    )
+    pairs = (
+        gram_postings_pairs(sh, block_col="source", size_ratio=0.3)
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(d, pairs, id_col="doc_id")
+    n_tokens = F.size(F.split("text", " "))
+    avg_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ) / n_tokens.cast("double")
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    quality = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(
+            n_tokens.between(20, 10000)
+            & avg_word_len.between(2, 12)
+            & (punct_ratio < 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+    comp2 = comp.select(
+        F.col("id").alias("_cid"), F.col("rep").alias("cluster_rep")
+    )
+    scored = quality.join(comp2, quality.doc_id == comp2._cid).select(
+        "doc_id", "cluster_rep", "n_tokens", "passes_quality"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("passes_quality"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_rep",
+        "n_tokens",
+        "passes_quality",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

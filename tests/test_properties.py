@@ -367,3 +367,43 @@ def test_connected_components_deep_chain(spark):
     want = {i: 0 for i in range(9)}
     want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41})
     assert got == want
+
+
+def test_keep_best_policy_overrides_min_id(spark, tmp_path):
+    """q_dedup_keep_best must keep the QUALITY winner, not the min id:
+    a cluster whose smallest-id member is junk (short, punct-heavy)
+    and whose larger-id member is a clean 25-token doc must keep the
+    larger id — the exact case where min-id canonicalization loses
+    data quality. Ties fall back to longest, then smallest id."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    clean_toks = [f"word{i}" for i in range(28)]        # 28 tokens, no punct
+    clean = " ".join(clean_toks)                        # passes the gate
+    junk = " ".join(clean_toks[:15])                    # 15-token truncation:
+    # shares all 13 of its 3-grams with clean (J = 13/26 = 0.5 >= 0.3)
+    # but FAILS the quality gate (n_tokens < 20) -- yet has the min id
+    rows = [
+        (1, "s", junk),
+        (2, "s", clean),
+        (3, "s", "totally unrelated words " + " ".join(f"z{i}" for i in range(30))),
+    ]
+    import pandas as pd
+
+    sf = str(tmp_path / "kb")
+    (tmp_path / "kb").mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {
+        r.doc_id: (r.cluster_rep, r.is_kept)
+        for r in REGISTRY["q_dedup_keep_best"].fn(spark, sf).collect()
+    }
+    # docs 1 and 2 cluster together (rep = min id = 1), but doc 2 is kept
+    assert out[1][0] == out[2][0] == 1
+    assert out[1][1] is False and out[2][1] is True
+    assert out[3] == (3, True)
+    shutil.rmtree(sf, ignore_errors=True)
