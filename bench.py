@@ -127,10 +127,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     plans: dict[str, str] = {}
+    # Contention guard: when all 3 samples of one query land in a busy
+    # window (observed this round: min-of-3 still 3-6x the idle cost,
+    # spread >> the ~30% scheduler/JIT noise), the min is contaminated
+    # too. A wide spread is the tell; re-sample after a short settle so
+    # at least one sample gets a clean window. Budgeted so a fully
+    # contended run can't spiral.
+    extra_budget = 8
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         runs = []
         for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        while (
+            extra_budget > 0
+            # sub-half-second queries: spread is absolute scheduler
+            # noise, not a contended window — min-of-3 is already fine
+            and min(runs) > 0.5
+            and (max(runs) - min(runs)) / min(runs) > 0.8
+            and len(runs) < 5
+        ):
+            extra_budget -= 1
+            time.sleep(2.0)
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
