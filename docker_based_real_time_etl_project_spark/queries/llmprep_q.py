@@ -626,3 +626,163 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("max_span", F.lit(0)).alias("max_span"),
         F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
     )
+
+
+@register(
+    "q_corpus_datacard",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 10000
+                 AND length(replace(text, ' ', ''))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2 AND 12
+                 AND (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE) < 0.2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           median(len(string_split(text, ' '))) AS median_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card a corpus release publishes: volume
+    (docs, tokens), quality-gate pass count (same gate as
+    q_quality_score), exact-duplicate count (docs minus distinct
+    content fingerprints), language spread, and median document
+    length. One hash aggregation over the corpus — the fingerprints
+    and per-doc token counts shuffle, never the text — with the two
+    distinct-aggregates riding Spark's expand, so the report stays a
+    single pass at any corpus size. Median is exact here (per-source
+    groups); the approx-percentile sketch (q_percentiles_approx) is
+    the documented swap when a single source holds billions of docs."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    avg_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ) / n_tokens.cast("double")
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    passes = F.when(
+        n_tokens.between(20, 10000) & avg_word_len.between(2, 12) & (punct_ratio < 0.2),
+        1,
+    ).otherwise(0)
+    per_doc = d.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_toks"),
+        passes.alias("passes"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("passes").cast("bigint").alias("n_quality_pass"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.percentile("n_toks", 0.5).alias("median_tokens"),
+    )
+
+
+_DRIFT_BUCKETS = 21  # n_tokens // 10 capped at 20: fixed grid, fixed smoothing
+
+
+@register(
+    "q_corpus_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT {{ticket}} AS ticket,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(n_toks // 10, 20) AS bucket,
+             CASE WHEN ticket < 5000 THEN 1 ELSE 0 END AS is_ref
+      FROM t
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                   CAST(SUM(n_cur) AS BIGINT) AS tc FROM c),
+    scored AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(ROUND(
+               ((n_cur + 1.0) / (tc + {_DRIFT_BUCKETS})
+                - (n_ref + 1.0) / (tr + {_DRIFT_BUCKETS}))
+               * ln(((n_cur + 1.0) / (tc + {_DRIFT_BUCKETS}))
+                    / ((n_ref + 1.0) / (tr + {_DRIFT_BUCKETS})))
+               * 1000000) AS BIGINT) AS psi_micro
+      FROM c CROSS JOIN tot
+    )
+    SELECT bucket, n_ref, n_cur, psi_micro FROM scored
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), tr, tc,
+           (SELECT CAST(SUM(psi_micro) AS BIGINT) FROM scored)
+    FROM tot
+    """.replace("{ticket}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"),
+    tags=("llm", "monitor"),
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus slices (PSI over
+    the token-count histogram): the check a continuously-ingesting
+    training pipeline runs so a scraper regression or source mix shift
+    is caught BEFORE a training run consumes the batch. Slices come
+    from the same deterministic hash-ticket split the sampling ops use
+    (ref = ticket < 5000, cur = rest); the histogram is a fixed
+    21-bucket grid (n_tokens // 10 capped) with +1 Laplace smoothing
+    so empty buckets stay finite, and the PSI contribution is emitted
+    in integer micro-units (the ln ladder is the q_tfidf determinism
+    pattern). One groupBy over bucket ids + a broadcast 1-row totals
+    join — the corpus shuffles 21 rows, nothing else; a bucket=-1
+    summary row carries slice totals and total PSI (industry reading:
+    < 0.1 stable, > 0.25 drifted)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    b = t.select(
+        F.least(F.floor(F.col("n_toks") / 10), F.lit(20)).cast("bigint").alias("bucket"),
+        F.when(F.col("ticket") < 5000, 1).otherwise(0).alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = c.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    nb = F.lit(_DRIFT_BUCKETS)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("tc") + nb)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tr") + nb)
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000.0)
+            .cast("bigint")
+            .alias("psi_micro"),
+        )
+    )
+    summary = (
+        scored.agg(F.sum("psi_micro").cast("bigint").alias("psi_micro"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.col("tr").alias("n_ref"),
+            F.col("tc").alias("n_cur"),
+            "psi_micro",
+        )
+    )
+    return scored.unionByName(summary)
