@@ -757,6 +757,12 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").cast("bigint").alias("n_ref"),
         F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
     )
+    # the histogram is <= 21 rows but feeds FOUR downstream consumers
+    # (totals, per-bucket scores, and both union branches): without a
+    # checkpoint each one re-derives it from a full corpus scan — 5
+    # table passes for a 21-row report. One pass, then everything
+    # below runs on the checkpointed buckets.
+    c = c.localCheckpoint(eager=True)
     tot = c.agg(
         F.sum("n_ref").cast("bigint").alias("tr"),
         F.sum("n_cur").cast("bigint").alias("tc"),
