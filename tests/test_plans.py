@@ -556,3 +556,42 @@ def test_round5_llmprep_plan_shapes(spark, sf_dir):
     leak = _q("q_split_leakage", spark, sf_dir)
     assert join_strategies(leak).get("CartesianProduct", 0) == 0
     assert "xxhash64" in formatted_plan(leak)
+
+
+def test_round6_corpus_ops_plan_shapes(spark, sf_dir):
+    """Scale pins for the round-6 corpus additions:
+
+    - q_corpus_datacard: ONE corpus scan feeding one hash aggregation
+      (the two distinct-aggregates ride Expand, not extra scans); no
+      joins — the per-source report must stay a single pass.
+    - q_corpus_drift: ZERO table scans in the final plan — the 21-row
+      bucket histogram is checkpointed after its single build pass, so
+      totals, per-bucket scores, and the summary row all derive from
+      the checkpoint, never from re-reading the corpus; every join is
+      a broadcast of the 1-row totals.
+    - q_dedup_keep_best: no cartesian anywhere; the postings join keys
+      on xxhash64(gram), and the quality attach + survivor window add
+      ordinary hash exchanges on doc/cluster keys only.
+    """
+    card = _q("q_corpus_datacard", spark, sf_dir)
+    assert len(scan_infos(card)) == 1
+    assert join_strategies(card) == {}
+    p = formatted_plan(card)
+    assert "Expand" in p  # two count-distincts in ONE aggregation pass
+
+    drift = _q("q_corpus_drift", spark, sf_dir)
+    assert len(scan_infos(drift)) == 0
+    js = join_strategies(drift)
+    assert js.get("CartesianProduct", 0) == 0
+    assert all(k.startswith("Broadcast") for k in js), js
+
+    keep = _q("q_dedup_keep_best", spark, sf_dir)
+    assert join_strategies(keep).get("CartesianProduct", 0) == 0
+    # the components fixpoint is checkpointed upstream (its postings
+    # join is pinned by test_postings_joins_hash_key_not_gram_text),
+    # so the FINAL plan holds exactly two corpus scans: the quality
+    # attach (doc_id, text) and the isolated-node rejoin (doc_id ONLY
+    # — column pruning must hold, 8 bytes/row, not the text)
+    scans = sorted(tuple(s.read_columns) for s in scan_infos(keep))
+    assert scans == [("doc_id",), ("doc_id", "text")]
+    assert "Window" in formatted_plan(keep)
