@@ -690,10 +690,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIFT_BUCKETS = 21  # n_tokens // 10 capped at 20: fixed grid, fixed smoothing
 
-
-@register(
-    "q_corpus_drift",
-    oracle=f"""
+_DRIFT_ORACLE = f"""
     WITH t AS (
       SELECT {{ticket}} AS ticket,
              len(string_split(text, ' ')) AS n_toks
@@ -727,9 +724,48 @@ _DRIFT_BUCKETS = 21  # n_tokens // 10 capped at 20: fixed grid, fixed smoothing
     SELECT CAST(-1 AS BIGINT), tr, tc,
            (SELECT CAST(SUM(psi_micro) AS BIGINT) FROM scored)
     FROM tot
-    """.replace("{ticket}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"),
-    tags=("llm", "monitor"),
-)
+    """.replace("{ticket}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000")
+
+
+def psi_from_bucket_counts(c: DataFrame) -> DataFrame:
+    """(bucket, n_ref, n_cur) -> per-bucket PSI rows + the bucket=-1
+    summary. Shared by the batch monitor and the streaming ingest
+    monitor so both emit the identical contract: +1 Laplace smoothing
+    over the fixed {_DRIFT_BUCKETS}-bucket grid, ln ladder in integer
+    micro-units. ``c`` must be tiny (<= grid size) and materialized —
+    it feeds four consumers."""
+    tot = c.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    nb = F.lit(_DRIFT_BUCKETS)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("tc") + nb)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tr") + nb)
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000.0)
+            .cast("bigint")
+            .alias("psi_micro"),
+        )
+    )
+    summary = (
+        scored.agg(F.sum("psi_micro").cast("bigint").alias("psi_micro"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.col("tr").alias("n_ref"),
+            F.col("tc").alias("n_cur"),
+            "psi_micro",
+        )
+    )
+    return scored.unionByName(summary)
+
+
+@register("q_corpus_drift", oracle=_DRIFT_ORACLE, tags=("llm", "monitor"))
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor between two corpus slices (PSI over
     the token-count histogram): the check a continuously-ingesting
@@ -763,32 +799,4 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table passes for a 21-row report. One pass, then everything
     # below runs on the checkpointed buckets.
     c = c.localCheckpoint(eager=True)
-    tot = c.agg(
-        F.sum("n_ref").cast("bigint").alias("tr"),
-        F.sum("n_cur").cast("bigint").alias("tc"),
-    )
-    nb = F.lit(_DRIFT_BUCKETS)
-    p_cur = (F.col("n_cur") + 1.0) / (F.col("tc") + nb)
-    p_ref = (F.col("n_ref") + 1.0) / (F.col("tr") + nb)
-    scored = (
-        c.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "n_ref",
-            "n_cur",
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000.0)
-            .cast("bigint")
-            .alias("psi_micro"),
-        )
-    )
-    summary = (
-        scored.agg(F.sum("psi_micro").cast("bigint").alias("psi_micro"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.lit(-1).cast("bigint").alias("bucket"),
-            F.col("tr").alias("n_ref"),
-            F.col("tc").alias("n_cur"),
-            "psi_micro",
-        )
-    )
-    return scored.unionByName(summary)
+    return psi_from_bucket_counts(c)

@@ -946,3 +946,51 @@ def q_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         (F.col("has_dup") == 0) & (2 * F.col("n_shared") < F.col("n_grams"))
     ).select("doc_id", "lang", "n_tokens", "n_grams", "n_shared")
+
+
+def _drift_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _DRIFT_ORACLE,
+    )
+
+    return _DRIFT_ORACLE
+
+
+@register(
+    "q_stream_corpus_drift", oracle=_drift_oracle(), tags=("streaming", "llm", "monitor")
+)
+def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor AS an ingest monitor: documents arrive as
+    an 8-micro-batch stream, and a complete-mode aggregate accumulates
+    the per-bucket (ref, cur) counts of the fixed token-count grid —
+    exact integer counts, so the cross-batch state merge is order-free
+    and the final histogram equals the batch histogram bit-for-bit.
+    PSI scoring then runs on the <= 21-row streamed result through the
+    SAME ``psi_from_bucket_counts`` the batch monitor uses, so both
+    emit the identical contract — hash-matched against the SAME full
+    DuckDB oracle as q_corpus_drift; this is the continuous form a
+    training-data ingest pipeline would alert on.
+
+    State is O(grid) = 21 rows regardless of corpus size; the corpus
+    streams through once. At 100 TB the same topology holds: the
+    histogram agg is the only stateful op, and the scoring join is a
+    broadcast of one totals row."""
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        psi_from_bucket_counts,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
+
+    t = _doc_stream(spark, sf_dir).select(
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    b = t.select(
+        F.least(F.floor(F.col("n_toks") / 10), F.lit(20)).cast("bigint").alias("bucket"),
+        F.when(F.col("ticket") < 5000, 1).otherwise(0).alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    res = run_to_memory(c, output_mode="complete", state_partitions=8)
+    return psi_from_bucket_counts(res.localCheckpoint(eager=True))
