@@ -407,3 +407,33 @@ def test_keep_best_policy_overrides_min_id(spark, tmp_path):
     assert out[1][1] is False and out[2][1] is True
     assert out[3] == (3, True)
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_psi_scorer_invariants(spark):
+    """psi_from_bucket_counts on literal histograms: identical slices
+    give zero PSI in every bucket AND in the summary; a shifted
+    histogram gives positive total PSI; the summary row always carries
+    the slice totals. Pure function of 21-row inputs, so test it
+    directly instead of through a corpus."""
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        psi_from_bucket_counts,
+    )
+
+    same = spark.createDataFrame(
+        [(0, 40, 40), (1, 30, 30), (2, 30, 30)],
+        "bucket long, n_ref long, n_cur long",
+    )
+    rows = {r.bucket: r for r in psi_from_bucket_counts(same).collect()}
+    assert all(rows[b].psi_micro == 0 for b in (0, 1, 2, -1))
+    assert rows[-1].n_ref == 100 and rows[-1].n_cur == 100
+
+    shifted = spark.createDataFrame(
+        [(0, 80, 20), (1, 10, 30), (2, 10, 50)],
+        "bucket long, n_ref long, n_cur long",
+    )
+    srows = {r.bucket: r for r in psi_from_bucket_counts(shifted).collect()}
+    # every bucket moved, so every contribution is strictly positive
+    # ((p_cur - p_ref) and ln(p_cur/p_ref) always share sign)
+    assert all(srows[b].psi_micro > 0 for b in (0, 1, 2))
+    assert srows[-1].psi_micro == sum(srows[b].psi_micro for b in (0, 1, 2))
+    assert srows[-1].psi_micro > 250000  # way past the 0.25 'drifted' bar
