@@ -63,6 +63,10 @@ HEADLINE = [
     "q_contamination_span",  # gaps-and-islands longest shared-gram run
     "q_split_leakage",       # near-dup pairs straddling splits (postings join)
     "q_domain_cap",          # per-source top-N window
+    # round 6 additions
+    "q_dedup_keep_best",     # clusters + quality-policy survivor window
+    "q_corpus_datacard",     # per-source dataset card, one agg pass
+    "q_corpus_drift",        # PSI drift monitor, 21-row histogram
 ]
 
 
