@@ -628,9 +628,7 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_corpus_datacard",
-    oracle="""
+_DATACARD_ORACLE = """
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -645,9 +643,10 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
            median(len(string_split(text, ' '))) AS median_tokens
     FROM documents
     GROUP BY source
-    """,
-    tags=("llm", "text"),
-)
+    """
+
+
+@register("q_corpus_datacard", oracle=_DATACARD_ORACLE, tags=("llm", "text"))
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source dataset card a corpus release publishes: volume
     (docs, tokens), quality-gate pass count (same gate as

@@ -994,3 +994,72 @@ def q_stream_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_to_memory(c, output_mode="complete", state_partitions=8)
     return psi_from_bucket_counts(res.localCheckpoint(eager=True))
+
+
+def _datacard_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _DATACARD_ORACLE,
+    )
+
+    return _DATACARD_ORACLE
+
+
+@register(
+    "q_stream_corpus_datacard",
+    oracle=_datacard_oracle(),
+    tags=("streaming", "llm", "text"),
+)
+def q_stream_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card maintained AS the corpus streams in: the
+    complete-mode aggregate keys on (source, content-fingerprint,
+    lang) — identical text implies identical token count and quality
+    verdict, so fingerprint-level rows lose NOTHING: doc counts ride
+    n_copies, and the per-source rollup (including the exact median,
+    reconstructed via a frequency-weighted percentile, and the exact
+    distinct-duplicate count, which streaming aggregation cannot emit
+    directly) runs as a batch op on the streamed state — the same
+    finish-on-state split as q_stream_corpus_drift. Hash-matches the
+    IDENTICAL DuckDB oracle as the batch q_corpus_datacard.
+
+    State is O(distinct (source, fp, lang)) — the deduplicated corpus,
+    the floor for any exact distinct count; at 100 TB the same split
+    holds (fingerprint state in the streaming agg, the card itself a
+    cheap batch rollup over it whenever it is read)."""
+    d = _doc_stream(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " "))
+    avg_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ) / n_tokens.cast("double")
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    passes = F.when(
+        n_tokens.between(20, 10000) & avg_word_len.between(2, 12) & (punct_ratio < 0.2),
+        1,
+    ).otherwise(0)
+    per_fp = (
+        d.select(
+            "source",
+            "lang",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            n_tokens.alias("n_toks"),
+            passes.alias("passes"),
+        )
+        .groupBy("source", "fp", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            # identical text -> identical n_toks/passes; max = the value
+            F.max("n_toks").alias("n_toks"),
+            F.max("passes").alias("passes"),
+        )
+    )
+    state = run_to_memory(per_fp, output_mode="complete", state_partitions=8)
+    state = state.localCheckpoint(eager=True)
+    return state.groupBy("source").agg(
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_toks") * F.col("n_copies")).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("passes") * F.col("n_copies")).cast("bigint").alias("n_quality_pass"),
+        (F.sum("n_copies") - F.countDistinct("fp")).cast("bigint").alias("n_exact_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.percentile("n_toks", 0.5, F.col("n_copies").cast("int")).alias("median_tokens"),
+    )
