@@ -1063,3 +1063,52 @@ def q_stream_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.percentile("n_toks", 0.5, F.col("n_copies").cast("int")).alias("median_tokens"),
     )
+
+
+def _win_rank_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.windows import (
+        _WIN_RANK_ORACLE,
+    )
+
+    return _WIN_RANK_ORACLE
+
+
+@register(
+    "q_stream_win_rank", oracle=_win_rank_oracle(), tags=("streaming", "window")
+)
+def q_stream_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (top-k per group) as a STREAM — the missing streaming cell of
+    the A1-A4 matrix: orders replayed in 8 micro-batches maintain a
+    per-customer top-3 leaderboard in applyInPandasWithState state
+    (O(customers x 3), see topk_per_group_stream); the final
+    leaderboard (each key's last emission) must hash-match the batch
+    q_win_rank oracle exactly — window-over-history and
+    merge-as-you-go must land on identical survivors because the
+    (price DESC, orderkey) tiebreak is a total order."""
+    from pyspark.sql import Window as W
+
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table, slice_table_to_dir,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        topk_per_group_stream,
+    )
+
+    d = _materialize_once(
+        ("order_slices", sf_dir, 8, _table_fingerprint(sf_dir, "orders")),
+        lambda: slice_table_to_dir(
+            spark, sf_dir, "orders", "o_orderkey", n_slices=8
+        ),
+    )
+    orders = replay_table(spark, d, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    emitted = run_to_memory(
+        topk_per_group_stream(orders), output_mode="update", state_partitions=8
+    )
+    w = W.partitionBy("o_custkey")
+    return (
+        emitted.withColumn("_mx", F.max("upd").over(w))
+        .filter(F.col("upd") == F.col("_mx"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )

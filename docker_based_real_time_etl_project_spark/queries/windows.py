@@ -18,18 +18,17 @@ from docker_based_real_time_etl_project_spark.operators.aggregates import latest
 from docker_based_real_time_etl_project_spark.queries.registry import DEC, davg, dsum, register, sql_davg, sql_dsum, table
 
 
-@register(
-    "q_win_rank",
-    oracle="""
+_WIN_RANK_ORACLE = """
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
       FROM orders)
     WHERE rnk <= 3
-    """,
-    tags=("window",),
-)
+    """
+
+
+@register("q_win_rank", oracle=_WIN_RANK_ORACLE, tags=("window",))
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 shape: top-3 orders per customer by value (order-book depth
     semantics generalized). One shuffle on the partition key."""

@@ -265,3 +265,75 @@ def content_dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TOPK_OUT = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("rnk", T.IntegerType()),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+_TOPK_STATE = T.StructType(
+    [
+        T.StructField("okeys", T.ArrayType(T.LongType())),
+        T.StructField("prices", T.ArrayType(T.DoubleType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+_TOPK_K = 3
+
+
+def _update_topk(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        okeys, prices, upd = state.get
+        rows = list(zip(prices, okeys))
+    else:
+        rows, upd = [], 0
+    for pdf in pdfs:
+        rows.extend(
+            zip(pdf["o_totalprice"].astype(float), pdf["o_orderkey"].astype("int64"))
+        )
+    # deterministic total order: value DESC, then orderkey ASC — the
+    # same tiebreak the batch window uses, so state merge order can't
+    # change the survivors
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    top = rows[:_TOPK_K]
+    upd += 1
+    state.update(
+        ([int(k) for _, k in top], [float(p) for p, _ in top], upd)
+    )
+    yield pd.DataFrame(
+        {
+            "o_custkey": [key[0]] * len(top),
+            "o_orderkey": [int(k) for _, k in top],
+            "o_totalprice": [float(p) for p, _ in top],
+            "rnk": list(range(1, len(top) + 1)),
+            "upd": [upd] * len(top),
+        }
+    )
+
+
+def topk_per_group_stream(orders: DataFrame) -> DataFrame:
+    """Streaming A3: the per-customer top-3 leaderboard maintained as
+    orders arrive. State per key is exactly the current top-k tuples
+    (k=3: three (orderkey, price) pairs — O(k) per key, nothing else is
+    needed because top-k under a total order is mergeable: the top-k of
+    (state ∪ batch) only ever draws from state's top-k and the batch).
+    Each batch a key appears in re-emits its full current top-k stamped
+    with an update counter; the rows carrying the key's MAX counter are
+    the final leaderboard. The batch twin (q_win_rank) shuffles once on
+    the group key; this form never shuffles history — each new order
+    meets k tuples of state, which is the leaderboard shape a 100 TB
+    order stream needs (state size = customers x k, not orders)."""
+    return orders.groupBy("o_custkey").applyInPandasWithState(
+        _update_topk,
+        outputStructType=_TOPK_OUT,
+        stateStructType=_TOPK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
