@@ -392,3 +392,83 @@ def test_stream_asof_carry_is_exact_above_2_53():
     (out2,) = fn((1,), [b2], state)
     assert out2["quote_id"].tolist() == [big]
     assert out2["quote_age_us"].tolist() == [2 * 60 * 1_000_000]
+
+
+def test_stream_topk_is_arrival_order_independent(spark, tmp_path):
+    """The leaderboard's defining property: top-k under a total order
+    is a commutative, associative merge, so the final board must be
+    IDENTICAL however arrival slices the stream — unlike the as-of
+    gate, which documents an ordering contract, this operator has
+    none. Replay the same orders in ascending, descending, and
+    interleaved 3-batch orders; all three final boards must match the
+    batch window truth exactly (including ties broken by orderkey and
+    groups with fewer than k rows)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from docker_based_real_time_etl_project_spark.streaming.replay import replay_table
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import run_to_memory
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        topk_per_group_stream,
+    )
+
+    rows = [
+        # cust 1: four orders incl. a price tie (keys 11/12 at 50.0)
+        (11, 1, 50.0), (12, 1, 50.0), (13, 1, 99.0), (14, 1, 10.0),
+        # cust 2: fewer than k
+        (21, 2, 5.0), (22, 2, 7.0),
+        # cust 3: singleton
+        (31, 3, 1.0),
+    ]
+    want = {
+        (1, 13, 99.0, 1), (1, 11, 50.0, 2), (1, 12, 50.0, 3),
+        (2, 22, 7.0, 1), (2, 21, 5.0, 2),
+        (3, 31, 1.0, 1),
+    }
+    orders = [  # three arrival orders of the same rows
+        rows,
+        rows[::-1],
+        [rows[i] for i in (3, 5, 0, 6, 2, 4, 1)],
+    ]
+    for case, seq in enumerate(orders):
+        d = tmp_path / f"ord{case}"
+        os.makedirs(d)
+        base = time.time()
+        for b in range(3):  # 3 slices of 3/3/1 rows, mtime-ordered
+            chunk = seq[b * 3:(b + 1) * 3]
+            if not chunk:
+                continue
+            p = str(d / f"slice{b}.parquet")
+            pdf = pd.DataFrame(chunk, columns=["o_orderkey", "o_custkey", "o_totalprice"])
+            for c in ("o_orderkey", "o_custkey"):
+                pdf[c] = pdf[c].astype("int64")
+            # pad to the declared orders schema (extra cols unused)
+            pdf["o_orderstatus"] = "O"
+            pdf["o_orderdate"] = pd.Timestamp("2024-01-01")
+            pdf["o_orderpriority"] = "1-URGENT"
+            pdf[["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"]].to_parquet(p)
+            os.utime(p, (base + 2 * b, base + 2 * b))
+        emitted = run_to_memory(
+            topk_per_group_stream(
+                replay_table(spark, str(d), "orders").select(
+                    "o_custkey", "o_orderkey", "o_totalprice"
+                )
+            ),
+            output_mode="update",
+            state_partitions=4,
+        )
+        from pyspark.sql import Window as W
+
+        final = (
+            emitted.withColumn("_mx", F.max("upd").over(W.partitionBy("o_custkey")))
+            .filter(F.col("upd") == F.col("_mx"))
+        )
+        got = {
+            (r.o_custkey, r.o_orderkey, r.o_totalprice, r.rnk)
+            for r in final.collect()
+        }
+        assert got == want, f"arrival order {case}: {got}"
