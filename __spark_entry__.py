@@ -26,11 +26,12 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # iteration order. Round-6 window, by staleness of driver evidence
 # (computed from CORRECTNESS_r01..r05 — after r5 every registered
 # query has at least one driver green, so rotation is purely
-# oldest-first plus changed-first): (a) the 9 queries ADDED this round
+# oldest-first plus changed-first): (a) the 10 queries ADDED this round
 # (subword packing, streaming corpus-gate capstone, bloom-prefiltered
 # contamination, quality-policy cluster canonicalization, the corpus
 # data card and PSI drift monitor each in batch and streaming form,
-# and the streaming top-k leaderboard completing the A1-A4 matrix);
+# the streaming top-k leaderboard completing the A1-A4 matrix, and
+# token-budget corpus sizing on a distributed prefix-sum);
 # (b)
 # queries whose implementation changed this round — the
 # connected-components convergence fold (q_dedup_clusters), the ANN
@@ -39,14 +40,14 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # (parameter+fingerprint keys) and the as-of pair additionally got the
 # masked-int64 carry; (c) all 17 remaining r2-era greens (text pack,
 # UDF/UDTF pack, window pair, anti/salted joins, CMS sketch, media
-# meta, embed norms); (d) 7 oldest r3-era rows led by the CDC pack
+# meta, embed norms); (d) 6 oldest r3-era rows led by the CDC pack
 # (q_pricing_summary needs no slot: entry() smoke-runs it every round).
 # After r6 no query's evidence is older than r3.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) new this round
     "q_sequence_pack_subword", "q_stream_corpus_gate", "q_contamination_bloom",
     "q_dedup_keep_best", "q_corpus_datacard", "q_corpus_drift",
-    "q_stream_corpus_drift", "q_stream_corpus_datacard", "q_stream_win_rank",
+    "q_stream_corpus_drift", "q_stream_corpus_datacard", "q_stream_win_rank", "q_token_budget",
     # (b) implementation changed this round
     "q_dedup_clusters", "q_ann_lsh_recall", "q_ann_ivf_recall",
     "q_stream_ohlcv_1h", "q_stream_sliding_24h", "q_stream_stateful_totals",
@@ -64,7 +65,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # (d) oldest r3-era rows, CDC pack first
     "q_cdc_materialize", "q_cdc_stream_upsert", "q_dedup_exact",
     "q_etl_poll_cycle", "q_corpus_mix", "q_sequence_pack",
-    "q_repetition_ratio",
 ]
 
 

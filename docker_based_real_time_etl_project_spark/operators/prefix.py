@@ -1,0 +1,70 @@
+"""Distributed ordered prefix-sum.
+
+A global running total over an ordered dataset is the textbook
+single-partition-window trap: ``Window.orderBy(...)`` with no
+partitionBy drags the entire dataset through ONE task. The correct
+distributed shape is the classic two-phase scan:
+
+    1. range-partition by the order key (each partition holds a
+       contiguous key range, sorted within);
+    2. per-partition totals -> a tiny driver-side exclusive scan
+       (one row per partition, ~dozens of longs);
+    3. broadcast the offsets back and add them to each partition's
+       LOCAL running sum (an ordinary partitioned window).
+
+The output is independent of where the range boundaries fall (they
+are sampled): offsets are computed from the actual per-partition
+totals, and ranges are contiguous in the order key, so the global
+prefix sum is exact for ANY boundary placement — which is what makes
+the operator safely deterministic and hash-oracle-able even though
+RangePartitioner samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` in
+    ``order_cols`` order, computed with the two-phase distributed scan
+    above. ``value_col`` must be integral (exact associative adds)."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    # BOTH consumers (the totals job and the final windowed pass) must
+    # see the identical partitioning: RangePartitioner SAMPLES its
+    # boundaries, so two independent executions of the same plan are
+    # not guaranteed the same pid mapping. Materialize the ranged data
+    # once; offsets and window then provably refer to the same layout.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    # phase 2: per-partition totals -> exclusive scan on the driver
+    # (one long per partition; this collect is O(partitions), never O(rows))
+    totals = {
+        r._pid: r.t
+        for r in with_pid.groupBy("_pid").agg(
+            F.sum(value_col).cast("bigint").alias("t")
+        ).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals) + 1 if totals else 0):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.sum(value_col).over(w) + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_off")
+    )

@@ -355,3 +355,65 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("doc_sum", F.lit(0)).alias("doc_sum"),
         )
     )
+
+
+@register(
+    "q_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_sql_ticket('doc_id')} AS ticket,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_toks) // 2 AS BIGINT) AS budget FROM t),
+    c AS (
+      SELECT doc_id, ticket, n_toks,
+             CAST(SUM(n_toks) OVER (ORDER BY ticket, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_toks, cum_tokens
+    FROM c CROSS JOIN tot
+    WHERE cum_tokens - n_toks < budget
+    """,
+    tags=("sampling", "llm"),
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sizing to an exact token budget ("give me the first N
+    tokens"): take documents in deterministic hash-ticket order until
+    the running token total reaches the budget (here: half the corpus,
+    so the contract binds at every SF). A doc is admitted iff it STARTS
+    before the budget line — the boundary doc may overrun, matching how
+    trainers actually cut (then truncate in the packer).
+
+    The running total is the distributed two-phase scan
+    (operators.prefix.ordered_prefix_sum): range-partition on the order
+    key, per-partition totals -> O(partitions) driver scan -> broadcast
+    offsets + per-partition local window. NO single-partition global
+    window anywhere — the naive Window.orderBy() form funnels the whole
+    corpus through one task and is exactly what this operator exists to
+    replace; the oracle's SQL window is that naive form, run where
+    quadratic/sequential cost is acceptable (DuckDB, test scale)."""
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    budget = t.agg(
+        F.floor(F.sum("n_toks") / 2).cast("bigint").alias("budget")
+    )
+    c = ordered_prefix_sum(t, ["ticket", "doc_id"], "n_toks", out_col="cum_tokens")
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") - F.col("n_toks") < F.col("budget"))
+        .select("doc_id", "n_toks", "cum_tokens")
+    )

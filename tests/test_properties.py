@@ -437,3 +437,29 @@ def test_psi_scorer_invariants(spark):
     assert all(srows[b].psi_micro > 0 for b in (0, 1, 2))
     assert srows[-1].psi_micro == sum(srows[b].psi_micro for b in (0, 1, 2))
     assert srows[-1].psi_micro > 250000  # way past the 0.25 'drifted' bar
+
+
+def test_ordered_prefix_sum_matches_sequential(spark):
+    """The two-phase distributed scan == a sequential cumsum, on input
+    engineered to cross many range partitions with duplicate order
+    keys and zero values (offset bookkeeping has to be exact at every
+    partition boundary)."""
+    import random
+
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0, 1, 3, 40])) for i in range(997)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in ordered_prefix_sum(df, ["k"], "v", num_partitions=32).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
