@@ -595,3 +595,20 @@ def test_round6_corpus_ops_plan_shapes(spark, sf_dir):
     scans = sorted(tuple(s.read_columns) for s in scan_infos(keep))
     assert scans == [("doc_id",), ("doc_id", "text")]
     assert "Window" in formatted_plan(keep)
+
+
+def test_token_budget_no_global_window(spark, sf_dir):
+    """q_token_budget's running total must be the two-phase scan, never
+    a global Window.orderBy(): the one Window in the plan is
+    partitioned (its exchange hashes on the range-partition id), and
+    the only SinglePartition exchange is the 1-row budget aggregate
+    (which moves partial-agg rows, not the corpus)."""
+    import re
+
+    df = _q("q_token_budget", spark, sf_dir)
+    p = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "hashpartitioning(_pid" in p
+    # the only SinglePartition exchange is the budget aggregate's
+    # 32-partial-row merge; the corpus-bearing exchange is the pid hash
+    assert p.count("SinglePartition") == 1
