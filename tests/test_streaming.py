@@ -472,3 +472,77 @@ def test_stream_topk_is_arrival_order_independent(spark, tmp_path):
             for r in final.collect()
         }
         assert got == want, f"arrival order {case}: {got}"
+
+
+def test_stream_topk_state_survives_checkpoint_restart(spark, sf_dir):
+    """Kill-and-restart for the leaderboard's applyInPandasWithState
+    state: run availableNow over half the order slices with a
+    checkpoint, then deliver the rest and restart from the SAME
+    checkpoint. The restored state must merge the new batches into the
+    identical final board the batch window computes over ALL orders —
+    i.e. recovery neither loses a key's top-k nor re-plays admitted
+    rows into it."""
+    import shutil
+
+    from pyspark.sql import Window as W
+    from docker_based_real_time_etl_project_spark.sources.parquet import load_table
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table, slice_table_to_dir,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        topk_per_group_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="topk_src_")
+    sink = tempfile.mkdtemp(prefix="topk_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="topk_ckpt_")
+    slice_table_to_dir(
+        spark, sf_dir, "orders", "o_orderkey",
+        n_slices=8, out_dir=src, hold_back_range=(4, 7),
+    )
+
+    def run_once():
+        orders = replay_table(spark, src, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        )
+        q = (
+            topk_per_group_stream(orders)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    tmp2 = tempfile.mkdtemp(prefix="topk_more_")
+    slice_table_to_dir(
+        spark, sf_dir, "orders", "o_orderkey",
+        n_slices=8, out_dir=tmp2, hold_back_range=(0, 3),
+    )
+    for i in range(4, 8):
+        shutil.move(f"{tmp2}/slice={i:03d}", f"{src}/slice={i:03d}")
+    run_once()
+
+    emitted = spark.read.parquet(sink)
+    final = (
+        emitted.withColumn("_mx", F.max("upd").over(W.partitionBy("o_custkey")))
+        .filter(F.col("upd") == F.col("_mx"))
+    )
+    got = {
+        (r.o_custkey, r.o_orderkey, r.rnk) for r in final.collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = {
+        (r.o_custkey, r.o_orderkey, r.rnk)
+        for r in o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk")
+        ).filter(F.col("rnk") <= 3).collect()
+    }
+    assert got == want
