@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def ordered_prefix_sum(
@@ -32,10 +33,21 @@ def ordered_prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    storage_level: StorageLevel | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
     ``order_cols`` order, computed with the two-phase distributed scan
-    above. ``value_col`` must be integral (exact associative adds)."""
+    above. ``value_col`` must be integral (exact associative adds);
+    NULLs count as 0 (a fully-NULL range partition contributes a zero
+    offset rather than poisoning the driver scan).
+
+    ``storage_level`` tunes where the stabilized ranged projection
+    lives (default: Spark's local-checkpoint default, memory+disk).
+    The checkpoint is a REAL materialization of the column-pruned
+    (order_cols + value_col) projection — the unavoidable cost of an
+    exact global scan over a sampled range partitioning; pass e.g.
+    ``StorageLevel.DISK_ONLY`` when the projection at full scale
+    outsizes executor memory."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
@@ -45,14 +57,14 @@ def ordered_prefix_sum(
     # not guaranteed the same pid mapping. Materialize the ranged data
     # once; offsets and window then provably refer to the same layout.
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=storage_level
     )
     # phase 2: per-partition totals -> exclusive scan on the driver
     # (one long per partition; this collect is O(partitions), never O(rows))
     totals = {
         r._pid: r.t
         for r in with_pid.groupBy("_pid").agg(
-            F.sum(value_col).cast("bigint").alias("t")
+            F.coalesce(F.sum(value_col), F.lit(0)).cast("bigint").alias("t")
         ).collect()
     }
     offsets, acc = [], 0
@@ -65,6 +77,11 @@ def ordered_prefix_sum(
     )
     return (
         with_pid.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, (F.sum(value_col).over(w) + F.col("_off")).cast("bigint"))
+        .withColumn(
+            out_col,
+            (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + F.col("_off")).cast(
+                "bigint"
+            ),
+        )
         .drop("_pid", "_off")
     )

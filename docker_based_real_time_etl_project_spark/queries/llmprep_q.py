@@ -700,11 +700,18 @@ _DRIFT_ORACLE = f"""
              CASE WHEN ticket < 5000 THEN 1 ELSE 0 END AS is_ref
       FROM t
     ),
-    c AS (
+    c0 AS (
       SELECT bucket,
              CAST(SUM(is_ref) AS BIGINT) AS n_ref,
              CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
       FROM b GROUP BY bucket
+    ),
+    grid AS (SELECT CAST(unnest(generate_series(0, 20)) AS BIGINT) AS bucket),
+    c AS (
+      SELECT g.bucket,
+             COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM grid g LEFT JOIN c0 ON g.bucket = c0.bucket
     ),
     tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
                    CAST(SUM(n_cur) AS BIGINT) AS tc FROM c),
@@ -723,16 +730,28 @@ _DRIFT_ORACLE = f"""
     SELECT CAST(-1 AS BIGINT), tr, tc,
            (SELECT CAST(SUM(psi_micro) AS BIGINT) FROM scored)
     FROM tot
-    """.replace("{ticket}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000")
+    """.replace("{ticket}", _sql_ticket("doc_id"))
 
 
 def psi_from_bucket_counts(c: DataFrame) -> DataFrame:
     """(bucket, n_ref, n_cur) -> per-bucket PSI rows + the bucket=-1
     summary. Shared by the batch monitor and the streaming ingest
     monitor so both emit the identical contract: +1 Laplace smoothing
-    over the fixed {_DRIFT_BUCKETS}-bucket grid, ln ladder in integer
-    micro-units. ``c`` must be tiny (<= grid size) and materialized —
-    it feeds four consumers."""
+    over the fixed 21-bucket grid, ln ladder in integer micro-units.
+    The input is densified against the full 0..20 grid first (missing
+    buckets -> 0/0), so every bucket's smoothed term — including
+    buckets empty in BOTH slices, whose term is nonzero whenever slice
+    totals differ — contributes to the summed total: the "21-bucket
+    grid" description is literal, and the output is always 22 rows.
+    ``c`` must be tiny (<= grid size) and materialized — it feeds four
+    consumers."""
+    spark = c.sparkSession
+    grid = spark.range(_DRIFT_BUCKETS).select(F.col("id").cast("bigint").alias("bucket"))
+    c = grid.join(c, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+    )
     tot = c.agg(
         F.sum("n_ref").cast("bigint").alias("tr"),
         F.sum("n_cur").cast("bigint").alias("tc"),

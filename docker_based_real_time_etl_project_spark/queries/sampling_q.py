@@ -408,9 +408,10 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_toks"),
     )
-    budget = t.agg(
-        F.floor(F.sum("n_toks") / 2).cast("bigint").alias("budget")
-    )
+    # Integer division (`div`) keeps the budget exact past 2^53 total
+    # tokens, matching the oracle's hugeint `SUM // 2`; float division
+    # + floor would round once totals leave the double-exact range.
+    budget = t.agg(F.expr("sum(n_toks) div 2").cast("bigint").alias("budget"))
     c = ordered_prefix_sum(t, ["ticket", "doc_id"], "n_toks", out_col="cum_tokens")
     return (
         c.crossJoin(F.broadcast(budget))

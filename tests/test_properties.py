@@ -441,9 +441,9 @@ def test_psi_scorer_invariants(spark):
 
 def test_ordered_prefix_sum_matches_sequential(spark):
     """The two-phase distributed scan == a sequential cumsum, on input
-    engineered to cross many range partitions with duplicate order
-    keys and zero values (offset bookkeeping has to be exact at every
-    partition boundary)."""
+    with UNIQUE order keys (per-row cum is then fully determined)
+    engineered to cross many range partitions with zero values (offset
+    bookkeeping has to be exact at every partition boundary)."""
     import random
 
     from docker_based_real_time_etl_project_spark.operators.prefix import (
@@ -463,3 +463,43 @@ def test_ordered_prefix_sum_matches_sequential(spark):
         acc += v
         want[k] = acc
     assert got == want
+
+
+def test_ordered_prefix_sum_duplicate_keys_and_nulls(spark):
+    """With genuinely DUPLICATED order keys, per-row cum is
+    tie-order-dependent (as in any ROWS window), so assert only the
+    order-independent invariants: (a) the max cum within each key
+    equals the sequential cumsum of per-key totals — ties can permute
+    within the key but must all land before its closing total; (b) the
+    global max equals the grand total. Also feeds an all-NULL-value
+    key span wide enough to occupy entire range partitions: NULLs must
+    count as 0 in the offsets (not poison the driver scan) and leading
+    NULL rows get cum == their partition offset."""
+    import random
+
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    rng = random.Random(11)
+    # ~5 rows per key over 60 keys, plus keys 100..119 carrying only NULLs
+    rows = [(rng.randrange(60), rng.choice([0, 1, 7])) for _ in range(300)]
+    rows += [(100 + i, None) for i in range(20) for _ in range(10)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = ordered_prefix_sum(df, ["k"], "v", num_partitions=32).collect()
+    assert len(out) == len(rows)
+
+    per_key_total: dict[int, int] = {}
+    for k, v in rows:
+        per_key_total[k] = per_key_total.get(k, 0) + (v or 0)
+    acc, want_max = 0, {}
+    for k in sorted(per_key_total):
+        acc += per_key_total[k]
+        want_max[k] = acc
+
+    got_max: dict[int, int] = {}
+    for r in out:
+        got_max[r.k] = max(got_max.get(r.k, 0), r.cum)
+    assert got_max == want_max
+    assert max(r.cum for r in out) == sum(v for _, v in rows if v is not None)
