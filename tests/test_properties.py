@@ -503,3 +503,29 @@ def test_ordered_prefix_sum_duplicate_keys_and_nulls(spark):
         got_max[r.k] = max(got_max.get(r.k, 0), r.cum)
     assert got_max == want_max
     assert max(r.cum for r in out) == sum(v for _, v in rows if v is not None)
+
+
+def test_cluster_artifact_shared(spark, sf_dir):
+    """q_dedup_clusters and q_dedup_keep_best must consume ONE
+    session-materialized cluster artifact: running both (twice) leaves
+    the pair-generation + components fixpoint built exactly once for
+    the (sf_dir, params, fingerprint) key — the round-6 perf-weak
+    finding was keep_best silently re-paying the whole fixpoint. Also
+    cross-checks the two queries agree on the clustering itself."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        BUILD_COUNTS, table_fingerprint,
+    )
+
+    key = ("dedup_clusters", sf_dir, 3, 0.3, table_fingerprint(sf_dir, "documents"))
+    clusters = {
+        r.doc_id: r.cluster_rep
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    keep_best = {
+        r.doc_id: r.cluster_rep
+        for r in REGISTRY["q_dedup_keep_best"].fn(spark, sf_dir).collect()
+    }
+    REGISTRY["q_dedup_keep_best"].fn(spark, sf_dir).count()
+    assert clusters == keep_best  # same artifact -> same clustering
+    assert BUILD_COUNTS[key] == 1
