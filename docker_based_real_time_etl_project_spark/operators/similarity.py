@@ -138,30 +138,21 @@ def lsh_tables(
     return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
 
-def lsh_topk_multi(
+def lsh_candidates(
     df: DataFrame,
     query_df: DataFrame,
     tables: list[list[list[float]]],
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     query_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Multi-table sign-LSH ANN: a candidate qualifies if it co-buckets
-    with the query in ANY of the hash tables (OR-amplification), then
-    exact cosine re-rank. Single-table LSH on unstructured embeddings
-    has catastrophic recall (one 8-plane table measured ~0.1 recall@10
-    on the synthetic corpus); L tables of fewer planes trade candidate
-    volume for recall the standard way: P(hit) = 1 - (1 - p^planes)^L.
-
-    Plan shape for 100 TB: corpus explodes to docs x L (table, bucket)
-    rows -- written out partitioned by (table, bucket) so a query reads
-    L buckets' files; the candidate-id join carries ids only, vectors
-    are re-attached afterward so wide embedding arrays never ride the
-    bucket shuffle; dedup happens BEFORE re-rank so each candidate is
-    scored once."""
-    from pyspark.sql import Window
+    """(q_id, vec_id) candidate pairs for multi-table sign-LSH: a
+    candidate qualifies if it co-buckets with the query in ANY table
+    (OR-amplification), deduped so re-rank scores each once. Exposed
+    separately from the top-k so recall contracts can measure the
+    CANDIDATE FRACTION — the quantity that distinguishes real ANN from
+    recall-by-exhaustion (tests/test_ann_clustered.py)."""
 
     def bucket_arr(vcol: Column) -> Column:
         return F.array(
@@ -179,13 +170,42 @@ def lsh_topk_multi(
     query_b = query_df.select(
         F.col(query_id_col), F.explode(bucket_arr(F.col(query_vec_col))).alias("_tb")
     ).select(query_id_col, F.col("_tb.t").alias("_t2"), F.col("_tb.b").alias("_b2"))
-    cand = (
+    return (
         corpus_b.join(
             F.broadcast(query_b),
             (corpus_b._t == query_b._t2) & (corpus_b._b == query_b._b2),
         )
         .select(query_id_col, id_col)
         .distinct()
+    )
+
+
+def lsh_topk_multi(
+    df: DataFrame,
+    query_df: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Multi-table sign-LSH ANN: candidates from lsh_candidates, then
+    exact cosine re-rank. Single-table LSH on unstructured embeddings
+    has catastrophic recall (one 8-plane table measured ~0.1 recall@10
+    on the synthetic corpus); L tables of fewer planes trade candidate
+    volume for recall the standard way: P(hit) = 1 - (1 - p^planes)^L.
+
+    Plan shape for 100 TB: corpus explodes to docs x L (table, bucket)
+    rows -- written out partitioned by (table, bucket) so a query reads
+    L buckets' files; the candidate-id join carries ids only, vectors
+    are re-attached afterward so wide embedding arrays never ride the
+    bucket shuffle; dedup happens BEFORE re-rank so each candidate is
+    scored once."""
+    from pyspark.sql import Window
+
+    cand = lsh_candidates(
+        df, query_df, tables, id_col, vec_col, query_id_col, query_vec_col
     )
     scored = (
         cand.join(df.select(id_col, vec_col), id_col)
@@ -271,6 +291,32 @@ def ivf_train(
         for r in means:
             centroids[r["_cell"]] = [r[f"m{i}"] for i in range(dim)]
     return centroids
+
+
+def ivf_candidates(
+    df: DataFrame,
+    query_df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, vec_id) candidate pairs for IVF probe-N search: every
+    corpus vector whose cell is among the query's n_probe nearest
+    centroids. Companion to ivf_topk for candidate-fraction
+    measurement in recall contracts."""
+    corpus = df.select(
+        id_col, nearest_centroids(F.col(vec_col), centroids, 1)[0].alias("_cell")
+    )
+    probes = query_df.select(
+        query_id_col,
+        F.explode(nearest_centroids(F.col(query_vec_col), centroids, n_probe)).alias(
+            "_cell"
+        ),
+    )
+    return corpus.join(F.broadcast(probes), "_cell").select(query_id_col, id_col)
 
 
 def ivf_topk(
