@@ -79,7 +79,100 @@ def test_frame_sample_cardinality(media):
     assert bad == 0
 
 
-def test_codec_seam_raises(spark, media):
-    with pytest.raises(Exception) as ei:
-        decode_features(media, fake=False).count()
-    assert "codec" in str(ei.value) or "NotImplemented" in str(ei.value)
+def test_real_media_decodes_end_to_end(spark, sf_dir):
+    """The seam is CLOSED: genuine PNG/WAV/APNG bytes flow through
+    extract_media_meta, decode_features(fake=False), and
+    sample_frames(fake=False) with no NotImplementedError — and every
+    frame payload is real zlib image data that decompresses to the
+    exact scanline byte count (h * (w*3 + 1))."""
+    import zlib
+
+    from docker_based_real_time_etl_project_spark.operators.multimodal import (
+        extract_media_meta,
+        sample_frames,
+        synth_real_media,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(30)
+    media = synth_real_media(docs, "doc_id")
+
+    meta = {r.media_id: r for r in extract_media_meta(media).collect()}
+    assert len(meta) == 30
+    for mid, r in meta.items():
+        m = mid % 3
+        if m == 0:
+            assert r.mime == "image/png" and r.width == (mid % 8) * 16 + 16
+        elif m == 1:
+            assert r.mime == "audio/wav"
+            assert r.sample_rate == 8000 + (mid % 3) * 4000
+            assert r.duration_ms == (mid % 20 + 1) * 100
+        else:
+            assert r.mime == "image/apng"
+            assert r.duration_ms == (mid % 5 + 2) * (mid % 4 + 1) * 100
+
+    feats = decode_features(
+        media.withColumn(
+            "meta",
+            F.lit(None).cast(
+                "struct<mime:string,width:int,height:int,"
+                "duration_ms:bigint,sample_rate:int>"
+            ),
+        ).select("media_id", "kind", "meta", "content"),
+        n_features=8,
+        fake=False,
+    ).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    # image features carry genuine pixel moments (mean strictly inside (0,1))
+    img = [r for r in feats if r.kind == "image"]
+    assert img and all(0.0 < r.features[0] < 1.0 for r in img)
+
+    frames = sample_frames(
+        media.withColumn(
+            "meta",
+            F.lit(None).cast(
+                "struct<mime:string,width:int,height:int,"
+                "duration_ms:bigint,sample_rate:int>"
+            ),
+        ).select("media_id", "kind", "meta", "content"),
+        fake=False,
+    ).collect()
+    assert frames
+    for r in frames:
+        mid = r.media_id
+        w, h = (mid % 4) * 8 + 8, (mid % 3) * 8 + 8
+        assert len(zlib.decompress(bytes(r.frame))) == h * (w * 3 + 1)
+
+
+def test_real_resize_reparses_exact_dims(spark, sf_dir):
+    """resize_images(fake=False): output dims come from RE-PARSING the
+    re-encoded bytes and must equal the integer-exact w*64//max
+    target; untouched images (max side <= 64) keep original dims and
+    round-trip pixels bit-exactly."""
+    import numpy as np
+
+    from docker_based_real_time_etl_project_spark.operators import mediacodec as mc
+    from docker_based_real_time_etl_project_spark.operators.multimodal import (
+        resize_images,
+        synth_real_media,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(30)
+    media = synth_real_media(docs, "doc_id").withColumn(
+        "meta",
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,"
+            "duration_ms:bigint,sample_rate:int>"
+        ),
+    ).select("media_id", "kind", "meta", "content")
+    out = resize_images(media, max_side=64, fake=False).collect()
+    assert out
+    for r in out:
+        mid = r.media_id
+        w, h = (mid % 8) * 16 + 16, (mid % 5) * 16 + 16
+        m = max(w, h)
+        ew, eh = (w, h) if m <= 64 else ((w * 64) // m, (h * 64) // m)
+        assert (r.meta.width, r.meta.height) == (ew, eh)
+        px = mc.png_decode(bytes(r.content))
+        assert px.shape == (eh, ew, 3)
