@@ -23,48 +23,45 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E402
 
 # The driver's correctness gate checks the first 50 entries in queries()
-# iteration order. Round-6 window, by staleness of driver evidence
-# (computed from CORRECTNESS_r01..r05 — after r5 every registered
-# query has at least one driver green, so rotation is purely
-# oldest-first plus changed-first): (a) the 10 queries ADDED this round
-# (subword packing, streaming corpus-gate capstone, bloom-prefiltered
-# contamination, quality-policy cluster canonicalization, the corpus
-# data card and PSI drift monitor each in batch and streaming form,
-# the streaming top-k leaderboard completing the A1-A4 matrix, and
-# token-budget corpus sizing on a distributed prefix-sum);
-# (b)
-# queries whose implementation changed this round — the
-# connected-components convergence fold (q_dedup_clusters), the ANN
-# recall contracts retuned to the 0.8 floor, and EVERY streaming
-# query: all 14 ride the reworked session-materialization cache
-# (parameter+fingerprint keys) and the as-of pair additionally got the
-# masked-int64 carry; (c) all 17 remaining r2-era greens (text pack,
-# UDF/UDTF pack, window pair, anti/salted joins, CMS sketch, media
-# meta, embed norms); (d) 6 oldest r3-era rows led by the CDC pack
-# (q_pricing_summary needs no slot: entry() smoke-runs it every round).
-# After r6 no query's evidence is older than r3.
+# iteration order. Round-7 window, by staleness of driver evidence
+# (computed from CORRECTNESS_r01..r06: 37 queries' latest green is r3,
+# 36 are r4 — exactly the rotation the round-6 verdict asked for):
+# (a) the 4 queries ADDED this round (real-bytes media decode trio on
+# the stdlib PNG/APNG/WAV codecs + the PQ/ADC recall contract);
+# (b) the 5 whose implementation
+# changed this round — q_token_budget (integer `div` budget),
+# q_corpus_drift / q_stream_corpus_drift (dense 0..20 PSI grid),
+# q_dedup_clusters / q_dedup_keep_best (shared session-materialized
+# cluster artifact); (c) ALL 36 remaining r3-era greens — the TPC-H
+# depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
+# q_chunk_dedup, q_pii_scrub, q_source_orc, q_fuzzy_match, q_win_ntile
+# (q_pricing_summary is also r3-era but needs no slot: entry()
+# smoke-runs it every round); (d) the 5 oldest r4 rows (A1/A2 batch
+# aggs + core joins). After r7 nothing in the registry is older
+# than r4.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) new this round
-    "q_sequence_pack_subword", "q_stream_corpus_gate", "q_contamination_bloom",
-    "q_dedup_keep_best", "q_corpus_datacard", "q_corpus_drift",
-    "q_stream_corpus_drift", "q_stream_corpus_datacard", "q_stream_win_rank", "q_token_budget",
+    "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
+    "q_ann_pq_recall",
     # (b) implementation changed this round
-    "q_dedup_clusters", "q_ann_lsh_recall", "q_ann_ivf_recall",
-    "q_stream_ohlcv_1h", "q_stream_sliding_24h", "q_stream_stateful_totals",
-    "q_stream_session_window", "q_stream_dedup_latest",
-    "q_stream_stream_join", "q_stream_static_join", "q_stream_join_outer",
-    "q_stream_cdc_agg", "q_stream_contamination", "q_stream_join_asof",
-    "q_stream_join_asof_tol", "q_stream_dedup_content",
-    "q_stream_dedup_minhash_pairs",
-    # (c) r2-era greens (oldest evidence in the registry)
-    "q_embed_norms", "q_udaf_median", "q_media_meta_stats", "q_join_anti",
-    "q_regexp_all", "q_join_salted", "q_heavy_hitters_cms",
-    "q_text_tokenize", "q_doc_stats", "q_token_count", "q_lang_id",
-    "q_quality_score", "q_fingerprint", "q_tfidf", "q_udtf_chunk",
-    "q_win_rank", "q_win_distribution",
-    # (d) oldest r3-era rows, CDC pack first
-    "q_cdc_materialize", "q_cdc_stream_upsert", "q_dedup_exact",
-    "q_etl_poll_cycle", "q_corpus_mix", "q_sequence_pack",
+    "q_token_budget", "q_corpus_drift", "q_stream_corpus_drift",
+    "q_dedup_clusters", "q_dedup_keep_best",
+    # (c) all 36 windowable r3-era greens
+    "q_chunk_dedup", "q_corpus_pipeline", "q_cosine_topk",
+    "q_cust_order_dist", "q_disjunctive_pred", "q_except_all",
+    "q_excess_shippers", "q_fuzzy_match", "q_idle_customers",
+    "q_important_parts", "q_intersect_all", "q_join_full",
+    "q_join_inner", "q_join_skew_stress", "q_large_orders",
+    "q_lateral_topn", "q_local_supplier_volume", "q_market_share",
+    "q_max_acctbal_supplier", "q_pii_scrub", "q_priority_lines",
+    "q_priority_waiting", "q_product_profit", "q_promo_revenue",
+    "q_quiet_customers", "q_repetition_ratio", "q_returned_items",
+    "q_shipping_priority", "q_small_qty_revenue", "q_source_orc",
+    "q_supplier_cnt", "q_top_supplier", "q_unpivot",
+    "q_volume_shipping", "q_waiting_suppliers", "q_win_ntile",
+    # (d) oldest r4 rows: A1/A2 batch aggs + core joins
+    "q_ohlcv_1h", "q_ticker_24h", "q_join_star", "q_join_range",
+    "q_join_left",
 ]
 
 

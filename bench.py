@@ -168,28 +168,33 @@ def main() -> None:
         _time_once(REGISTRY[SENTINEL].fn, spark) for _ in range(3)
     )
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "plan_fingerprints": plans,
-                "sentinel": {
-                    "query": SENTINEL,
-                    "first": sentinel_first,
-                    "last": sentinel_last,
-                    "drift": round(
-                        sentinel_last / sentinel_first, 2
-                    ) if sentinel_first > 0 else None,
-                },
-                "load_avg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "plan_fingerprints": plans,
+        "sentinel": {
+            "query": SENTINEL,
+            "first": sentinel_first,
+            "last": sentinel_last,
+            "drift": round(
+                sentinel_last / sentinel_first, 2
+            ) if sentinel_first > 0 else None,
+        },
+        "load_avg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
+        "sf": sf,
+    }
+    # The driver's BENCH_r{N}.json artifact truncates long stdout
+    # lines, which has cost the front of the times dict before
+    # (round-6 verdict item 7). Persist the complete object to a
+    # local file too so no artifact truncation can hide a query.
+    out = Path(__file__).resolve().parent / (
+        f"BENCH_local_{os.environ.get('SPARK_GRAFT_ROUND', 'latest')}.json"
     )
+    out.write_text(json.dumps(payload, indent=1))
+    print(json.dumps(payload))
 
 
 def _sf_from_dir(d: str) -> float:

@@ -149,6 +149,15 @@ def _fast_tmp() -> str | None:
     return "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
+# Observability for scale evidence: after each run_to_memory drain,
+# this holds the drained stream's per-micro-batch state-operator row
+# counts (from StreamingQuery.recentProgress). Peak state rows is THE
+# number that matters for ingest-scale claims — O(distinct keys) vs
+# O(rows seen) is unverifiable from wall time alone. Read-only
+# diagnostics; results are unaffected.
+LAST_PROGRESS: dict = {}
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
@@ -187,6 +196,16 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination(600)
+        global LAST_PROGRESS
+        per_batch = [
+            sum(op.get("numRowsTotal", 0) for op in (p.get("stateOperators") or []))
+            for p in (q.recentProgress or [])
+        ]
+        LAST_PROGRESS = {
+            "n_batches": len(per_batch),
+            "state_rows_per_batch": per_batch,
+            "peak_state_rows": max(per_batch, default=0),
+        }
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
