@@ -392,3 +392,110 @@ def q_quality_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c") / F.count(F.lit(1)), 6).alias("mean_tok_freq"),
         )
     )
+
+
+@register(
+    "q_lm_perplexity",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM ws),
+    uni AS (SELECT t AS a, COUNT(*) AS c1 FROM tok GROUP BY t),
+    voc AS (SELECT COUNT(*) AS v FROM uni),
+    bi AS (
+      SELECT doc_id, p[1] AS a, p[2] AS b
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> [w[i], w[i + 1]]
+               )) AS p
+        FROM ws
+      )
+    ),
+    big2 AS (SELECT a, b, COUNT(*) AS c2 FROM bi GROUP BY a, b),
+    cost AS (
+      SELECT big2.a, big2.b,
+             CAST(ROUND(-ln((big2.c2 + 1.0) / (uni.c1 + voc.v)) * 1000000)
+                  AS BIGINT) AS cost_micro
+      FROM big2 JOIN uni ON big2.a = uni.a CROSS JOIN voc
+    ),
+    occ AS (SELECT doc_id, a, b, COUNT(*) AS n_occ FROM bi GROUP BY doc_id, a, b)
+    SELECT occ.doc_id,
+           CAST(SUM(occ.n_occ) AS BIGINT) AS n_bigrams,
+           CAST(SUM(occ.n_occ * cost.cost_micro) // SUM(occ.n_occ) AS BIGINT)
+             AS nll_micro
+    FROM occ JOIN cost ON occ.a = cost.a AND occ.b = cost.b
+    GROUP BY occ.doc_id
+    """,
+    tags=("text", "llm"),
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency scoring with a corpus-trained bigram LM
+    (the CCNet / GPT-3 pipeline quality filter, with the corpus itself
+    as the LM training set): P(b|a) = (c(a,b)+1) / (c(a)+V) with
+    add-one smoothing, per-doc score = mean negative log-prob over the
+    doc's bigrams, in integer micro-units. Gibberish and boilerplate
+    spike the score; fluent in-domain prose sits low — at 100 TB this
+    is the cheap LM stand-in run BEFORE paying for a neural scorer.
+
+    Exactness discipline (the q_tfidf ladder, extended to sums): each
+    DISTINCT bigram's -ln P is snapped to micro-units ONCE
+    (vocab-sized table, per-row double arithmetic, ulp-stable), and
+    everything per-doc is integer: occurrence-weighted integer sum,
+    integer `div` mean — so cross-row float accumulation order can
+    never flip a hash. Shuffles: unigram groupBy (vocab), bigram
+    groupBy (bigram vocab), doc-bigram groupBy (corpus-linear), one
+    broadcast V — no all-pairs anything; docs with <2 tokens have no
+    bigrams and are absent by construction."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("w"),
+    )
+    tok = ws.select("doc_id", F.explode("w").alias("t"))
+    uni = tok.groupBy(F.col("t").alias("a")).agg(F.count(F.lit(1)).alias("c1"))
+    voc = uni.agg(F.count(F.lit(1)).alias("v"))
+    # NB: Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty, so
+    # the <2-token case must be guarded explicitly or element_at walks
+    # off the array (pinned by test_lm_perplexity_ranks_fluency).
+    bi = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    big2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    cost = (
+        big2.join(uni, "a")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "a",
+            "b",
+            F.round(
+                -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))) * 1e6
+            )
+            .cast("bigint")
+            .alias("cost_micro"),
+        )
+    )
+    occ = bi.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        occ.join(cost, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(n_occ * cost_micro) div sum(n_occ)")
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )

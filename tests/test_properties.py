@@ -529,3 +529,33 @@ def test_cluster_artifact_shared(spark, sf_dir):
     REGISTRY["q_dedup_keep_best"].fn(spark, sf_dir).count()
     assert clusters == keep_best  # same artifact -> same clustering
     assert BUILD_COUNTS[key] == 1
+
+
+def test_lm_perplexity_ranks_fluency(spark, tmp_path):
+    """The bigram-LM score must order docs by corpus fluency: a doc
+    made of the corpus's dominant bigram patterns scores LOWER
+    (more predictable) than a doc of bigrams seen nowhere else, and
+    the integer mean is exact (sum div count). Singleton-token docs
+    produce no row."""
+    import shutil
+
+    import pandas as pd
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    common = "the cat sat on the mat " * 20           # dominant bigrams
+    rows = [
+        (1, "s", (common + "the cat sat on the mat").strip()),
+        (2, "s", (common + "zq xv qqj kpl wvx mzz").strip()),  # rare tail
+        (3, "s", "gibberish"),                         # 1 token -> no bigrams
+    ]
+    sf = str(tmp_path / "lm")
+    (tmp_path / "lm").mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in REGISTRY["q_lm_perplexity"].fn(spark, sf).collect()}
+    assert 3 not in out
+    assert out[1].nll_micro < out[2].nll_micro
+    assert out[1].n_bigrams == 6 * 21 - 1 and out[2].n_bigrams == 6 * 20 + 5
+    shutil.rmtree(sf, ignore_errors=True)
