@@ -90,3 +90,88 @@ def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.size("embedding").alias("dim"),
     )
+
+
+_FH_DIM = 16
+
+# engine-portable token hash (the md5 hash-ticket trick): 8 hex digits
+# -> exact 32-bit int in both engines; bit 33 of the md5 drives the
+# sign so +/- are balanced (Weinberger et al. 2009 feature hashing)
+_FH_SQL_H = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+_FH_SQL_SIGN = ("CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0 "
+                "THEN 1 ELSE -1 END")
+
+
+@register(
+    "q_embed_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             {_FH_SQL_H} % {_FH_DIM} AS j,
+             {_FH_SQL_SIGN} AS s
+      FROM tok
+    ),
+    cells AS (
+      SELECT doc_id, j, CAST(SUM(s) AS BIGINT) AS v
+      FROM h GROUP BY doc_id, j
+    ),
+    grid AS (
+      SELECT d.doc_id, CAST(g.j AS BIGINT) AS j
+      FROM documents d, unnest(generate_series(0, {_FH_DIM - 1})) AS g(j)
+    )
+    SELECT grid.doc_id, grid.j AS dim, COALESCE(cells.v, 0) AS weight
+    FROM grid LEFT JOIN cells ON grid.doc_id = cells.doc_id AND grid.j = cells.j
+    """,
+    tags=("embedding", "text", "llm"),
+)
+def q_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding GENERATION by signed feature hashing
+    (Weinberger et al., ICML 2009 — the hashing trick): every token
+    lands in one of 16 buckets by an engine-portable md5-derived hash,
+    with a balanced md5-derived sign, and the doc's embedding is the
+    per-bucket signed count vector. This is the missing pipeline step
+    between a raw text corpus and every embedding operator here (ANN,
+    centroids, cosine near-dup): deterministic, vocabulary-free,
+    INTEGER-exact — so unlike a neural encoder it carries a full hash
+    oracle — and one narrow groupBy: the shuffle carries (doc, bucket)
+    partial counts, never text. Emitted long-format (doc_id, dim,
+    weight), densified over the 0..15 grid, ready for array_agg into
+    vector form or direct consumption by the long-format centroid agg.
+    At 100 TB: map-side combine collapses tokens to <= 16 rows per doc
+    before the exchange."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("t"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 9, 1), 16, 10).cast(
+            "bigint"
+        )
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    cells = (
+        tok.select("doc_id", (h32 % _FH_DIM).alias("j"), sign.alias("s"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+    )
+    grid = d.select("doc_id").crossJoin(
+        spark.range(_FH_DIM).select(F.col("id").cast("bigint").alias("j"))
+    )
+    return (
+        grid.join(cells, ["doc_id", "j"], "left")
+        .select(
+            "doc_id",
+            F.col("j").alias("dim"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("weight"),
+        )
+    )
