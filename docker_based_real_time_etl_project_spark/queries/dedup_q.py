@@ -145,16 +145,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the df-cap caveat: all-pairs parity holds while no
     (source, gram) df reaches the postings cap, an invariant
     guard-tested with 10x headroom at every shipped SF
-    (tests/test_testdata_contract.py::test_gram_df_below_postings_cap)."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
-    )
+    (tests/test_testdata_contract.py::test_gram_df_below_postings_cap).
+    The postings join itself lives in the session-materialized
+    gram_pair_candidates artifact shared with q_containment,
+    q_split_leakage, and the dedup cluster queries."""
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return (
-        gram_postings_pairs(sh, block_col="source")
+        gram_pair_candidates(spark, sf_dir)
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
@@ -226,6 +225,42 @@ FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
 """
 
 
+def gram_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, n_a, n_b, shared) for every source-blocked document
+    pair sharing >= one distinct 3-gram — the inverted-index postings
+    join output, session-materialized ONCE per (sf_dir, k, block,
+    documents fingerprint). This is the single expensive computation
+    under FOUR oracled queries (q_ngram_jaccard, q_containment,
+    q_split_leakage, and the cluster artifact behind q_dedup_clusters
+    / q_dedup_keep_best): each consumer applies its own arithmetic and
+    threshold to the EXACT INTEGER columns, so rounded (>= round 6dp)
+    and unrounded boundary semantics both survive sharing untouched.
+    At deploy scale this is the materialized pair table every corpus
+    audit reads, keyed by corpus snapshot version."""
+
+    def _build() -> str:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sg_gram_pairs_")
+        gram_pairs_build_df(spark, sf_dir).write.mode("overwrite").parquet(out)
+        return out
+
+    key = ("gram_pairs", sf_dir, 3, "source", table_fingerprint(sf_dir, "documents"))
+    return spark.read.parquet(materialize_once(key, _build))
+
+
+def gram_pairs_build_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-materialized postings-join plan the artifact build runs —
+    exposed so the plan-shape tests pin the build's physical
+    properties (xxhash64 join keys, bounded exchanges, exchange reuse
+    under no-broadcast) where that work now lives."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
+    )
+    return gram_postings_pairs(sh, block_col="source")
+
+
 def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_rep) for the 3-gram J>=0.3 source-blocked
     near-dup clustering — the shared artifact behind q_dedup_clusters
@@ -254,11 +289,8 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = tempfile.mkdtemp(prefix="sg_dedup_clusters_")
         d = table(spark, sf_dir, "documents")
-        sh = d.select(
-            "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
-        )
         pairs = (
-            gram_postings_pairs(sh, block_col="source", size_ratio=0.3)
+            gram_pair_candidates(spark, sf_dir)
             .filter(
                 F.col("shared").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("shared")) >= 0.3
@@ -321,14 +353,11 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided near-dup (quotes, extractions, supersets) that symmetric
     Jaccard under-scores when documents differ in length. Same exact
     inverted-index postings join as q_ngram_jaccard (including its
-    df-cap caveat, guard-tested per SF); each unordered candidate
+    df-cap caveat, guard-tested per SF — via the shared
+    gram_pair_candidates artifact); each unordered candidate
     pair yields BOTH directions from the one shared-gram count, so
     asymmetry costs nothing extra."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
-    )
-    pairs = gram_postings_pairs(sh, block_col="source")
+    pairs = gram_pair_candidates(spark, sf_dir)
     both = pairs.select(
         F.explode(
             F.array(

@@ -505,20 +505,20 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit checks the split the sampler would actually emit. The ticket
     attach is two hash joins of a 2-column doc->split table against
     the (small) pair list. Df-cap caveat as q_ngram_jaccard:
-    guard-tested per SF in tests/test_testdata_contract.py."""
-    from docker_based_real_time_etl_project_spark.operators.dedup import (
-        gram_postings_pairs, shingles,
+    guard-tested per SF in tests/test_testdata_contract.py. The
+    postings join rides the session-materialized gram_pair_candidates
+    artifact shared with the other pair consumers (exact integer
+    columns, so this query's rounded-boundary filter is unchanged)."""
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        gram_pair_candidates,
     )
 
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.array_distinct(shingles("text", 3)).alias("grams")
-    )
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     pairs = (
-        gram_postings_pairs(sh, block_col="source")
+        gram_pair_candidates(spark, sf_dir)
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")

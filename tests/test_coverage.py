@@ -72,6 +72,9 @@ ALLOWED_ROWS_ONLY = {
     "q_dedup_simhash",
     "q_ann_lsh",
     "q_ann_ivf",
+    # code assignments are codebook/engine-side; q_ann_pq_recall is the
+    # oracled contract twin (same pattern as the LSH/IVF pairs)
+    "q_ann_pq",
     "q_media_features",
     "q_stream_session_window",
     "q_stream_dedup_latest",

@@ -498,25 +498,50 @@ def test_round4_query_plan_shapes(spark, sf_dir):
 
 
 def test_postings_joins_hash_key_not_gram_text(spark, sf_dir):
-    """The exact postings joins (ngram jaccard / containment /
-    contamination) must join and shuffle on xxhash64(gram) — 8 bytes —
-    never the gram string, and the hot-gram df guard must not add a
-    shuffle of its own: its window partitioning is the join's
-    partitioning, so at runtime AQE reuses one exchange for both join
-    sides (plus, no plan regrows a cartesian)."""
-    for name in ("q_ngram_jaccard", "q_containment", "q_contamination"):
-        df = _q(name, spark, sf_dir)
-        plan = formatted_plan(df)
-        assert "xxhash64" in plan, name
-        assert join_strategies(df).get("CartesianProduct", 0) == 0, name
-        assert count_exchanges(df) <= 3, name
+    """The exact postings joins must join and shuffle on
+    xxhash64(gram) — 8 bytes — never the gram string, and the hot-gram
+    df guard must not add a shuffle of its own: its window
+    partitioning is the join's partitioning, so at runtime AQE reuses
+    one exchange for both join sides (plus, no plan regrows a
+    cartesian). Since round 7 the 3-gram postings join lives in the
+    shared gram_pair_candidates artifact BUILD (one execution serves
+    q_ngram_jaccard / q_containment / q_split_leakage / the cluster
+    queries), so the join-shape pins run on the build plan; the
+    consumers are pinned to column-pruned artifact reads below.
+    q_contamination's 5-gram semi-join is unshared and keeps its
+    direct pin."""
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        gram_pairs_build_df,
+    )
 
-    # the at-scale (no-broadcast) path: both postings sides come from ONE
-    # materialized exchange
+    build = gram_pairs_build_df(spark, sf_dir)
+    plan = formatted_plan(build)
+    assert "xxhash64" in plan
+    assert join_strategies(build).get("CartesianProduct", 0) == 0
+    assert count_exchanges(build) <= 3
+
+    df = _q("q_contamination", spark, sf_dir)
+    assert "xxhash64" in formatted_plan(df)
+    assert join_strategies(df).get("CartesianProduct", 0) == 0
+    assert count_exchanges(df) <= 3
+
+    # consumers: no postings re-execution — a single pruned read of the
+    # 5-integer-column artifact (plus, for split_leakage, the 2-column
+    # ticket attaches), never the documents text
+    for name, extra_scans in (("q_ngram_jaccard", 0), ("q_containment", 0),
+                              ("q_split_leakage", 2)):
+        cdf = _q(name, spark, sf_dir)
+        scans = scan_infos(cdf)
+        pair_scans = [s for s in scans if "shared" in s.read_columns]
+        assert len(pair_scans) == 1 and len(scans) == 1 + extra_scans, name
+        assert join_strategies(cdf).get("CartesianProduct", 0) == 0, name
+
+    # the at-scale (no-broadcast) path: both postings sides of the
+    # BUILD come from ONE materialized exchange
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        df = _q("q_ngram_jaccard", spark, sf_dir)
+        df = gram_pairs_build_df(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
@@ -555,7 +580,11 @@ def test_round5_llmprep_plan_shapes(spark, sf_dir):
 
     leak = _q("q_split_leakage", spark, sf_dir)
     assert join_strategies(leak).get("CartesianProduct", 0) == 0
-    assert "xxhash64" in formatted_plan(leak)
+    # the postings join moved into the shared gram_pair_candidates
+    # artifact build (its xxhash64 key is pinned by
+    # test_postings_joins_hash_key_not_gram_text); the final plan here
+    # is the artifact read + two md5 ticket attaches
+    assert "md5" in formatted_plan(leak)
 
 
 def test_round6_corpus_ops_plan_shapes(spark, sf_dir):
@@ -587,13 +616,14 @@ def test_round6_corpus_ops_plan_shapes(spark, sf_dir):
 
     keep = _q("q_dedup_keep_best", spark, sf_dir)
     assert join_strategies(keep).get("CartesianProduct", 0) == 0
-    # the components fixpoint is checkpointed upstream (its postings
-    # join is pinned by test_postings_joins_hash_key_not_gram_text),
-    # so the FINAL plan holds exactly two corpus scans: the quality
-    # attach (doc_id, text) and the isolated-node rejoin (doc_id ONLY
-    # — column pruning must hold, 8 bytes/row, not the text)
+    # the pair-generation + components fixpoint lives in the SHARED
+    # session-materialized cluster artifact (round 7 — its postings
+    # join is pinned by test_postings_joins_hash_key_not_gram_text at
+    # build time), so the FINAL plan holds exactly two scans: the
+    # 2-column cluster artifact and the quality attach (doc_id, text)
+    # — column pruning must hold on both
     scans = sorted(tuple(s.read_columns) for s in scan_infos(keep))
-    assert scans == [("doc_id",), ("doc_id", "text")]
+    assert scans == [("doc_id", "cluster_rep"), ("doc_id", "text")]
     assert "Window" in formatted_plan(keep)
 
 

@@ -506,18 +506,25 @@ def test_ordered_prefix_sum_duplicate_keys_and_nulls(spark):
 
 
 def test_cluster_artifact_shared(spark, sf_dir):
-    """q_dedup_clusters and q_dedup_keep_best must consume ONE
-    session-materialized cluster artifact: running both (twice) leaves
-    the pair-generation + components fixpoint built exactly once for
-    the (sf_dir, params, fingerprint) key — the round-6 perf-weak
-    finding was keep_best silently re-paying the whole fixpoint. Also
-    cross-checks the two queries agree on the clustering itself."""
+    """The dedup query family must consume ONE session-materialized
+    postings-pair artifact and ONE cluster artifact: running all five
+    consumers (q_ngram_jaccard, q_containment, q_split_leakage,
+    q_dedup_clusters, q_dedup_keep_best — the last twice) leaves the
+    gram postings join and the components fixpoint each built exactly
+    once for their (sf_dir, params, fingerprint) keys — the round-6
+    perf-weak finding was keep_best silently re-paying the whole
+    fixpoint. Also cross-checks that clusters and keep_best agree on
+    the clustering itself."""
     from docker_based_real_time_etl_project_spark.queries import REGISTRY
     from docker_based_real_time_etl_project_spark.queries.materialize import (
         BUILD_COUNTS, table_fingerprint,
     )
 
-    key = ("dedup_clusters", sf_dir, 3, 0.3, table_fingerprint(sf_dir, "documents"))
+    fp = table_fingerprint(sf_dir, "documents")
+    ckey = ("dedup_clusters", sf_dir, 3, 0.3, fp)
+    pkey = ("gram_pairs", sf_dir, 3, "source", fp)
+    for q in ("q_ngram_jaccard", "q_containment", "q_split_leakage"):
+        REGISTRY[q].fn(spark, sf_dir).count()
     clusters = {
         r.doc_id: r.cluster_rep
         for r in REGISTRY["q_dedup_clusters"].fn(spark, sf_dir).collect()
@@ -528,7 +535,8 @@ def test_cluster_artifact_shared(spark, sf_dir):
     }
     REGISTRY["q_dedup_keep_best"].fn(spark, sf_dir).count()
     assert clusters == keep_best  # same artifact -> same clustering
-    assert BUILD_COUNTS[key] == 1
+    assert BUILD_COUNTS[ckey] == 1
+    assert BUILD_COUNTS[pkey] == 1
 
 
 def test_lm_perplexity_ranks_fluency(spark, tmp_path):
