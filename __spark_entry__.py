@@ -26,9 +26,10 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # iteration order. Round-7 window, by staleness of driver evidence
 # (computed from CORRECTNESS_r01..r06: 37 queries' latest green is r3,
 # 36 are r4 — exactly the rotation the round-6 verdict asked for):
-# (a) the 5 queries ADDED this round (real-bytes media decode trio on
-# the stdlib PNG/APNG/WAV codecs, the PQ/ADC recall contract, and
-# the bigram-LM perplexity scorer and feature-hash embedder);
+# (a) the 7 queries ADDED this round (real-bytes media decode trio on
+# the stdlib PNG/APNG/WAV codecs, the PQ/ADC recall contract, the
+# bigram-LM perplexity scorer, the feature-hash embedder, and the
+# EWMA/RSI exchange-analytics pair);
 # (b) the 5 whose implementation
 # changed this round — q_token_budget (integer `div` budget),
 # q_corpus_drift / q_stream_corpus_drift (dense 0..20 PSI grid),
@@ -37,13 +38,13 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
 # q_chunk_dedup, q_pii_scrub, q_source_orc, q_fuzzy_match, q_win_ntile
 # (q_pricing_summary is also r3-era but needs no slot: entry()
-# smoke-runs it every round); (d) the 3 oldest r4 rows (A1/A2 batch
-# aggs + q_join_star). After r7 nothing in the registry is older
+# smoke-runs it every round); (d) the oldest r4 row (q_ohlcv_1h). After r7 nothing in the registry is older
 # than r4.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) new this round
     "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
     "q_ann_pq_recall", "q_lm_perplexity", "q_embed_feature_hash",
+    "q_ewma", "q_rsi",
     # (b) implementation changed this round
     "q_token_budget", "q_corpus_drift", "q_stream_corpus_drift",
     "q_dedup_clusters", "q_dedup_keep_best",
@@ -60,8 +61,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_shipping_priority", "q_small_qty_revenue", "q_source_orc",
     "q_supplier_cnt", "q_top_supplier", "q_unpivot",
     "q_volume_shipping", "q_waiting_suppliers", "q_win_ntile",
-    # (d) oldest r4 rows: A1/A2 batch aggs + core joins
-    "q_ohlcv_1h", "q_ticker_24h", "q_join_star",
+    # (d) oldest r4 row
+    "q_ohlcv_1h",
 ]
 
 

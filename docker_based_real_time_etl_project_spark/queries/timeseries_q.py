@@ -499,3 +499,128 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quote_value",
         (F.unix_micros("trade_ts") - F.unix_micros("quote_ts")).alias("quote_age_us"),
     )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(ROUND(list_reduce(vals, (acc, x) -> acc * 0.8 + 0.2 * x)
+                      * 1000000) AS BIGINT) AS ewma_micro
+    FROM o
+    """,
+    tags=("timeseries", "window"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.2) of `value`
+    per (event_type, day), the classic exchange-ticker smoother the
+    reference's kline/ticker surface implies but never computes. The
+    recursion y_t = 0.2*x_t + 0.8*y_{t-1} (y_1 = x_1) is inherently
+    sequential in event order, so it runs as ONE ordered left fold per
+    group: array_agg in exact (ts, event_id) order, then
+    F.aggregate — the same IEEE-754 operation sequence DuckDB's
+    list_reduce executes, so the doubles are BIT-identical before the
+    micro-unit snap (no reliance on associativity, which EWMA doesn't
+    have). Scale shape: one hash exchange on (event_type, day); each
+    group's history is one array in one task — bounded by the grain
+    (a day of one symbol), never the corpus; finer grains shrink the
+    array, and no window ever sees SinglePartition."""
+    d = table(spark, sf_dir, "events")
+    o = (
+        d.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.struct("ts", "event_id", F.col("value").cast("double").alias("v")).alias(
+                "s"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["v"]).alias(
+                "vals"
+            )
+        )
+    )
+    fold = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at("vals", 1),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
+    )
+    return o.select(
+        "event_type",
+        "day",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.round(fold * 1e6).cast("bigint").alias("ewma_micro"),
+    )
+
+
+@register(
+    "q_rsi",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, ts, event_id,
+             cents - LAG(cents) OVER w AS diff,
+             ROW_NUMBER() OVER w AS rn
+      FROM o
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT event_type, ts, rn,
+             SUM(GREATEST(diff, 0)) OVER w14 AS sg,
+             SUM(GREATEST(-diff, 0)) OVER w14 AS sl
+      FROM d
+      WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(100000000 * sg // NULLIF(sg + sl, 0) AS BIGINT) AS rsi_micro
+    FROM g WHERE rn >= 15
+    """,
+    tags=("timeseries", "window"),
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI (Cutler's simple-average form) per event_type —
+    the momentum oscillator of the reference's exchange domain.
+    Exactness: price deltas become integer CENTS before any window
+    math, so the 14-row sliding sums are exact integers (no
+    incremental-float window-sum drift between engines) and
+    rsi_micro = 100e6 * gains // (gains + losses) is one integer
+    division — flat windows (gains+losses = 0) yield NULL via the
+    same NULLIF in both engines. One hash exchange on event_type;
+    both windows share its partitioning (ts, event_id order), so the
+    lag and the sliding sums pipeline in a single sort."""
+    d = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = d.select("event_type", "ts", "event_id", cents.alias("cents"))
+    dd = o.select(
+        "event_type", "ts", "event_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("diff"),
+        F.row_number().over(w).alias("rn"),
+    )
+    w14 = w.rowsBetween(-13, Window.currentRow)
+    g = dd.select(
+        "event_type", "ts", "rn",
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(w14).alias("sg"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(w14).alias("sl"),
+    )
+    return g.filter(F.col("rn") >= 15).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.expr("CAST(100000000 * sg div NULLIF(sg + sl, 0) AS BIGINT)").alias(
+            "rsi_micro"
+        ),
+    )
