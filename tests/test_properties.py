@@ -567,3 +567,42 @@ def test_lm_perplexity_ranks_fluency(spark, tmp_path):
     assert out[1].nll_micro < out[2].nll_micro
     assert out[1].n_bigrams == 6 * 21 - 1 and out[2].n_bigrams == 6 * 20 + 5
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_ewma_rsi_invariants(spark, tmp_path):
+    """Literal-fixture invariants for the exchange analytics:
+    a constant series has EWMA == the constant and RSI NULL (no
+    movement -> gains+losses = 0); a strictly rising series pins
+    RSI exactly at 100e6 (all gain, no loss) and its EWMA strictly
+    below the last price (the fold lags a rising series)."""
+    import datetime
+    import shutil
+
+    import pandas as pd
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        ts = t0 + datetime.timedelta(minutes=i)
+        rows.append((i, ts, 1, "flat", 5.00, "{}"))
+        rows.append((100 + i, ts, 2, "up", 1.00 + i, "{}"))
+    sf = str(tmp_path / "fin")
+    (tmp_path / "fin").mkdir()
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(f"{sf}/events.parquet")
+
+    ew = {r.event_type: r for r in REGISTRY["q_ewma"].fn(spark, sf).collect()}
+    assert ew["flat"].ewma_micro == 5_000_000 and ew["flat"].n_events == 20
+    assert ew["up"].ewma_micro < 20_000_000  # lags the last price (20.0)
+
+    rsi = [r for r in REGISTRY["q_rsi"].fn(spark, sf).collect()]
+    by = {}
+    for r in rsi:
+        by.setdefault(r.event_type, []).append(r.rsi_micro)
+    assert all(v is None for v in by["flat"])
+    assert all(v == 100_000_000 for v in by["up"])
+    assert len(by["flat"]) == len(by["up"]) == 6  # rows 15..20
+    shutil.rmtree(sf, ignore_errors=True)
