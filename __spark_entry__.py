@@ -38,13 +38,13 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
 # q_chunk_dedup, q_pii_scrub, q_source_orc, q_fuzzy_match, q_win_ntile
 # (q_pricing_summary is also r3-era but needs no slot: entry()
-# smoke-runs it every round); (d) the oldest r4 row (q_ohlcv_1h). After r7 nothing in the registry is older
-# than r4.
+# smoke-runs it every round). After r7 nothing in the registry is
+# older than r4; the remaining r4 rows rotate in r8.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) new this round
     "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
     "q_ann_pq_recall", "q_lm_perplexity", "q_embed_feature_hash",
-    "q_ewma", "q_rsi",
+    "q_ewma", "q_rsi", "q_stream_ewma",
     # (b) implementation changed this round
     "q_token_budget", "q_corpus_drift", "q_stream_corpus_drift",
     "q_dedup_clusters", "q_dedup_keep_best",
@@ -61,8 +61,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_shipping_priority", "q_small_qty_revenue", "q_source_orc",
     "q_supplier_cnt", "q_top_supplier", "q_unpivot",
     "q_volume_shipping", "q_waiting_suppliers", "q_win_ntile",
-    # (d) oldest r4 row
-    "q_ohlcv_1h",
 ]
 
 

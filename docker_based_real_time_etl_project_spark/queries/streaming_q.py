@@ -1096,3 +1096,36 @@ def q_stream_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("upd") == F.col("_mx"))
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+def _ewma_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _EWMA_ORACLE,
+    )
+
+    return _EWMA_ORACLE
+
+
+@register(
+    "q_stream_ewma",
+    oracle=_ewma_oracle(),
+    tags=("streaming", "stateful", "timeseries"),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA recursion AS A STREAM: applyInPandasWithState carries
+    (n, ewma) per (event_type, day) across 8 replayed micro-batches,
+    folding each batch's (ts, event_id)-sorted rows in the exact IEEE
+    operation order of the batch fold — so the drained result
+    hash-matches the SAME ordered-fold oracle as q_ewma, bit for bit.
+    State is 2 scalars per key (O(grain keys), nothing buffered); the
+    sequential recursion is exactly what windowed SQL cannot express
+    and custom state can. In-order-per-key replay is guaranteed by
+    the ts-value slice boundaries (see streaming/stateful.ewma_stream)."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        ewma_stream, final_ewma,
+    )
+
+    emitted = run_to_memory(
+        ewma_stream(_stream(spark, sf_dir)), output_mode="update", state_partitions=8
+    )
+    return final_ewma(emitted)

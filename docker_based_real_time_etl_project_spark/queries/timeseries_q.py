@@ -501,9 +501,9 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ewma",
-    oracle="""
+# shared with the streaming mirror (q_stream_ewma): both forms are
+# held to the identical ordered-fold truth
+_EWMA_ORACLE = """
     WITH o AS (
       SELECT event_type,
              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -515,9 +515,10 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(list_reduce(vals, (acc, x) -> acc * 0.8 + 0.2 * x)
                       * 1000000) AS BIGINT) AS ewma_micro
     FROM o
-    """,
-    tags=("timeseries", "window"),
-)
+    """
+
+
+@register("q_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average (alpha = 0.2) of `value`
     per (event_type, day), the classic exchange-ticker smoother the

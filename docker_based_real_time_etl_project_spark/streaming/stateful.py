@@ -337,3 +337,77 @@ def topk_per_group_stream(orders: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: sequential-recursion state carried across micro-batches
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+_EWMA_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold the batch's rows (sorted by ts, event_id) into the carried
+    EWMA. The fold is a plain Python float loop ON PURPOSE: the batch
+    engine folds acc*0.8 + 0.2*x in exactly this operation order, and
+    Python floats are the same IEEE-754 doubles — so the streaming
+    result is BIT-identical to the batch fold, which pandas' ewm()
+    (adjust/init semantics differ) would not give. Groups are one
+    (event_type, day) — bounded by the grain, never the corpus."""
+    n, ewma = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"].astype("float64"):
+            x = float(x)
+            ewma = x if ewma is None else ewma * 0.8 + 0.2 * x
+            n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "day": [key[1]], "n_events": [n], "ewma": [ewma]}
+    )
+
+
+def ewma_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-(event_type, day) streaming EWMA (alpha = 0.2). Correct
+    ONLY under in-order replay per key (the availableNow slicer cuts
+    on ts VALUE boundaries, so equal timestamps never straddle
+    batches and cross-batch order extends the within-batch
+    (ts, event_id) sort); a production deployment fronts this with
+    the same ordering guarantee or a watermark-delayed re-sort."""
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withWatermark("ts", watermark)
+        .groupBy("event_type", "day")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def final_ewma(emitted: DataFrame) -> DataFrame:
+    """Final EWMA per key from the update stream (n_events monotone
+    per key -> max_by picks the last emission), micro-snapped to the
+    batch oracle's contract."""
+    return emitted.groupBy("event_type", "day").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.round(F.max_by("ewma", "n_events") * 1e6).cast("bigint").alias("ewma_micro"),
+    )
