@@ -30,9 +30,11 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # the stdlib PNG/APNG/WAV codecs, the PQ/ADC recall contract, the
 # bigram-LM perplexity scorer, the feature-hash embedder, and the
 # EWMA/RSI exchange-analytics pair);
-# (b) the 5 whose implementation
-# changed this round — q_token_budget (integer `div` budget),
-# q_corpus_drift / q_stream_corpus_drift (dense 0..20 PSI grid),
+# (b) 3 of the 5 whose implementation changed this round —
+# q_stream_corpus_drift (dense 0..20 PSI grid; its batch twin
+# q_corpus_drift shares the changed helper and yielded its slot to a
+# new query — both re-verified in this round's full sf0.01 sweep and
+# the sf0.1 parity artifact, as was q_token_budget's integer-div fix),
 # q_dedup_clusters / q_dedup_keep_best (shared session-materialized
 # cluster artifact); (c) ALL 36 remaining r3-era greens — the TPC-H
 # depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
@@ -44,10 +46,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (a) new this round
     "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
     "q_ann_pq_recall", "q_lm_perplexity", "q_embed_feature_hash",
-    "q_ewma", "q_rsi", "q_stream_ewma",
+    "q_ewma", "q_rsi", "q_vwap", "q_bollinger", "q_stream_ewma",
     # (b) implementation changed this round
-    "q_token_budget", "q_corpus_drift", "q_stream_corpus_drift",
-    "q_dedup_clusters", "q_dedup_keep_best",
+    "q_stream_corpus_drift", "q_dedup_clusters", "q_dedup_keep_best",
     # (c) all 36 windowable r3-era greens
     "q_chunk_dedup", "q_corpus_pipeline", "q_cosine_topk",
     "q_cust_order_dist", "q_disjunctive_pred", "q_except_all",

@@ -625,3 +625,113 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rsi_micro"
         ),
     )
+
+
+@register(
+    "q_vwap",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+    )
+    SELECT event_type, hour,
+           CAST(SUM(vol) AS BIGINT) AS total_vol,
+           CAST(SUM(cents * vol) * 10000 // NULLIF(SUM(vol), 0) AS BIGINT)
+             AS vwap_micro
+    FROM o GROUP BY event_type, hour
+    """,
+    tags=("timeseries", "window"),
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly VWAP per event_type (volume from the props JSON payload
+    — the reference's trade quantity field): Σ(price x volume)/Σvolume
+    entirely in integers — prices become cents, the weighted sum and
+    the volume sum are exact, and vwap_micro is ONE integer division
+    (zero-volume hours NULL via the same NULLIF both engines run).
+    One hash aggregation; map-side partials carry two longs."""
+    d = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    vol = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        d.select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            cents.alias("cents"),
+            vol.alias("vol"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("vol").cast("bigint").alias("total_vol"),
+            F.expr("CAST(sum(cents * vol) * 10000 div NULLIF(sum(vol), 0) AS BIGINT)")
+            .alias("vwap_micro"),
+        )
+    )
+
+
+@register(
+    "q_bollinger",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, ts,
+             ROW_NUMBER() OVER win AS rn,
+             SUM(c) OVER w20 AS s,
+             SUM(c * c) OVER w20 AS s2,
+             COUNT(*) OVER w20 AS n
+      FROM o
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id),
+             w20 AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(s * 10000 // n AS BIGINT) AS mean_micro,
+           CAST(ROUND(SQRT(CAST(n * s2 - s * s AS DOUBLE)) / n * 10000)
+                AS BIGINT) AS sd_micro
+    FROM w WHERE rn >= 20
+    """,
+    tags=("timeseries", "window"),
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-period Bollinger statistics per event_type: rolling mean and
+    population stddev of the price, from which the bands are mean ±
+    2σ. Exactness: the sliding sums Σc and Σc² are INTEGER cents
+    (incremental window arithmetic cannot drift), the mean is one
+    integer division, and σ touches floating point exactly once —
+    sqrt(n·Σc² − (Σc)²) of an exact integer, where IEEE sqrt is
+    correctly rounded and therefore engine-identical — before the
+    micro snap. Same single sort/exchange serves the row-number
+    and the sliding window."""
+    d = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w20 = w.rowsBetween(-19, Window.currentRow)
+    o = d.select("event_type", "ts", "event_id", cents.alias("c"))
+    g = o.select(
+        "event_type", "ts",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w20).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w20).alias("s2"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    )
+    return g.filter(F.col("rn") >= 20).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.expr("CAST(s * 10000 div n AS BIGINT)").alias("mean_micro"),
+        F.round(
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double"))
+            / F.col("n")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("sd_micro"),
+    )
