@@ -522,7 +522,8 @@ _EWMA_ORACLE = """
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average (alpha = 0.2) of `value`
     per (event_type, day), the classic exchange-ticker smoother the
-    reference's kline/ticker surface implies but never computes. The
+    reference's kline/ticker surface (etl.py:146-171, 227-233 —
+    1 h klines and 24 h ticker stats) implies but never computes. The
     recursion y_t = 0.2*x_t + 0.8*y_{t-1} (y_1 = x_1) is inherently
     sequential in event order, so it runs as ONE ordered left fold per
     group: array_agg in exact (ts, event_id) order, then
@@ -594,7 +595,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-period RSI (Cutler's simple-average form) per event_type —
-    the momentum oscillator of the reference's exchange domain.
+    the momentum oscillator of the reference's exchange domain
+    (its kline close series, etl.py:146-158, is RSI's usual input).
     Exactness: price deltas become integer CENTS before any window
     math, so the 14-row sliding sums are exact integers (no
     incremental-float window-sum drift between engines) and
@@ -647,7 +649,8 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly VWAP per event_type (volume from the props JSON payload
-    — the reference's trade quantity field): Σ(price x volume)/Σvolume
+    — the reference's klines carry exactly this volume column,
+    etl.py:152,157): Σ(price x volume)/Σvolume
     entirely in integers — prices become cents, the weighted sum and
     the volume sum are exact, and vwap_micro is ONE integer division
     (zero-volume hours NULL via the same NULLIF both engines run).
