@@ -1129,3 +1129,32 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_stream(_stream(spark, sf_dir)), output_mode="update", state_partitions=8
     )
     return final_ewma(emitted)
+
+
+def _rsi_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _RSI_ORACLE,
+    )
+
+    return _RSI_ORACLE
+
+
+@register(
+    "q_stream_rsi",
+    oracle=_rsi_oracle(),
+    tags=("streaming", "stateful", "timeseries"),
+)
+def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI AS A STREAM: applyInPandasWithState carries the
+    last price + a 14-delta integer ring per event_type across the 8
+    replayed micro-batches and emits one RSI row per qualifying event
+    — hash-matching the SAME sliding-window oracle as the batch q_rsi
+    because every number in the pipeline is an exact integer (cents
+    ring, integer sums, one integer division). O(1) state per key
+    (16 longs); the emission is append-mode rows, nothing re-emitted.
+    In-order-per-key replay per streaming/stateful.ewma_stream."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import rsi_stream
+
+    return run_to_memory(
+        rsi_stream(_stream(spark, sf_dir)), output_mode="append", state_partitions=8
+    )

@@ -563,9 +563,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_rsi",
-    oracle="""
+# shared with the streaming mirror (q_stream_rsi)
+_RSI_ORACLE = """
     WITH o AS (
       SELECT event_type, ts, event_id,
              CAST(ROUND(value * 100) AS BIGINT) AS cents
@@ -590,9 +589,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            CAST(100000000 * sg // NULLIF(sg + sl, 0) AS BIGINT) AS rsi_micro
     FROM g WHERE rn >= 15
-    """,
-    tags=("timeseries", "window"),
-)
+    """
+
+
+@register("q_rsi", oracle=_RSI_ORACLE, tags=("timeseries", "window"))
 def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-period RSI (Cutler's simple-average form) per event_type —
     the momentum oscillator of the reference's exchange domain

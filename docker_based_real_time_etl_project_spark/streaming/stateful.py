@@ -411,3 +411,78 @@ def final_ewma(emitted: DataFrame) -> DataFrame:
         F.max("n_events").cast("bigint").alias("n_events"),
         F.round(F.max_by("ewma", "n_events") * 1e6).cast("bigint").alias("ewma_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming RSI: a sliding integer window carried across micro-batches
+# ---------------------------------------------------------------------------
+
+_RSI_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("rsi_micro", T.LongType()),
+    ]
+)
+# ring of the last 14 price deltas (integer cents) + last price + count
+_RSI_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("diffs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_rsi(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Carry (n, last price, last-14 deltas) per event_type; every
+    qualifying row (>= 15th of its key) emits Cutler RSI from the
+    exact integer window — Python ints, so bit-questions don't even
+    arise. The window ring is 14 longs: state is O(1) per key."""
+    n, last, diffs = state.get if state.exists else (0, None, [])
+    diffs = list(diffs)
+    out_ts, out_rsi = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = pdf["value"].mul(100).round().astype("int64")
+        for ts, c in zip(pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"), cents):
+            c = int(c)
+            if last is not None:
+                diffs.append(c - last)
+                if len(diffs) > 14:
+                    diffs.pop(0)
+            last = c
+            n += 1
+            if n >= 15:
+                sg = sum(d for d in diffs if d > 0)
+                sl = sum(-d for d in diffs if d < 0)
+                out_ts.append(ts)
+                out_rsi.append(
+                    (100_000_000 * sg) // (sg + sl) if (sg + sl) else None
+                )
+    state.update((n, last, diffs))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_ts),
+            "ts": out_ts,
+            "rsi_micro": pd.array(out_rsi, dtype="Int64"),
+        }
+    )
+
+
+def rsi_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming 14-period RSI; in-order-per-key replay
+    guaranteed as for ewma_stream (ts-value slice boundaries)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_rsi,
+            outputStructType=_RSI_OUT,
+            stateStructType=_RSI_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
