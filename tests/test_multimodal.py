@@ -1,5 +1,6 @@
 """Multimodal plumbing: Arrow round-trips, 1:N frame explode, null
-payloads, and the codec seam raising cleanly when fake=False.
+payloads — and the REAL codec path (fake=False): genuine PNG/WAV/APNG
+bytes decoded end-to-end, pixel/PCM/frame round-trips exact.
 """
 
 from __future__ import annotations
@@ -176,3 +177,66 @@ def test_real_resize_reparses_exact_dims(spark, sf_dir):
         assert (r.meta.width, r.meta.height) == (ew, eh)
         px = mc.png_decode(bytes(r.content))
         assert px.shape == (eh, ew, 3)
+
+
+def test_codec_roundtrip_random_dims():
+    """Property: PNG encode->decode is pixel-exact and parse-exact for
+    arbitrary small dims; WAV encode->parse round-trips rate/duration;
+    APNG frame walk returns every frame with its exact delay. Pure
+    codec-level (no Spark) so it runs wide cheaply."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docker_based_real_time_etl_project_spark.operators import mediacodec as mc
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def png_case(w, h, seed):
+        px = (
+            (np.add.outer(np.arange(h), np.arange(w))[:, :, None]
+             + np.arange(3) * 7 + seed) % 256
+        ).astype(np.uint8)
+        b = mc.png_encode(px)
+        meta = mc.png_parse_meta(b)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert np.array_equal(mc.png_decode(b), px)
+
+    png_case()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 12000, 16000, 44100]),
+        n=st.integers(min_value=1, max_value=5000),
+    )
+    def wav_case(rate, n):
+        s = ((np.arange(n) * 13) % 4096 - 2048).astype("<i2")
+        b = mc.wav_encode(s, rate)
+        meta = mc.wav_parse_meta(b)
+        assert meta["sample_rate"] == rate and meta["n_samples"] == n
+        assert meta["duration_ms"] == n * 1000 // rate
+        got, r2 = mc.wav_decode(b)
+        assert r2 == rate and np.array_equal(got, s)
+
+    wav_case()
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        nf=st.integers(min_value=1, max_value=6),
+        delays=st.lists(st.integers(min_value=10, max_value=2000), min_size=6, max_size=6),
+    )
+    def apng_case(nf, delays):
+        px = (np.arange(8 * 6 * 3) % 256).astype(np.uint8).reshape(6, 8, 3)
+        frames = [((px + f) % 256).astype(np.uint8) for f in range(nf)]
+        b = mc.apng_encode(frames, delays[:nf])
+        meta = mc.png_parse_meta(b)
+        assert meta["n_frames"] == nf
+        assert meta["duration_ms"] == sum(delays[:nf])
+        walked = mc.apng_frames(b)
+        assert [(i, d) for i, d, _ in walked] == list(enumerate(delays[:nf]))
+
+    apng_case()
