@@ -738,3 +738,74 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sd_micro"),
     )
+
+
+@register(
+    "q_macd",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1, 2
+    ),
+    closes AS (
+      SELECT event_type, array_agg(vals[len(vals)] ORDER BY day) AS cs
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(cs) AS BIGINT) AS n_days,
+           CAST(ROUND((list_reduce(cs, (a, x) -> a * (1 - 2.0/13.0) + (2.0/13.0) * x)
+                     - list_reduce(cs, (a, x) -> a * (1 - 2.0/27.0) + (2.0/27.0) * x))
+                      * 1000000) AS BIGINT) AS macd_micro
+    FROM closes
+    """,
+    tags=("timeseries", "window"),
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line (EMA-12 minus EMA-26 of daily closes) per event_type,
+    completing the indicator set over the reference's kline domain
+    (etl.py:146-158). Daily close = last value of the day in exact
+    (ts, event_id) order; both EMAs are ordered left folds whose IEEE
+    operation sequence — including the constant-folded 2.0/13.0 and
+    2.0/27.0 alphas — is identical in F.aggregate and DuckDB's
+    list_reduce, so the doubles bit-agree before the single micro
+    snap. Two narrow aggregations (day grain, then type grain);
+    per-type state is one array of daily closes — bounded by the
+    calendar, not the corpus."""
+    d = table(spark, sf_dir, "events")
+    daily = (
+        d.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.struct("ts", "event_id", F.col("value").cast("double").alias("v")).alias(
+                "s"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.element_at(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["v"]), -1
+            ).alias("close")
+        )
+    )
+    closes = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "close"))), lambda s: s["close"]
+        ).alias("cs")
+    )
+
+    def ema(alpha_num: float, alpha_den: float):
+        a = F.lit(alpha_num) / F.lit(alpha_den)
+        return F.aggregate(
+            F.expr("slice(cs, 2, size(cs) - 1)"),
+            F.element_at("cs", 1),
+            lambda acc, x: acc * (F.lit(1.0) - a) + a * x,
+        )
+
+    return closes.select(
+        "event_type",
+        F.size("cs").cast("bigint").alias("n_days"),
+        F.round((ema(2.0, 13.0) - ema(2.0, 27.0)) * 1e6).cast("bigint").alias(
+            "macd_micro"
+        ),
+    )
