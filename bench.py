@@ -67,6 +67,11 @@ HEADLINE = [
     "q_dedup_keep_best",     # clusters + quality-policy survivor window
     "q_corpus_datacard",     # per-source dataset card, one agg pass
     "q_corpus_drift",        # PSI drift monitor, 21-row histogram
+    # round 7 additions
+    "q_lm_perplexity",       # corpus-trained bigram LM, integer micro-unit scores
+    "q_embed_feature_hash",  # signed feature hashing, one narrow groupBy
+    "q_bollinger",           # integer-exact sliding mean/stddev bands
+    "q_vwap",                # hourly VWAP, one hash aggregation
 ]
 
 
