@@ -30,13 +30,13 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # the stdlib PNG/APNG/WAV codecs, the PQ/ADC recall contract, the
 # bigram-LM perplexity scorer, the feature-hash embedder, and the
 # EWMA/RSI exchange-analytics pair);
-# (b) q_dedup_clusters, whose implementation changed this round
-# (shared session-materialized cluster artifact — windowing it checks
-# the shared build; its consumer q_dedup_keep_best and the other
-# changed queries (q_token_budget
+# (b) none of this round's five changed queries hold slots — every
+# slot went to a brand-new query (zero driver evidence beats
+# re-checking r6 greens); the changed set (q_dedup_clusters /
+# q_dedup_keep_best shared cluster artifact, q_token_budget
 # integer-div fix, q_corpus_drift / q_stream_corpus_drift dense PSI
-# grid) yielded their slots to brand-new queries and are re-verified
-# by this round's full sf0.01 sweep and the sf0.1 parity artifact); (c) ALL 36 remaining r3-era greens — the TPC-H
+# grid) is re-verified by this round's full sf0.01 sweep, the sf0.1
+# parity artifact, and the pytest sharing/plan pins; (c) ALL 36 remaining r3-era greens — the TPC-H
 # depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
 # q_chunk_dedup, q_pii_scrub, q_source_orc, q_fuzzy_match, q_win_ntile
 # (q_pricing_summary is also r3-era but needs no slot: entry()
@@ -47,9 +47,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
     "q_ann_pq_recall", "q_lm_perplexity", "q_embed_feature_hash",
     "q_ewma", "q_rsi", "q_vwap", "q_bollinger", "q_stream_ewma",
-    "q_stream_rsi", "q_macd",
-    # (b) implementation changed this round
-    "q_dedup_clusters",
+    "q_stream_rsi", "q_macd", "q_stream_vwap",
     # (c) all 36 windowable r3-era greens
     "q_chunk_dedup", "q_corpus_pipeline", "q_cosine_topk",
     "q_cust_order_dist", "q_disjunctive_pred", "q_except_all",

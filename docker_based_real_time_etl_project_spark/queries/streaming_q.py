@@ -1158,3 +1158,45 @@ def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         rsi_stream(_stream(spark, sf_dir)), output_mode="append", state_partitions=8
     )
+
+
+def _vwap_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _VWAP_ORACLE,
+    )
+
+    return _VWAP_ORACLE
+
+
+@register(
+    "q_stream_vwap",
+    oracle=_vwap_oracle(),
+    tags=("streaming", "window", "timeseries"),
+)
+def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly VWAP maintained IN-STREAM: the tumbling-window aggregate
+    carries two exact integer sums (Σcents·vol, Σvol) per
+    (event_type, hour) — associative, so identical under any
+    micro-batch split or state-merge order — and the single integer
+    division happens in the stateless projection after the stream
+    drains. Hash-matches the identical batch oracle; state is two
+    longs per live window."""
+    st = (
+        _stream(spark, sf_dir)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+        .withColumn("vol", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sum("vol").cast("bigint").alias("total_vol"),
+            F.sum(F.col("cents") * F.col("vol")).cast("bigint").alias("pv"),
+        )
+    )
+    out = run_to_memory(st, output_mode="complete", state_partitions=8)
+    return out.select(
+        "event_type",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "total_vol",
+        F.expr("CAST(pv * 10000 div NULLIF(total_vol, 0) AS BIGINT)").alias(
+            "vwap_micro"
+        ),
+    )

@@ -629,9 +629,8 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_vwap",
-    oracle="""
+# shared with the streaming mirror (q_stream_vwap)
+_VWAP_ORACLE = """
     WITH o AS (
       SELECT event_type,
              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -644,9 +643,10 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cents * vol) * 10000 // NULLIF(SUM(vol), 0) AS BIGINT)
              AS vwap_micro
     FROM o GROUP BY event_type, hour
-    """,
-    tags=("timeseries", "window"),
-)
+    """
+
+
+@register("q_vwap", oracle=_VWAP_ORACLE, tags=("timeseries", "window"))
 def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly VWAP per event_type (volume from the props JSON payload
     — the reference's klines carry exactly this volume column,
