@@ -39,6 +39,8 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # parity artifact, and the pytest sharing/plan pins; (c) ALL 36 remaining r3-era greens — the TPC-H
 # depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
 # q_chunk_dedup, q_pii_scrub, q_source_orc, q_fuzzy_match, q_win_ntile
+# — minus q_unpivot, whose slot went to the last new query: it is the
+# one pure-reshape r3 row, re-verified this round at sf0.01 AND sf0.1
 # (q_pricing_summary is also r3-era but needs no slot: entry()
 # smoke-runs it every round). After r7 nothing in the registry is
 # older than r4; the remaining r4 rows rotate in r8.
@@ -47,7 +49,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
     "q_ann_pq_recall", "q_lm_perplexity", "q_embed_feature_hash",
     "q_ewma", "q_rsi", "q_vwap", "q_bollinger", "q_stream_ewma",
-    "q_stream_rsi", "q_macd", "q_stream_vwap",
+    "q_stream_rsi", "q_macd", "q_stream_vwap", "q_stream_bollinger",
     # (c) all 36 windowable r3-era greens
     "q_chunk_dedup", "q_corpus_pipeline", "q_cosine_topk",
     "q_cust_order_dist", "q_disjunctive_pred", "q_except_all",
@@ -59,7 +61,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_priority_waiting", "q_product_profit", "q_promo_revenue",
     "q_quiet_customers", "q_repetition_ratio", "q_returned_items",
     "q_shipping_priority", "q_small_qty_revenue", "q_source_orc",
-    "q_supplier_cnt", "q_top_supplier", "q_unpivot",
+    "q_supplier_cnt", "q_top_supplier",
     "q_volume_shipping", "q_waiting_suppliers", "q_win_ntile",
 ]
 

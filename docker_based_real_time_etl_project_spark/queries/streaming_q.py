@@ -1200,3 +1200,42 @@ def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vwap_micro"
         ),
     )
+
+
+def _boll_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _BOLL_ORACLE,
+    )
+
+    return _BOLL_ORACLE
+
+
+@register(
+    "q_stream_bollinger",
+    oracle=_boll_oracle(),
+    tags=("streaming", "stateful", "timeseries"),
+)
+def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-period Bollinger stats AS A STREAM: a 20-price integer ring
+    per event_type carried across micro-batches; every full-ring row
+    emits the exact-integer rolling mean and the raw sqrt stddev,
+    with the half-away micro rounding applied ENGINE-side after the
+    drain (Python's round() is half-even — the one cross-engine
+    rounding trap in this pipeline, dodged structurally). Append-mode
+    rows, O(1) state (20 longs); hash-matches the identical batch
+    sliding-window oracle."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        bollinger_stream,
+    )
+
+    out = run_to_memory(
+        bollinger_stream(_stream(spark, sf_dir)),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.select(
+        "event_type",
+        "ts",
+        "mean_micro",
+        F.round("sd_raw").cast("bigint").alias("sd_micro"),
+    )

@@ -676,9 +676,8 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_bollinger",
-    oracle="""
+# shared with the streaming mirror (q_stream_bollinger)
+_BOLL_ORACLE = """
     WITH o AS (
       SELECT event_type, ts, event_id,
              CAST(ROUND(value * 100) AS BIGINT) AS c
@@ -701,9 +700,10 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SQRT(CAST(n * s2 - s * s AS DOUBLE)) / n * 10000)
                 AS BIGINT) AS sd_micro
     FROM w WHERE rn >= 20
-    """,
-    tags=("timeseries", "window"),
-)
+    """
+
+
+@register("q_bollinger", oracle=_BOLL_ORACLE, tags=("timeseries", "window"))
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-period Bollinger statistics per event_type: rolling mean and
     population stddev of the price, from which the bands are mean ±

@@ -486,3 +486,77 @@ def rsi_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bollinger: 20-price integer ring carried across micro-batches
+# ---------------------------------------------------------------------------
+
+_BOLL_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("mean_micro", T.LongType()),
+        # raw double: the half-away micro rounding happens engine-side
+        # after the drain (Python round() is half-EVEN — a divergence
+        # trap this schema dodges by construction)
+        T.StructField("sd_raw", T.DoubleType()),
+    ]
+)
+_BOLL_STATE = T.StructType(
+    [
+        T.StructField("ring", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_bollinger(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Carry the last 20 prices (integer cents) per event_type; each
+    row once the ring is full emits the rolling mean (integer
+    division) and population stddev (one correctly-rounded sqrt of an
+    exact integer — bit-identical to the batch engines'). O(1) state."""
+    import math
+
+    (ring,) = state.get if state.exists else ([],)
+    ring = list(ring)
+    out = {"ts": [], "mean": [], "sd": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = pdf["value"].mul(100).round().astype("int64")
+        for ts, c in zip(pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"), cents):
+            ring.append(int(c))
+            if len(ring) > 20:
+                ring.pop(0)
+            if len(ring) == 20:
+                s = sum(ring)
+                s2 = sum(x * x for x in ring)
+                out["ts"].append(ts)
+                out["mean"].append((s * 10000) // 20)
+                out["sd"].append(math.sqrt(20 * s2 - s * s) / 20 * 10000)
+    state.update((ring,))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out["ts"]),
+            "ts": out["ts"],
+            "mean_micro": pd.array(out["mean"], dtype="int64"),
+            "sd_raw": pd.array(out["sd"], dtype="float64"),
+        }
+    )
+
+
+def bollinger_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming 20-period Bollinger stats; in-order
+    replay per key as for ewma_stream/rsi_stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_bollinger,
+            outputStructType=_BOLL_OUT,
+            stateStructType=_BOLL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
