@@ -72,6 +72,7 @@ HEADLINE = [
     "q_embed_feature_hash",  # signed feature hashing, one narrow groupBy
     "q_bollinger",           # integer-exact sliding mean/stddev bands
     "q_vwap",                # hourly VWAP, one hash aggregation
+    "q_media_meta_decode",   # real PNG/WAV/APNG encode+parse via mapInPandas
 ]
 
 
