@@ -240,3 +240,31 @@ def test_codec_roundtrip_random_dims():
         assert [(i, d) for i, d, _ in walked] == list(enumerate(delays[:nf]))
 
     apng_case()
+
+
+def test_codec_rejects_corrupt_bytes():
+    """A real parser fails LOUDLY on garbage: wrong magic, truncated
+    header, and bit-flipped container fields raise instead of
+    returning fabricated metadata (the failure mode a carried-along
+    fake can never exhibit)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from docker_based_real_time_etl_project_spark.operators import mediacodec as mc
+
+    with _pytest.raises(ValueError):
+        mc.png_parse_meta(b"not a png at all" * 4)
+    with _pytest.raises(ValueError):
+        mc.wav_parse_meta(b"RIFFxxxxNOPE" + b"\x00" * 32)
+    with _pytest.raises(ValueError):
+        mc.gif_parse_meta(b"JPEG????" + b"\x00" * 8)
+
+    px = (np.arange(4 * 5 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
+    good = mc.png_encode(px)
+    # corrupt the zlib stream: decode must fail, not hand back pixels
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF
+    with _pytest.raises(Exception):
+        mc.png_decode(bytes(bad))
+    # unknown-mime sniff returns None rather than guessing
+    assert mc.sniff_mime(b"\x00" * 64) is None
