@@ -83,6 +83,10 @@ def png_parse_meta(b: bytes) -> dict:
             (n_frames,) = struct.unpack_from(">I", data, 0)
             duration_ms = 0
         elif tag == b"fcTL":
+            if duration_ms is None:
+                # APNG spec: acTL must precede the first fcTL; a
+                # malformed file hits the module's loud-failure contract
+                raise ValueError("fcTL before acTL")
             num, den = struct.unpack_from(">HH", data, 20)
             duration_ms += (num * 1000) // (den or 100)
     if width is None:
@@ -230,7 +234,8 @@ def wav_parse_meta(b: bytes) -> dict:
             _, _, rate, _, block_align, _ = struct.unpack_from("<HHIIHH", b, off + 8)
         elif tag == b"data":
             n_samples = length // block_align
-        off += 8 + length
+        # RIFF chunks are word-aligned: odd-length chunks carry a pad byte
+        off += 8 + length + (length & 1)
     if rate is None or n_samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     return {
@@ -252,7 +257,7 @@ def wav_decode(b: bytes) -> tuple[np.ndarray, int]:
                 np.frombuffer(b[off + 8 : off + 8 + length], dtype="<i2"),
                 meta["sample_rate"],
             )
-        off += 8 + length
+        off += 8 + length + (length & 1)
     raise ValueError("WAV missing data chunk")
 
 
@@ -261,7 +266,18 @@ def sniff_mime(b: bytes) -> str | None:
     if b is None or len(b) < 12:
         return None
     if b[:8] == _PNG_SIG:
-        return "image/apng" if b"acTL" in b[:200] else "image/png"
+        # walk actual chunk tags (a substring scan can false-positive on
+        # compressed IDAT bytes, and acTL may sit past any byte prefix);
+        # acTL must precede IDAT per spec, so the walk stops early
+        try:
+            for tag, _ in _png_chunks(b):
+                if tag == b"acTL":
+                    return "image/apng"
+                if tag in (b"IDAT", b"IEND"):
+                    break
+        except (ValueError, struct.error):
+            pass  # truncated/corrupt past the signature: still PNG-family
+        return "image/png"
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":

@@ -56,7 +56,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synth_real_media(df: DataFrame, id_col: str, fake: bool = False) -> DataFrame:
+def synth_real_media(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, kind, content) with GENUINE media bytes, one row per
     input row, parameters derived deterministically from the id so a
     SQL oracle can restate them (the decode queries pin the parser

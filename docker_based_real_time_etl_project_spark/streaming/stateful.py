@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -359,23 +360,52 @@ _EWMA_STATE = T.StructType(
 )
 
 
+def _concat_sorted(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
+    """ALL of a group's Arrow chunks for this micro-batch, concatenated
+    BEFORE the (ts, event_id) sort. applyInPandasWithState splits a
+    group's batch into multiple chunks past
+    spark.sql.execution.arrow.maxRecordsPerBatch (~10k) with no
+    cross-chunk ordering guarantee — sorting each chunk independently
+    (the pre-round-8 code) would fold a hot key out of order and
+    silently diverge from the batch oracle. One concat restores the
+    total (ts, event_id) order whatever the chunking."""
+    chunks = list(pdfs)
+    if not chunks:
+        return pd.DataFrame()
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _ewma_fold(
+    n: int, ewma: float | None, values: "np.ndarray"
+) -> tuple[int, float | None]:
+    """Sequential EWMA recursion over already-ordered values. A plain
+    Python float loop ON PURPOSE: the batch engine folds
+    acc*0.8 + 0.2*x in exactly this operation order, and Python floats
+    are the same IEEE-754 doubles — so the streaming result is
+    BIT-identical to the batch fold, which pandas' ewm()
+    (adjust/init semantics differ) would not give. EWMA is
+    non-associative, so unlike RSI/Bollinger this fold cannot be
+    vectorized without changing the operation sequence."""
+    for x in values:
+        x = float(x)
+        ewma = x if ewma is None else ewma * 0.8 + 0.2 * x
+        n += 1
+    return n, ewma
+
+
 def _update_ewma(
     key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold the batch's rows (sorted by ts, event_id) into the carried
-    EWMA. The fold is a plain Python float loop ON PURPOSE: the batch
-    engine folds acc*0.8 + 0.2*x in exactly this operation order, and
-    Python floats are the same IEEE-754 doubles — so the streaming
-    result is BIT-identical to the batch fold, which pandas' ewm()
-    (adjust/init semantics differ) would not give. Groups are one
-    (event_type, day) — bounded by the grain, never the corpus."""
+    """Fold the batch's rows (ordered across ALL chunks) into the
+    carried EWMA. Groups are one (event_type, day) — bounded by the
+    grain, never the corpus."""
     n, ewma = state.get if state.exists else (0, None)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for x in pdf["value"].astype("float64"):
-            x = float(x)
-            ewma = x if ewma is None else ewma * 0.8 + 0.2 * x
-            n += 1
+    pdf = _concat_sorted(pdfs)
+    if len(pdf):
+        n, ewma = _ewma_fold(n, ewma, pdf["value"].to_numpy(dtype="float64"))
     state.update((n, ewma))
     yield pd.DataFrame(
         {"event_type": [key[0]], "day": [key[1]], "n_events": [n], "ewma": [ewma]}
@@ -434,42 +464,73 @@ _RSI_STATE = T.StructType(
 )
 
 
+def _rsi_fold(
+    n: int,
+    last: int | None,
+    diffs: list[int],
+    cents: "np.ndarray",
+    ts_strs: "np.ndarray",
+) -> tuple[int, int, list[int], pd.DataFrame]:
+    """Vectorized Cutler-RSI fold over one ordered run of prices.
+
+    Integer arithmetic is associative, so the per-row Python loop the
+    pre-round-8 code ran is replaced by numpy int64 cumsum window
+    differences — bit-identical outputs (every quantity is an exact
+    int64: 14·|Δcents| ≤ ~1e8, ×1e8 ≤ 1e16 < 2^63), ~100× less
+    interpreter cost per batch, which matters because state is keyed
+    by event_type (few keys) so all of a key's rows funnel through
+    one task."""
+    m = len(cents)
+    ring = np.asarray(diffs, dtype=np.int64)
+    if last is None:
+        d_new = np.diff(cents)
+        first_delta_row = 1  # row 0 has no delta
+    else:
+        d_new = np.diff(np.concatenate((np.asarray([last], np.int64), cents)))
+        first_delta_row = 0
+    full = np.concatenate((ring, d_new))
+    gains = np.concatenate(([0], np.cumsum(np.where(full > 0, full, 0))))
+    losses = np.concatenate(([0], np.cumsum(np.where(full < 0, -full, 0))))
+    rows = np.arange(m)
+    emit = np.flatnonzero(n + rows + 1 >= 15)
+    # index in `full` of the delta ending at row i; emission implies at
+    # least 14 deltas end there, so the [j-13, j] window is always full
+    j = len(ring) + emit - first_delta_row
+    sg = gains[j + 1] - gains[j - 13]
+    sl = losses[j + 1] - losses[j - 13]
+    tot = sg + sl
+    rsi = (100_000_000 * sg) // np.where(tot > 0, tot, 1)
+    out = pd.DataFrame(
+        {
+            "ts": ts_strs[emit],
+            "rsi_micro": pd.arrays.IntegerArray(
+                rsi.astype("int64"), mask=(tot == 0)
+            ),
+        }
+    )
+    new_last = int(cents[-1]) if m else last
+    new_ring = full[-14:].astype("int64").tolist() if len(full) else list(diffs)
+    return n + m, new_last, new_ring, out
+
+
 def _update_rsi(
     key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Carry (n, last price, last-14 deltas) per event_type; every
     qualifying row (>= 15th of its key) emits Cutler RSI from the
-    exact integer window — Python ints, so bit-questions don't even
-    arise. The window ring is 14 longs: state is O(1) per key."""
+    exact integer window. The window ring is 14 longs: state is O(1)
+    per key; the in-batch fold is vectorized (_rsi_fold)."""
     n, last, diffs = state.get if state.exists else (0, None, [])
-    diffs = list(diffs)
-    out_ts, out_rsi = [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        cents = pdf["value"].mul(100).round().astype("int64")
-        for ts, c in zip(pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"), cents):
-            c = int(c)
-            if last is not None:
-                diffs.append(c - last)
-                if len(diffs) > 14:
-                    diffs.pop(0)
-            last = c
-            n += 1
-            if n >= 15:
-                sg = sum(d for d in diffs if d > 0)
-                sl = sum(-d for d in diffs if d < 0)
-                out_ts.append(ts)
-                out_rsi.append(
-                    (100_000_000 * sg) // (sg + sl) if (sg + sl) else None
-                )
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        state.update((n, last, list(diffs)))
+        return
+    cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    ts_strs = pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy()
+    n, last, diffs, out = _rsi_fold(n, last, list(diffs), cents, ts_strs)
     state.update((n, last, diffs))
-    yield pd.DataFrame(
-        {
-            "event_type": [key[0]] * len(out_ts),
-            "ts": out_ts,
-            "rsi_micro": pd.array(out_rsi, dtype="Int64"),
-        }
-    )
+    out.insert(0, "event_type", key[0])
+    yield out
 
 
 def rsi_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
@@ -510,40 +571,57 @@ _BOLL_STATE = T.StructType(
 )
 
 
+def _boll_fold(
+    ring: list[int], cents: "np.ndarray", ts_strs: "np.ndarray"
+) -> tuple[list[int], pd.DataFrame]:
+    """Vectorized 20-period Bollinger fold over one ordered run.
+
+    Same vectorization argument as _rsi_fold: the sliding Σc and Σc²
+    are exact int64 cumsum differences (c ≤ ~1e6 cents → c² ≤ 1e12;
+    a key's batch would need ~9e6 rows before the Σc² cumsum itself
+    neared 2^63), and σ touches float exactly once — np.sqrt of an
+    exactly-representable integer (20·Σc²−(Σc)² ≤ ~4e14 < 2^53) is
+    the same correctly-rounded IEEE double math.sqrt produced, then
+    /20*10000 in the identical operation order. Bit-identical to the
+    per-row loop it replaces."""
+    m = len(cents)
+    r0 = len(ring)
+    full = np.concatenate((np.asarray(ring, dtype=np.int64), cents))
+    c1 = np.concatenate(([0], np.cumsum(full)))
+    c2 = np.concatenate(([0], np.cumsum(full * full)))
+    emit = np.flatnonzero(r0 + np.arange(m) + 1 >= 20)
+    e = r0 + emit  # window [e-19, e] in `full` is always full at emission
+    s = c1[e + 1] - c1[e - 19]
+    s2 = c2[e + 1] - c2[e - 19]
+    out = pd.DataFrame(
+        {
+            "ts": ts_strs[emit],
+            "mean_micro": (s * 10000) // 20,
+            "sd_raw": np.sqrt((20 * s2 - s * s).astype("float64")) / 20 * 10000,
+        }
+    )
+    return full[-20:].astype("int64").tolist(), out
+
+
 def _update_bollinger(
     key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Carry the last 20 prices (integer cents) per event_type; each
     row once the ring is full emits the rolling mean (integer
     division) and population stddev (one correctly-rounded sqrt of an
-    exact integer — bit-identical to the batch engines'). O(1) state."""
-    import math
-
+    exact integer — bit-identical to the batch engines'). O(1) state;
+    in-batch fold vectorized (_boll_fold)."""
     (ring,) = state.get if state.exists else ([],)
-    ring = list(ring)
-    out = {"ts": [], "mean": [], "sd": []}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        cents = pdf["value"].mul(100).round().astype("int64")
-        for ts, c in zip(pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"), cents):
-            ring.append(int(c))
-            if len(ring) > 20:
-                ring.pop(0)
-            if len(ring) == 20:
-                s = sum(ring)
-                s2 = sum(x * x for x in ring)
-                out["ts"].append(ts)
-                out["mean"].append((s * 10000) // 20)
-                out["sd"].append(math.sqrt(20 * s2 - s * s) / 20 * 10000)
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        state.update((list(ring),))
+        return
+    cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    ts_strs = pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy()
+    ring, out = _boll_fold(list(ring), cents, ts_strs)
     state.update((ring,))
-    yield pd.DataFrame(
-        {
-            "event_type": [key[0]] * len(out["ts"]),
-            "ts": out["ts"],
-            "mean_micro": pd.array(out["mean"], dtype="int64"),
-            "sd_raw": pd.array(out["sd"], dtype="float64"),
-        }
-    )
+    out.insert(0, "event_type", key[0])
+    yield out
 
 
 def bollinger_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
