@@ -1239,3 +1239,155 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_micro",
         F.round("sd_raw").cast("bigint").alias("sd_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order replay: the watermark-delayed re-sort indicator twins
+# ---------------------------------------------------------------------------
+
+_OOO_ARRIVAL = [1, 0, 3, 2, 5, 4, 7, 6]  # adjacent slices swapped
+
+
+def _ooo_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Events sliced by ts range but ARRIVING in _OOO_ARRIVAL order
+    (every odd slice arrives before its even predecessor — cross-batch
+    disorder bounded by ~2 slice spans), plus two max-ts sentinel files
+    that push the final watermark past every real row so the reorder
+    buffers flush (the second sentinel batch is where the EventTime
+    timeouts actually fire). The watermark delay that makes this safe
+    (span/3 > 2·span/8 of maximum lateness, so nothing is dropped as
+    late) is written to _ooo_meta.txt inside the dir."""
+    import os
+    import time
+    from datetime import timedelta
+
+    from docker_based_real_time_etl_project_spark.schemas import TESTDATA_SCHEMAS
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        slice_table_to_dir,
+    )
+
+    def build() -> str:
+        d = slice_table_to_dir(
+            spark, sf_dir, "events", "ts", n_slices=8,
+            prefix="events_ooo_", arrival_order=list(_OOO_ARRIVAL),
+        )
+        mn, mx = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).agg(
+            F.min("ts"), F.max("ts")
+        ).first()
+        delay = int((mx - mn).total_seconds() // 3) + 1
+        t1 = mx + timedelta(seconds=delay + 60)
+        t2 = t1 + timedelta(seconds=delay + 60)
+        sent = spark.createDataFrame(
+            [
+                (10**15, t1, 0, "__sentinel__", 0.0, "{}"),
+                (10**15 + 1, t2, 0, "__sentinel__", 0.0, "{}"),
+            ],
+            TESTDATA_SCHEMAS["events"],
+        )
+        base = max(
+            os.path.getmtime(os.path.join(root, f))
+            for root, _, files in os.walk(d)
+            for f in files
+        )
+        for i in (1, 2):
+            sd = os.path.join(d, f"sentinel_{i}")
+            sent.filter(F.col("event_id") == 10**15 + i - 1).coalesce(
+                1
+            ).write.parquet(sd)
+            for f in os.listdir(sd):
+                p = os.path.join(sd, f)
+                os.utime(p, (base + 2 * i, base + 2 * i))
+        with open(os.path.join(d, "_ooo_meta.txt"), "w") as fh:
+            fh.write(str(delay))
+        return d
+
+    return _materialize_once(
+        ("event_slices_ooo", sf_dir, 8, tuple(_OOO_ARRIVAL),
+         _table_fingerprint(sf_dir, "events")),
+        build,
+    )
+
+
+def _ooo_stream(spark: SparkSession, sf_dir: str):
+    import os
+
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table,
+    )
+
+    d = _ooo_slices(spark, sf_dir)
+    with open(os.path.join(d, "_ooo_meta.txt")) as fh:
+        delay = int(fh.read())
+    return replay_table(spark, d, "events"), f"{delay} seconds"
+
+
+def _ewma_ooo_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _EWMA_ORACLE,
+    )
+
+    return _EWMA_ORACLE
+
+
+@register(
+    "q_stream_ewma_ooo",
+    oracle=_ewma_ooo_oracle(),
+    tags=("streaming", "stateful", "timeseries", "out-of-order"),
+)
+def q_stream_ewma_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over an OUT-OF-ORDER stream: slices arrive shuffled
+    (_OOO_ARRIVAL swaps every adjacent pair) yet the result must
+    hash-match the SAME ordered-fold oracle as q_ewma / q_stream_ewma,
+    bit for bit — the watermark-delayed re-sort
+    (streaming/stateful.py ewma_stream_ooo) buffers rows per key and
+    releases them in (ts, event_id) order only once the watermark has
+    passed them, turning the in-order twins' documented replay caveat
+    into a solved property. State = fold scalars + the rows inside the
+    delay window (the irreducible cost of lateness tolerance); release
+    sets are totally ordered across batches because the operator's own
+    beyond-watermark drop (applyInPandasWithState does NOT pre-filter
+    late rows — see stateful._buffer_release) and the strict
+    below-watermark release share the same boundary."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        ewma_stream_ooo, final_ewma,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    emitted = run_to_memory(
+        ewma_stream_ooo(st, watermark=delay),
+        output_mode="update",
+        state_partitions=8,
+    )
+    return final_ewma(emitted.filter(F.col("event_type") != "__sentinel__"))
+
+
+def _rsi_ooo_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _RSI_ORACLE,
+    )
+
+    return _RSI_ORACLE
+
+
+@register(
+    "q_stream_rsi_ooo",
+    oracle=_rsi_ooo_oracle(),
+    tags=("streaming", "stateful", "timeseries", "out-of-order"),
+)
+def q_stream_rsi_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI over the same OUT-OF-ORDER replay, hash-matching
+    the batch q_rsi oracle: the reorder buffer feeds the vectorized
+    integer RSI fold in exact (ts, event_id) order; every emitted row
+    is an exact-integer computation, so disorder tolerance costs
+    buffering but never precision."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        rsi_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        rsi_stream_ooo(st, watermark=delay),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.filter(F.col("event_type") != "__sentinel__")

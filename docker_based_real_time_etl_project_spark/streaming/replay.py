@@ -58,13 +58,19 @@ def slice_table_to_dir(
     out_dir: str | None = None,
     hold_back_range: tuple[int, int] | None = None,
     prefix: str | None = None,
+    arrival_order: list[int] | None = None,
 ) -> str:
     """Generalized replay slicer: any testdata table becomes an
     `n_slices`-micro-batch file stream, sliced into contiguous
     ``order_col`` ranges (arrival order = that column's order). Used
     with ``order_col='ts'`` for event-time replay and with
     ``order_col='doc_id'`` to replay a corpus arriving in ingest
-    order (the streaming-LLM-prep queries)."""
+    order (the streaming-LLM-prep queries).
+
+    ``arrival_order`` permutes the mtime stamping (a permutation of the
+    kept slice indexes): slices then ARRIVE in that order while each
+    still carries its own time range — a genuinely out-of-order stream
+    for exercising watermark-delayed re-sort operators."""
     ev = load_table(spark, sf_dir, table)
     out = out_dir or tempfile.mkdtemp(prefix=prefix or f"{table}_stream_")
     bounds = ev.selectExpr(
@@ -97,7 +103,9 @@ def slice_table_to_dir(
         for f in files
     ]
     base = max([time.time(), *[m + 2.0 for m in existing]])
-    for rank, i in enumerate(sorted(keep)):
+    order = arrival_order if arrival_order is not None else sorted(keep)
+    assert sorted(order) == sorted(keep), "arrival_order must permute kept slices"
+    for rank, i in enumerate(order):
         d = os.path.join(out, f"slice={i:03d}")
         if not os.path.isdir(d):
             continue  # a quantile bucket can be empty on tiny tables

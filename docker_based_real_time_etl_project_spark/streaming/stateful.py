@@ -638,3 +638,208 @@ def bollinger_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delayed re-sort: out-of-order-tolerant indicator streams
+# ---------------------------------------------------------------------------
+#
+# The in-order indicator twins above are correct only under in-order
+# replay per key. These variants front the SAME fold cores with a
+# per-key reorder buffer: arriving rows are buffered in state, and only
+# rows with ts strictly BELOW the current event-time watermark are
+# released — sorted by (ts, event_id) — into the fold. Release sets are
+# totally ordered across micro-batches (batch k releases (wm_{k-1},
+# wm_k); the operator itself drops arrivals older than wm —
+# applyInPandasWithState does no late-row pre-filtering, unlike
+# windowed aggregations), so the fold sees exactly the batch engine's
+# order however
+# shuffled the arrival was, as long as lateness stays within the
+# watermark delay. State per key = fold state + the buffered rows
+# inside the delay window: O(rows-per-delay-window), the irreducible
+# price of out-of-order tolerance (Flink's event-time sort pays the
+# same). An EventTimeTimeout is re-armed while the buffer is non-empty
+# so tail rows flush once the watermark finally passes them (the replay
+# harness appends a max-ts sentinel to push it past the end).
+
+
+def _buffer_release(
+    state: GroupState,
+    buf: tuple["np.ndarray", ...],
+    new: tuple["np.ndarray", ...] | None,
+) -> tuple[tuple["np.ndarray", ...], tuple["np.ndarray", ...]]:
+    """Merge new rows into the buffer, split at the watermark.
+    ``buf``/``new`` are parallel (ts_us, event_id, value) arrays;
+    returns (released sorted by (ts, event_id), kept).
+
+    Arrivals BELOW the current watermark are dropped here, explicitly:
+    applyInPandasWithState does not pre-filter late rows the way
+    windowed aggregations do (verified empirically —
+    tests/test_streaming.py::test_ooo_late_beyond_watermark_is_dropped
+    fails without this filter), and folding such a row would mean
+    emitting it AFTER later-ts rows already released in earlier
+    batches. Dropping at the watermark is exactly the contract every
+    watermarked Spark operator advertises: lateness within the delay
+    is invisible, beyond it the row is discarded — never misordered."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if new is not None:
+        fresh = new[0] >= wm_us
+        if not fresh.all():
+            new = tuple(a[fresh] for a in new)
+        buf = tuple(np.concatenate((b, x)) for b, x in zip(buf, new))
+    rel = buf[0] < wm_us
+    released = tuple(a[rel] for a in buf)
+    kept = tuple(a[~rel] for a in buf)
+    order = np.lexsort((released[1], released[0]))
+    return tuple(a[order] for a in released), kept
+
+
+def _rearm_or_clear(state: GroupState, kept_ts_us: "np.ndarray", new_state) -> None:
+    state.update(new_state)
+    if len(kept_ts_us):
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm_ms + 1, int(kept_ts_us.max()) // 1000 + 1))
+
+
+def _new_rows(pdfs: Iterable[pd.DataFrame], value_dtype: str):
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return (
+        pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+        pdf["event_id"].to_numpy().astype("int64"),
+        pdf["value"].to_numpy().astype(value_dtype)
+        if value_dtype == "float64"
+        else pdf["value"].mul(100).round().astype("int64").to_numpy(),
+    )
+
+
+def _ts_strs(ts_us: "np.ndarray") -> "np.ndarray":
+    return (
+        pd.to_datetime(pd.Series(ts_us), unit="us")
+        .dt.strftime("%Y-%m-%d %H:%M:%S")
+        .to_numpy()
+    )
+
+
+_EWMA_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _update_ewma_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bval, n, ewma = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bval, np.float64),
+        )
+    else:
+        buf = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
+        n, ewma = 0, None
+    new = None if state.hasTimedOut else _new_rows(pdfs, "float64")
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        n, ewma = _ewma_fold(n, ewma, released[2])
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "day": [key[1]],
+                "n_events": [n],
+                "ewma": [ewma],
+            }
+        )
+    _rearm_or_clear(
+        state, kept[0], (kept[0].tolist(), kept[1].tolist(), kept[2].tolist(), n, ewma)
+    )
+
+
+def ewma_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """EWMA over an OUT-OF-ORDER stream: the watermark-delayed re-sort
+    feeds _ewma_fold, so any arrival order whose lateness stays within
+    ``watermark`` hash-matches the in-order run bit for bit."""
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withWatermark("ts", watermark)
+        .groupBy("event_type", "day")
+        .applyInPandasWithState(
+            _update_ewma_ooo,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_OOO_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_RSI_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("diffs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_rsi_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bc, n, last, diffs = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bc, np.int64),
+        )
+        last = None if n == 0 else last
+        diffs = list(diffs)
+    else:
+        buf = (np.empty(0, np.int64),) * 3
+        n, last, diffs = 0, None, []
+    new = None if state.hasTimedOut else _new_rows(pdfs, "int64")
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        n, last, diffs, out = _rsi_fold(
+            n, last, diffs, released[2], _ts_strs(released[0])
+        )
+        if len(out):
+            out.insert(0, "event_type", key[0])
+            yield out
+    _rearm_or_clear(
+        state,
+        kept[0],
+        (
+            kept[0].tolist(),
+            kept[1].tolist(),
+            kept[2].tolist(),
+            n,
+            last if last is not None else 0,
+            diffs,
+        ),
+    )
+
+
+def rsi_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """14-period RSI over an OUT-OF-ORDER stream via the same
+    watermark-delayed re-sort; emits append-mode rows identical to the
+    in-order twin whenever lateness stays within ``watermark``."""
+    return events.withWatermark("ts", watermark).groupBy("event_type").applyInPandasWithState(
+        _update_rsi_ooo,
+        outputStructType=_RSI_OUT,
+        stateStructType=_RSI_OOO_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
