@@ -1391,3 +1391,43 @@ def q_stream_rsi_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     return out.filter(F.col("event_type") != "__sentinel__")
+
+
+def _macd_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _MACD_ORACLE,
+    )
+
+    return _MACD_ORACLE
+
+
+@register(
+    "q_stream_macd",
+    oracle=_macd_oracle(),
+    tags=("streaming", "stateful", "timeseries"),
+)
+def q_stream_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD AS A STREAM — the last batch indicator to get a streaming
+    twin: applyInPandasWithState carries (EMA-12, EMA-26 over completed
+    daily closes, running day + close) per event_type across the 8
+    replayed micro-batches (streaming/stateful.py macd_stream); each
+    batch emits the provisional MACD as if the stream ended now, and
+    the final emission per key (max upd) hash-matches the batch q_macd
+    oracle bit for bit — the provisional EMA step is the identical IEEE
+    operation the batch fold applies to its final array element. State
+    is six scalars per key; the half-away micro snap happens here,
+    engine-side, after the drain."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        macd_stream,
+    )
+
+    emitted = run_to_memory(
+        macd_stream(_stream(spark, sf_dir)), output_mode="update",
+        state_partitions=8,
+    )
+    return emitted.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.round(F.max_by("macd_raw", "upd") * 1e6).cast("bigint").alias(
+            "macd_micro"
+        ),
+    )

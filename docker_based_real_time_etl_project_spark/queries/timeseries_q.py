@@ -740,9 +740,8 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_macd",
-    oracle="""
+# shared with the streaming mirror (q_stream_macd)
+_MACD_ORACLE = """
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
              array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
@@ -758,9 +757,10 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - list_reduce(cs, (a, x) -> a * (1 - 2.0/27.0) + (2.0/27.0) * x))
                       * 1000000) AS BIGINT) AS macd_micro
     FROM closes
-    """,
-    tags=("timeseries", "window"),
-)
+    """
+
+
+@register("q_macd", oracle=_MACD_ORACLE, tags=("timeseries", "window"))
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD line (EMA-12 minus EMA-26 of daily closes) per event_type,
     completing the indicator set over the reference's kline domain

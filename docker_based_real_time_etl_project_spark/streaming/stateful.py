@@ -843,3 +843,105 @@ def rsi_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MACD: daily-close EMA-12/EMA-26 state carried across batches
+# ---------------------------------------------------------------------------
+
+_MACD_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+        # raw double: the half-away micro snap happens engine-side after
+        # the drain (same rounding-trap dodge as the Bollinger twin)
+        T.StructField("macd_raw", T.DoubleType()),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+_MACD_STATE = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("e12", T.DoubleType()),
+        T.StructField("e26", T.DoubleType()),
+        T.StructField("last_day", T.StringType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+_A12 = 2.0 / 13.0
+_A26 = 2.0 / 27.0
+
+
+def _ema_step(e: float | None, a: float, c: float) -> float:
+    # identical IEEE sequence to the batch F.aggregate fold: init on the
+    # first close, then acc*(1-a) + a*c with the same constant-folded a
+    return c if e is None else e * (1.0 - a) + a * c
+
+
+def _update_macd(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Carry (EMA-12, EMA-26 over completed daily closes, the running
+    day and its latest value) per event_type. Each batch folds the days
+    it COMPLETES into the EMAs (a Python loop over the handful of
+    calendar days a batch spans — bounded by the calendar, not rows;
+    the per-row work of finding day boundaries is vectorized) and emits
+    the provisional MACD as if the stream ended now: one extra EMA step
+    on the running close, the exact operation the batch engine performs
+    on its final array element. The last emission per key (max upd) is
+    therefore BIT-identical to the batch q_macd fold."""
+    if state.exists:
+        n_rows, n_days, e12, e26, last_day, close = state.get
+    else:
+        n_rows, n_days, e12, e26, last_day, close = 0, 0, None, None, None, None
+    pdf = _concat_sorted(pdfs)
+    if len(pdf):
+        days = pdf["ts"].dt.strftime("%Y-%m-%d").to_numpy()
+        vals = pdf["value"].to_numpy(dtype="float64")
+        # last row index of each day-run within the batch
+        ends = np.flatnonzero(
+            np.concatenate((days[1:] != days[:-1], [True]))
+        )
+        n_rows += len(pdf)
+        for e in ends:
+            d, c = days[e], float(vals[e])
+            if d == last_day:
+                close = c
+            else:
+                if last_day is not None:
+                    e12 = _ema_step(e12, _A12, close)
+                    e26 = _ema_step(e26, _A26, close)
+                last_day, close = d, c
+                n_days += 1
+    state.update((n_rows, n_days, e12, e26, last_day, close))
+    if last_day is None:
+        return
+    p12 = _ema_step(e12, _A12, close)
+    p26 = _ema_step(e26, _A26, close)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n_days],
+            "macd_raw": [p12 - p26],
+            "upd": [n_rows],
+        }
+    )
+
+
+def macd_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming MACD line (EMA-12 − EMA-26 of daily
+    closes); in-order replay per key as for ewma_stream. State is six
+    scalars per key — O(grain), however long the stream runs."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_macd,
+            outputStructType=_MACD_OUT,
+            stateStructType=_MACD_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
