@@ -103,12 +103,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_ticket(F.col("doc_id")).alias("ticket"),
         F.array_distinct(shingles("text", 5)).alias("grams"),
     )
-    train_g = (
-        d.filter(F.col("ticket") < 8000)
-        .select(F.explode("grams").alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
-        .distinct()
-    )
+    train_g = train_gram_hashes(spark, sf_dir)
     test_g = (
         d.filter(F.col("ticket") >= 9000)
         .select("doc_id", F.explode("grams").alias("g"))
@@ -125,6 +120,54 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared train-gram artifact: the contamination family's static side
+# ---------------------------------------------------------------------------
+
+
+def train_gram_hashes(
+    spark: SparkSession, sf_dir: str, n: int = 5, ticket_lt: int = 8000
+) -> DataFrame:
+    """The DISTINCT train-split gram hash set (xxhash64 of word
+    ``n``-grams, split by the same hash tickets as q_sample_split),
+    materialized ONCE per session per (params, data-fingerprint) and
+    shared by every contamination-family consumer — q_contamination,
+    q_contamination_bloom, q_contamination_span, and the streaming
+    ingest gate all probe this one artifact instead of re-exploding
+    and re-distincting the train corpus per query (the same
+    amortization contract as dedup_q.gram_pair_candidates; build count
+    pinned by tests/test_properties.py::test_train_gram_artifact_shared).
+    In production this is the written "train gram set" table every
+    decontamination pipeline keeps next to the corpus snapshot; 8-byte
+    hash rows, vocabulary-sized, partitioned by hash — the semi-join
+    prunes with it without ever shuffling text."""
+    import tempfile
+
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once, table_fingerprint,
+    )
+
+    def build() -> str:
+        g_dir = tempfile.mkdtemp(prefix="train_grams_")
+        (
+            table(spark, sf_dir, "documents")
+            .filter(hash_ticket(F.col("doc_id")) < ticket_lt)
+            .select(F.explode(F.array_distinct(shingles("text", n))).alias("g"))
+            .select(F.xxhash64("g").alias("gh"))
+            .distinct()
+            .write.mode("overwrite").parquet(g_dir)
+        )
+        return g_dir
+
+    return spark.read.parquet(
+        materialize_once(
+            ("train_grams", sf_dir, n, ticket_lt,
+             table_fingerprint(sf_dir, "documents")),
+            build,
         )
     )
 
@@ -171,12 +214,7 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_ticket(F.col("doc_id")).alias("ticket"),
         F.array_distinct(shingles("text", 5)).alias("grams"),
     )
-    train_g = (
-        d.filter(F.col("ticket") < 8000)
-        .select(F.explode("grams").alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
-        .distinct()
-    )
+    train_g = train_gram_hashes(spark, sf_dir)
     hashes = [r.gh for r in train_g.collect()]
     m_bits = bloom_size_bits(len(hashes))
     words = build_bloom_words(hashes, m_bits, k=4)
@@ -599,13 +637,7 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_ticket(F.col("doc_id")).alias("ticket"),
         shingles("text", 5).alias("grams"),  # positional: NOT distinct
     )
-    train_g = (
-        d.filter(F.col("ticket") < 8000)
-        .select(F.explode(F.array_distinct("grams")).alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    train_g = train_gram_hashes(spark, sf_dir).withColumn("hit", F.lit(1))
     test_pos = (
         d.filter(F.col("ticket") >= 9000)
         .select("doc_id", F.posexplode("grams").alias("pos", "g"))

@@ -392,29 +392,12 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the static subplan EVERY micro-batch — the same 8x-rebuild the LSH
     gate's index hit; in production it is a written table anyway)."""
     from docker_based_real_time_etl_project_spark.operators.dedup import shingles
-    from docker_based_real_time_etl_project_spark.queries.registry import table as _t
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        train_gram_hashes,
+    )
     from docker_based_real_time_etl_project_spark.queries.sampling_q import hash_ticket
 
-    def _build_train_grams() -> str:
-        import tempfile
-
-        g_dir = tempfile.mkdtemp(prefix="train_grams_")
-        (
-            _t(spark, sf_dir, "documents")
-            .filter(hash_ticket(F.col("doc_id")) < 8000)
-            .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
-            .select(F.xxhash64("g").alias("gh"))
-            .distinct()
-            .write.mode("overwrite").parquet(g_dir)
-        )
-        return g_dir
-
-    train_g = spark.read.parquet(
-        _materialize_once(
-            ("train_grams", sf_dir, 5, 8000, _table_fingerprint(sf_dir, "documents")),
-            _build_train_grams,
-        )
-    ).withColumn("hit", F.lit(1))
+    train_g = train_gram_hashes(spark, sf_dir).withColumn("hit", F.lit(1))
     test_g = (
         _doc_stream(spark, sf_dir)
         .filter(hash_ticket(F.col("doc_id")) >= 9000)

@@ -606,3 +606,32 @@ def test_ewma_rsi_invariants(spark, tmp_path):
     assert all(v == 100_000_000 for v in by["up"])
     assert len(by["flat"]) == len(by["up"]) == 6  # rows 15..20
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_train_gram_artifact_shared(spark, sf_dir):
+    """The contamination family must probe ONE session-materialized
+    train-gram artifact (round-7 verdict item 5): running all four
+    consumers — q_contamination, q_contamination_bloom,
+    q_contamination_span, q_stream_contamination — leaves the distinct
+    train-gram build executed exactly once for its (params,
+    fingerprint) key, and the batch screen agrees with itself across
+    consumers (bloom's prefilter must be invisible)."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        BUILD_COUNTS, table_fingerprint,
+    )
+
+    fp = table_fingerprint(sf_dir, "documents")
+    key = ("train_grams", sf_dir, 5, 8000, fp)
+    base = {
+        (r.doc_id, r.n_grams, r.n_shared)
+        for r in REGISTRY["q_contamination"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_grams, r.n_shared)
+        for r in REGISTRY["q_contamination_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert base == bloom
+    REGISTRY["q_contamination_span"].fn(spark, sf_dir).count()
+    REGISTRY["q_stream_contamination"].fn(spark, sf_dir).count()
+    assert BUILD_COUNTS[key] == 1
