@@ -23,47 +23,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E402
 
 # The driver's correctness gate checks the first 50 entries in queries()
-# iteration order. Round-7 window, by staleness of driver evidence
-# (computed from CORRECTNESS_r01..r06: 37 queries' latest green is r3,
-# 36 are r4 — exactly the rotation the round-6 verdict asked for):
-# (a) the 7 queries ADDED this round (real-bytes media decode trio on
-# the stdlib PNG/APNG/WAV codecs, the PQ/ADC recall contract, the
-# bigram-LM perplexity scorer, the feature-hash embedder, and the
-# EWMA/RSI exchange-analytics pair);
-# (b) none of this round's five changed queries hold slots — every
-# slot went to a brand-new query (zero driver evidence beats
-# re-checking r6 greens); the changed set (q_dedup_clusters /
-# q_dedup_keep_best shared cluster artifact, q_token_budget
-# integer-div fix, q_corpus_drift / q_stream_corpus_drift dense PSI
-# grid) is re-verified by this round's full sf0.01 sweep, the sf0.1
-# parity artifact, and the pytest sharing/plan pins; (c) ALL 36 remaining r3-era greens — the TPC-H
-# depth pack, set-op multiset pair, q_cosine_topk, q_corpus_pipeline,
-# q_chunk_dedup, q_pii_scrub, q_source_orc, q_fuzzy_match, q_win_ntile
-# — minus q_unpivot, whose slot went to the last new query: it is the
-# one pure-reshape r3 row, re-verified this round at sf0.01 AND sf0.1
-# (q_pricing_summary is also r3-era but needs no slot: entry()
-# smoke-runs it every round). After r7 nothing in the registry is
-# older than r4; the remaining r4 rows rotate in r8.
-_DRIVER_WINDOW_PRIORITY = [
-    # (a) new this round
-    "q_media_meta_decode", "q_media_resize_decode", "q_media_frame_decode",
-    "q_ann_pq_recall", "q_lm_perplexity", "q_embed_feature_hash",
-    "q_ewma", "q_rsi", "q_vwap", "q_bollinger", "q_stream_ewma",
-    "q_stream_rsi", "q_macd", "q_stream_vwap", "q_stream_bollinger",
-    # (c) all 36 windowable r3-era greens
-    "q_chunk_dedup", "q_corpus_pipeline", "q_cosine_topk",
-    "q_cust_order_dist", "q_disjunctive_pred", "q_except_all",
-    "q_excess_shippers", "q_fuzzy_match", "q_idle_customers",
-    "q_important_parts", "q_intersect_all", "q_join_full",
-    "q_join_inner", "q_join_skew_stress", "q_large_orders",
-    "q_lateral_topn", "q_local_supplier_volume", "q_market_share",
-    "q_max_acctbal_supplier", "q_pii_scrub", "q_priority_lines",
-    "q_priority_waiting", "q_product_profit", "q_promo_revenue",
-    "q_quiet_customers", "q_repetition_ratio", "q_returned_items",
-    "q_shipping_priority", "q_small_qty_revenue", "q_source_orc",
-    "q_supplier_cnt", "q_top_supplier",
-    "q_volume_shipping", "q_waiting_suppliers", "q_win_ntile",
-]
+# iteration order. Since round 8 the rotation is GENERATED, not
+# hand-maintained: scripts/gen_driver_window.py computes the window
+# from CORRECTNESS_r*.json staleness (never-driver-checked queries
+# first, then stalest latest-evidence round first) and writes the
+# checked-in driver_window.py; tests/test_coverage.py::
+# test_driver_window_matches_policy pins that the checked-in list
+# matches a fresh computation, so the rotation cannot drift from the
+# policy. The round-8 window is exactly what the round-7 verdict
+# ordered: the 4 never-checked entries (q_ann_pq + this round's three
+# new streaming queries), the 2 r3-era stragglers, all 36 r4-era rows,
+# and the 8 alphabetically-first r5 rows.
+from driver_window import DRIVER_WINDOW as _DRIVER_WINDOW_PRIORITY  # noqa: E402
 
 
 def _ordered() -> list[str]:

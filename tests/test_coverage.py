@@ -99,3 +99,30 @@ def test_rows_only_is_exceptional():
     )
     # and the surface stays overwhelmingly oracled
     assert len(rows_only) / len(REGISTRY) < 0.2
+
+
+def test_driver_window_matches_policy():
+    """The checked-in driver_window.py must equal a fresh computation
+    of the rotation policy (round-7 verdict item 6: the window is
+    generated, and this pin is what stops it drifting). Also basic
+    shape: exactly 50 unique registry names."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_driver_window", os.path.join(repo, "scripts", "gen_driver_window.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    spec2 = importlib.util.spec_from_file_location(
+        "driver_window", os.path.join(repo, "driver_window.py")
+    )
+    dw = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(dw)
+
+    computed = gen.compute_window(repo, list(REGISTRY))
+    assert dw.DRIVER_WINDOW == computed
+    assert len(dw.DRIVER_WINDOW) == 50
+    assert len(set(dw.DRIVER_WINDOW)) == 50
+    assert set(dw.DRIVER_WINDOW) <= set(REGISTRY)
