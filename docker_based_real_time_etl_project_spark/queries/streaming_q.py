@@ -1138,8 +1138,13 @@ def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-order-per-key replay per streaming/stateful.ewma_stream."""
     from docker_based_real_time_etl_project_spark.streaming.stateful import rsi_stream
 
-    return run_to_memory(
+    out = run_to_memory(
         rsi_stream(_stream(spark, sf_dir)), output_mode="append", state_partitions=8
+    )
+    return out.select(
+        "event_type",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rsi_micro",
     )
 
 
@@ -1218,7 +1223,7 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        "ts",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "mean_micro",
         F.round("sd_raw").cast("bigint").alias("sd_micro"),
     )
@@ -1373,7 +1378,11 @@ def q_stream_rsi_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
-    return out.filter(F.col("event_type") != "__sentinel__")
+    return out.filter(F.col("event_type") != "__sentinel__").select(
+        "event_type",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rsi_micro",
+    )
 
 
 def _macd_oracle() -> str:

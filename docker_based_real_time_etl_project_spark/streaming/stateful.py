@@ -450,7 +450,11 @@ def final_ewma(emitted: DataFrame) -> DataFrame:
 _RSI_OUT = T.StructType(
     [
         T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.StringType()),
+        # int64 epoch-micros: string rendering happens ENGINE-side after
+        # the drain (JVM date_format in whole-stage codegen) — pandas
+        # strftime over every emitted row was the hottest per-row cost
+        # left in the fold path
+        T.StructField("ts_us", T.LongType()),
         T.StructField("rsi_micro", T.LongType()),
     ]
 )
@@ -469,7 +473,7 @@ def _rsi_fold(
     last: int | None,
     diffs: list[int],
     cents: "np.ndarray",
-    ts_strs: "np.ndarray",
+    ts_us: "np.ndarray",
 ) -> tuple[int, int, list[int], pd.DataFrame]:
     """Vectorized Cutler-RSI fold over one ordered run of prices.
 
@@ -502,7 +506,7 @@ def _rsi_fold(
     rsi = (100_000_000 * sg) // np.where(tot > 0, tot, 1)
     out = pd.DataFrame(
         {
-            "ts": ts_strs[emit],
+            "ts_us": ts_us[emit],
             "rsi_micro": pd.arrays.IntegerArray(
                 rsi.astype("int64"), mask=(tot == 0)
             ),
@@ -526,8 +530,8 @@ def _update_rsi(
         state.update((n, last, list(diffs)))
         return
     cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-    ts_strs = pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy()
-    n, last, diffs, out = _rsi_fold(n, last, list(diffs), cents, ts_strs)
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    n, last, diffs, out = _rsi_fold(n, last, list(diffs), cents, ts_us)
     state.update((n, last, diffs))
     out.insert(0, "event_type", key[0])
     yield out
@@ -556,7 +560,7 @@ def rsi_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
 _BOLL_OUT = T.StructType(
     [
         T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
         T.StructField("mean_micro", T.LongType()),
         # raw double: the half-away micro rounding happens engine-side
         # after the drain (Python round() is half-EVEN — a divergence
@@ -572,7 +576,7 @@ _BOLL_STATE = T.StructType(
 
 
 def _boll_fold(
-    ring: list[int], cents: "np.ndarray", ts_strs: "np.ndarray"
+    ring: list[int], cents: "np.ndarray", ts_us: "np.ndarray"
 ) -> tuple[list[int], pd.DataFrame]:
     """Vectorized 20-period Bollinger fold over one ordered run.
 
@@ -595,7 +599,7 @@ def _boll_fold(
     s2 = c2[e + 1] - c2[e - 19]
     out = pd.DataFrame(
         {
-            "ts": ts_strs[emit],
+            "ts_us": ts_us[emit],
             "mean_micro": (s * 10000) // 20,
             "sd_raw": np.sqrt((20 * s2 - s * s).astype("float64")) / 20 * 10000,
         }
@@ -617,8 +621,8 @@ def _update_bollinger(
         state.update((list(ring),))
         return
     cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-    ts_strs = pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy()
-    ring, out = _boll_fold(list(ring), cents, ts_strs)
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ring, out = _boll_fold(list(ring), cents, ts_us)
     state.update((ring,))
     out.insert(0, "event_type", key[0])
     yield out
@@ -715,14 +719,6 @@ def _new_rows(pdfs: Iterable[pd.DataFrame], value_dtype: str):
     )
 
 
-def _ts_strs(ts_us: "np.ndarray") -> "np.ndarray":
-    return (
-        pd.to_datetime(pd.Series(ts_us), unit="us")
-        .dt.strftime("%Y-%m-%d %H:%M:%S")
-        .to_numpy()
-    )
-
-
 _EWMA_OOO_STATE = T.StructType(
     [
         T.StructField("buf_ts", T.ArrayType(T.LongType())),
@@ -813,7 +809,7 @@ def _update_rsi_ooo(
     released, kept = _buffer_release(state, buf, new)
     if len(released[0]):
         n, last, diffs, out = _rsi_fold(
-            n, last, diffs, released[2], _ts_strs(released[0])
+            n, last, diffs, released[2], released[0]
         )
         if len(out):
             out.insert(0, "event_type", key[0])
