@@ -73,6 +73,9 @@ HEADLINE = [
     "q_bollinger",           # integer-exact sliding mean/stddev bands
     "q_vwap",                # hourly VWAP, one hash aggregation
     "q_media_meta_decode",   # real PNG/WAV/APNG encode+parse via mapInPandas
+    # round 8 additions
+    "q_stream_rsi",          # vectorized integer indicator state fold
+    "q_stream_rsi_ooo",      # watermark-delayed re-sort over shuffled arrival
 ]
 
 

@@ -1423,3 +1423,40 @@ def q_stream_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "macd_micro"
         ),
     )
+
+
+def _boll_ooo_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.timeseries_q import (
+        _BOLL_ORACLE,
+    )
+
+    return _BOLL_ORACLE
+
+
+@register(
+    "q_stream_bollinger_ooo",
+    oracle=_boll_ooo_oracle(),
+    tags=("streaming", "stateful", "timeseries", "out-of-order"),
+)
+def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-period Bollinger bands over the OUT-OF-ORDER replay,
+    hash-matching the batch q_bollinger oracle — the third fold shape
+    (20-price integer ring) behind the same watermark-delayed re-sort
+    as the EWMA/RSI twins; exact integers end-to-end, half-away micro
+    rounding engine-side after the drain."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        bollinger_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        bollinger_stream_ooo(st, watermark=delay),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.filter(F.col("event_type") != "__sentinel__").select(
+        "event_type",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "mean_micro",
+        F.round("sd_raw").cast("bigint").alias("sd_micro"),
+    )

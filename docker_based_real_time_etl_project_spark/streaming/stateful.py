@@ -941,3 +941,54 @@ def macd_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_BOLL_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("ring", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_bollinger_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bc, ring = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bc, np.int64),
+        )
+        ring = list(ring)
+    else:
+        buf = (np.empty(0, np.int64),) * 3
+        ring = []
+    new = None if state.hasTimedOut else _new_rows(pdfs, "int64")
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        ring, out = _boll_fold(ring, released[2], released[0])
+        if len(out):
+            out.insert(0, "event_type", key[0])
+            yield out
+    _rearm_or_clear(
+        state,
+        kept[0],
+        (kept[0].tolist(), kept[1].tolist(), kept[2].tolist(), ring),
+    )
+
+
+def bollinger_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """20-period Bollinger stats over an OUT-OF-ORDER stream via the
+    same watermark-delayed re-sort as rsi_stream_ooo; bit-identical to
+    the in-order twin whenever lateness stays within ``watermark``."""
+    return events.withWatermark("ts", watermark).groupBy("event_type").applyInPandasWithState(
+        _update_bollinger_ooo,
+        outputStructType=_BOLL_OUT,
+        stateStructType=_BOLL_OOO_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -558,6 +558,7 @@ def test_ooo_replay_matches_in_order(spark, sf_dir):
     for ooo, inorder in (
         ("q_stream_ewma_ooo", "q_stream_ewma"),
         ("q_stream_rsi_ooo", "q_stream_rsi"),
+        ("q_stream_bollinger_ooo", "q_stream_bollinger"),
     ):
         a = {tuple(r) for r in REGISTRY[ooo].fn(spark, sf_dir).collect()}
         b = {tuple(r) for r in REGISTRY[inorder].fn(spark, sf_dir).collect()}
