@@ -1460,3 +1460,39 @@ def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_micro",
         F.round("sd_raw").cast("bigint").alias("sd_micro"),
     )
+
+
+@register(
+    "q_stream_macd_ooo",
+    oracle=_macd_oracle(),
+    tags=("streaming", "stateful", "timeseries", "out-of-order"),
+)
+def q_stream_macd_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD over the OUT-OF-ORDER replay, hash-matching the batch
+    q_macd oracle — the fourth and last order-sensitive indicator
+    behind the watermark-delayed re-sort (EWMA/RSI/Bollinger/MACD all
+    covered; VWAP's integer sums are arrival-order-invariant and need
+    none). The released rows feed the same daily-close EMA-12/26 fold
+    as q_stream_macd; final emission per key (max upd) is bit-identical
+    to the batch F.aggregate fold, micro snap engine-side after the
+    drain."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        macd_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    emitted = run_to_memory(
+        macd_stream_ooo(st, watermark=delay),
+        output_mode="update",
+        state_partitions=8,
+    )
+    return (
+        emitted.filter(F.col("event_type") != "__sentinel__")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            F.round(F.max_by("macd_raw", "upd") * 1e6).cast("bigint").alias(
+                "macd_micro"
+            ),
+        )
+    )

@@ -992,3 +992,119 @@ def bollinger_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_MACD_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("e12", T.DoubleType()),
+        T.StructField("e26", T.DoubleType()),
+        # UTC day number (ts_us // 86_400e6); -1 encodes "no day yet".
+        # e12/e26 are None iff n_days <= 1 (no day completed), close/
+        # last_day None iff n_days == 0 — both recoverable from n_days,
+        # so plain placeholders round-trip the optional scalars.
+        T.StructField("last_day", T.LongType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _macd_fold(n_days, e12, e26, last_day, close, ts_us, vals):
+    """Fold released (ts, value) rows — already in exact (ts, event_id)
+    order — into the daily-close EMA-12/26 state. Day identity is the
+    UTC day number, identical to the batch date_trunc('day') under the
+    session's UTC timezone. Python loop is over day-run boundaries
+    within the release (bounded by the calendar, not rows); run ends
+    are found vectorized."""
+    day_idx = ts_us // _US_PER_DAY
+    ends = np.flatnonzero(np.concatenate((day_idx[1:] != day_idx[:-1], [True])))
+    for e in ends:
+        d, c = int(day_idx[e]), float(vals[e])
+        if d == last_day:
+            close = c
+        else:
+            if last_day is not None:
+                e12 = _ema_step(e12, _A12, close)
+                e26 = _ema_step(e26, _A26, close)
+            last_day, close = d, c
+            n_days += 1
+    return n_days, e12, e26, last_day, close
+
+
+def _update_macd_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bval, n_rows, n_days, e12, e26, last_day, close = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bval, np.float64),
+        )
+        if n_days == 0:
+            last_day, close = None, None
+        if n_days <= 1:
+            e12, e26 = None, None
+    else:
+        buf = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
+        n_rows, n_days, e12, e26, last_day, close = 0, 0, None, None, None, None
+    new = None if state.hasTimedOut else _new_rows(pdfs, "float64")
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        n_rows += len(released[0])
+        n_days, e12, e26, last_day, close = _macd_fold(
+            n_days, e12, e26, last_day, close, released[0], released[2]
+        )
+        # provisional MACD as if the stream ended now: one extra EMA
+        # step on the running close — the exact operation the batch
+        # fold applies to its final array element, so the max-upd
+        # emission is bit-identical to batch q_macd.
+        p12 = _ema_step(e12, _A12, close)
+        p26 = _ema_step(e26, _A26, close)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n_days],
+                "macd_raw": [p12 - p26],
+                "upd": [n_rows],
+            }
+        )
+    _rearm_or_clear(
+        state,
+        kept[0],
+        (
+            kept[0].tolist(),
+            kept[1].tolist(),
+            kept[2].tolist(),
+            n_rows,
+            n_days,
+            e12 if e12 is not None else 0.0,
+            e26 if e26 is not None else 0.0,
+            last_day if last_day is not None else -1,
+            close if close is not None else 0.0,
+        ),
+    )
+
+
+def macd_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """Streaming MACD over an OUT-OF-ORDER stream: the watermark-delayed
+    re-sort feeds the same daily-close EMA fold as macd_stream, so the
+    final (max-upd) emission per key hash-matches the batch q_macd
+    oracle for any arrival order whose lateness stays within
+    ``watermark``. Completes the out-of-order matrix: all four
+    order-sensitive indicator twins (EWMA/RSI/Bollinger/MACD) now have
+    lateness-tolerant forms; VWAP needs none (associative integer
+    sums — arrival order cannot change it)."""
+    return events.withWatermark("ts", watermark).groupBy("event_type").applyInPandasWithState(
+        _update_macd_ooo,
+        outputStructType=_MACD_OUT,
+        stateStructType=_MACD_OOO_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

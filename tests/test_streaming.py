@@ -559,6 +559,7 @@ def test_ooo_replay_matches_in_order(spark, sf_dir):
         ("q_stream_ewma_ooo", "q_stream_ewma"),
         ("q_stream_rsi_ooo", "q_stream_rsi"),
         ("q_stream_bollinger_ooo", "q_stream_bollinger"),
+        ("q_stream_macd_ooo", "q_stream_macd"),
     ):
         a = {tuple(r) for r in REGISTRY[ooo].fn(spark, sf_dir).collect()}
         b = {tuple(r) for r in REGISTRY[inorder].fn(spark, sf_dir).collect()}
