@@ -1,0 +1,170 @@
+"""Data-lake write path: partitioned, size-bounded, range-clustered
+parquet writes plus small-file compaction (the maintenance half).
+
+The reference's output side is a JDBC append and a Cassandra mapped
+sink (etl.py:181-187, cassandra-sink-config.json:14-18) — row stores
+fed row-at-a-time. At 100 TB the dominant output surface is a data
+lake: parquet that downstream scans (Spark, DuckDB, Trino) must be
+able to (a) partition-prune, (b) row-group-skip via min/max stats,
+and (c) list cheaply. Those three properties are exactly what this
+module's writers guarantee, and what a naive ``df.write.parquet``
+forfeits:
+
+- ``write_clustered``: dynamic partition directories on the declared
+  low-cardinality keys (pruning), ``repartitionByRange`` over
+  (partition keys, sort keys) so each task owns a contiguous key
+  range (small per-directory file counts — a task touches few
+  partition values — and globally sorted data -> tight,
+  non-overlapping row-group min/max -> skipping), and
+  ``maxRecordsPerFile`` so no file outgrows the target (the writer
+  rolls files; row count is the deterministic proxy for bytes).
+- ``compact_dir``: rewrite a fragmented directory (streaming sinks
+  and incremental appends produce one small file per trigger per
+  task) into target-sized files with the same clustering contract.
+  The directory swap is rename-based and therefore NOT atomic under
+  concurrent readers — plain parquet has no snapshot pointer to flip;
+  this is the documented maintenance-window stand-in for what a table
+  format (Iceberg/Delta) does transactionally. The physical layout
+  produced is identical to those formats' ``rewrite_data_files``.
+
+Scale notes: both writers shuffle once (the range exchange) — that is
+the price of clustering and it replaces the N-small-files tax every
+downstream scan would otherwise pay forever. Range partition count
+defaults to Spark's shuffle parallelism; pass ``n_partitions``
+(ceil(rows/target) from a known count) to bound it explicitly when
+targeting a file budget. Nothing here collects rows to the driver;
+``compact_dir``'s one ``count()`` is a metadata-cheap columnar scan
+used only to size the rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+    n_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a pruning- and skipping-friendly parquet layout.
+
+    One range exchange clusters rows by (partition_by, sort_by); the
+    in-task sort makes every written row group's (sort_by) min/max
+    tight, and ``maxRecordsPerFile`` bounds file sizes without a
+    second shuffle (the writer rolls to a new file in place).
+    """
+    cols = [F.col(c) for c in (*partition_by, *sort_by)]
+    out = df
+    if cols:
+        out = (
+            out.repartitionByRange(n_partitions, *cols)
+            if n_partitions
+            else out.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+    elif n_partitions:
+        out = out.repartition(n_partitions)
+    w = out.write.mode(mode)
+    if target_rows_per_file:
+        w = w.option("maxRecordsPerFile", int(target_rows_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    # Spark's legacy default INT96 timestamp encoding writes NO
+    # row-group min/max statistics — which silently forfeits skipping
+    # on the single most common predicate column. A clustered layout
+    # whose time column can't skip is pointless, so this writer pins
+    # stats-bearing TIMESTAMP_MICROS for the duration of the write
+    # (restored after: the conf is session-global and not ours to keep).
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(path)
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+
+
+def _leaf_parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+) -> dict[str, int]:
+    """Rewrite the parquet directory at ``path`` into files of about
+    ``target_rows_per_file`` rows, preserving/establishing the
+    clustered layout. Returns before/after file counts and the row
+    count so callers (and tests) can assert the contract.
+
+    NOT atomic: readers racing the final rename see either the old or
+    the new directory, but a listing taken mid-swap can miss both.
+    Run inside the single-writer maintenance window, exactly like
+    plain-parquet compaction jobs everywhere.
+    """
+    files_before = len(_leaf_parquet_files(path))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    write_clustered(
+        df,
+        tmp,
+        partition_by=partition_by,
+        sort_by=sort_by,
+        target_rows_per_file=target_rows_per_file,
+        n_partitions=n,
+    )
+    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": len(_leaf_parquet_files(path)),
+    }
+
+
+def row_group_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) of ``column`` for every row group under ``path``,
+    straight from parquet footer statistics — the same metadata a
+    scan's skipping logic reads. Test/audit helper: a clustered write
+    is proven by these ranges being (near-)disjoint, an unclustered
+    one by every range spanning the whole domain."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for f in sorted(_leaf_parquet_files(path)):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is not None and st.has_min_max:
+                out.append((st.min, st.max))
+    return out

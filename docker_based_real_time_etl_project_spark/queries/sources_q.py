@@ -230,3 +230,89 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+def _lake_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Clustered-lake copy of events, once per (sf_dir, data
+    fingerprint): partition dirs on event_type, range-clustered and
+    sorted on (ts, event_id), files capped at 20k rows. The layout
+    contracts (pruning, row-group disjointness, file-size bound) are
+    pinned in tests/test_lakewrite.py; this query pins that the WRITTEN
+    BYTES are a faithful copy — any writer/reader drift (timestamp
+    granularity, double rounding, partition-column re-typing) breaks
+    the hash against the original parquet."""
+    from docker_based_real_time_etl_project_spark.lakewrite import write_clustered
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_events_")
+        write_clustered(
+            table(spark, sf_dir, "events"),
+            out,
+            partition_by=("event_type",),
+            sort_by=("ts", "event_id"),
+            target_rows_per_file=20_000,
+        )
+        return out
+
+    return materialize_once(
+        ("lake_clustered_events", sf_dir, table_fingerprint(sf_dir, "events")),
+        build,
+    )
+
+
+@register(
+    "q_lake_roundtrip",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS min_eid,
+           MAX(event_id) AS max_eid
+    FROM events, b
+    WHERE epoch_us(ts) BETWEEN mn + (mx - mn) // 3 AND mn + (mx - mn) * 2 // 3
+    GROUP BY event_type
+    """,
+    tags=("source", "sink", "layout", "scale"),
+)
+def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path parity: events written through the clustered lake
+    writer (lakewrite.write_clustered — partition dirs + range
+    clustering + file-size caps), read back through the partition-dir
+    scan, middle-third time slice, per-type aggregate. The oracle runs
+    the SAME slice on the ORIGINAL parquet, so the hash proves the
+    optimized layout is byte-faithful: timestamps keep microseconds,
+    doubles round-trip, the partition column survives its trip through
+    directory names, no row is lost or duplicated by the range
+    exchange + file rolling. Bounds derive from the table's own
+    min/max with identical integer arithmetic on both sides, so the
+    query is scale-factor-agnostic; the ts filter lands on the sorted
+    column, i.e. at scale this scan row-group-skips 2/3 of the data."""
+    d = spark.read.parquet(_lake_copy(spark, sf_dir))
+    b = d.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .filter(
+            F.unix_micros("ts").between(
+                F.expr("mn + (mx - mn) div 3"), F.expr("mn + (mx - mn) * 2 div 3")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+    )
