@@ -43,7 +43,7 @@ import math
 import os
 import shutil
 import uuid
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +57,8 @@ def write_clustered(
     target_rows_per_file: int | None = None,
     n_partitions: int | None = None,
     mode: str = "overwrite",
+    bloom_filter_cols: Mapping[str, int] | None = None,
+    writer_options: Mapping[str, str] | None = None,
 ) -> None:
     """Write ``df`` as a pruning- and skipping-friendly parquet layout.
 
@@ -64,6 +66,14 @@ def write_clustered(
     in-task sort makes every written row group's (sort_by) min/max
     tight, and ``maxRecordsPerFile`` bounds file sizes without a
     second shuffle (the writer rolls to a new file in place).
+
+    ``bloom_filter_cols`` maps column -> expected distinct count and
+    turns on parquet bloom filters for those columns: min/max skipping
+    only serves the SORTED keys, while point predicates on
+    high-cardinality unsorted columns (user_id, doc fingerprint) scan
+    everything — a row-group bloom filter (~1.2 bytes/NDV) lets those
+    lookups skip row groups probabilistically, the standard lake-table
+    trick for needle-in-100-TB fetches.
     """
     cols = [F.col(c) for c in (*partition_by, *sort_by)]
     out = df
@@ -76,8 +86,24 @@ def write_clustered(
     elif n_partitions:
         out = out.repartition(n_partitions)
     w = out.write.mode(mode)
+    for k, v in (writer_options or {}).items():
+        w = w.option(k, v)
     if target_rows_per_file:
         w = w.option("maxRecordsPerFile", int(target_rows_per_file))
+    for col, ndv in (bloom_filter_cols or {}).items():
+        # parquet-mr silently DROPS the bloom filter for chunks that
+        # stay fully dictionary-encoded (the dictionary already gives
+        # exact membership), so a bloom request must turn dictionary
+        # off for that column to be deterministic at every scale —
+        # verified empirically: with dictionary on, the written file is
+        # byte-identical to a no-bloom write. High-cardinality columns
+        # overflow the dictionary page anyway; this just makes the
+        # contract hold on small data too.
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+            .option(f"parquet.enable.dictionary#{col}", "false")
+        )
     if partition_by:
         w = w.partitionBy(*partition_by)
     # Spark's legacy default INT96 timestamp encoding writes NO

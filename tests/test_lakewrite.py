@@ -120,3 +120,76 @@ def test_compact_dir_collapses_fragments(spark, sf_dir):
     assert _checksum(back) == before
     for f in _leaf_parquet_files(frag):
         assert pq.ParquetFile(f).metadata.num_rows <= 1000
+
+
+def test_bloom_filter_option_grows_footer(spark, sf_dir):
+    # same rows, same order (single range partition, total sort), and
+    # the baseline also writes user_id without dictionary — so the only
+    # byte difference between the two files is the bloom bitmap itself;
+    # pyarrow here doesn't expose bloom offsets, so physical presence
+    # is pinned by the size delta
+    base = tempfile.mkdtemp(prefix="t_lake_nobloom_")
+    blm = tempfile.mkdtemp(prefix="t_lake_bloom_")
+    df = table(spark, sf_dir, "events")
+    write_clustered(
+        df,
+        base,
+        sort_by=("ts", "event_id"),
+        n_partitions=1,
+        writer_options={"parquet.enable.dictionary#user_id": "false"},
+    )
+    write_clustered(
+        df,
+        blm,
+        sort_by=("ts", "event_id"),
+        n_partitions=1,
+        bloom_filter_cols={"user_id": 1000},
+    )
+    sb = sum(os.path.getsize(f) for f in _leaf_parquet_files(base))
+    sz = sum(os.path.getsize(f) for f in _leaf_parquet_files(blm))
+    assert sz >= sb + 512, "bloom-enabled file should carry the bitmap bytes"
+
+
+def test_streaming_sink_then_compact(spark, sf_dir):
+    """The reference's whole shape — stream in, queryable store out —
+    landed on a lake: Spark's exactly-once file sink (manifest-commit)
+    produces one small file per trigger; compact_dir promotes the
+    fragmented ingest dir to a clustered serving layout, dropping the
+    manifest (the compacted dir is a plain parquet table; the sink's
+    checkpoint must not keep writing into it — single-writer
+    maintenance window, as documented)."""
+    from docker_based_real_time_etl_project_spark.schemas import TESTDATA_SCHEMAS
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        slice_table_to_dir,
+    )
+
+    src_dir = slice_table_to_dir(
+        spark, sf_dir, "events", "ts", n_slices=8, prefix="t_lake_stream_src_"
+    )
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    sink = tempfile.mkdtemp(prefix="t_lake_sink_")
+    ck = tempfile.mkdtemp(prefix="t_lake_ck_")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+    assert os.path.isdir(os.path.join(sink, "_spark_metadata"))
+    assert len(_leaf_parquet_files(sink)) >= 8  # one per trigger: fragmented
+    src = table(spark, sf_dir, "events")
+    want = _checksum(src)
+    stats = compact_dir(
+        spark, sink, target_rows_per_file=1000, sort_by=("ts", "event_id")
+    )
+    assert stats["rows"] == want["n"]
+    back = spark.read.parquet(sink).select(*src.columns)
+    assert _checksum(back) == want
+    assert not os.path.exists(os.path.join(sink, "_spark_metadata"))
