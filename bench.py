@@ -76,6 +76,7 @@ HEADLINE = [
     # round 8 additions
     "q_stream_rsi",          # vectorized integer indicator state fold
     "q_stream_rsi_ooo",      # watermark-delayed re-sort over shuffled arrival
+    "q_lake_roundtrip",      # clustered lake write + partition-dir readback
 ]
 
 
