@@ -175,3 +175,67 @@ def q_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("weight"),
         )
     )
+
+
+@register(
+    "q_embed_quantize_err",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT) AS vn
+      FROM embeddings
+    ), sc AS (
+      SELECT pos, GREATEST(MAX(ABS(vn)), 1) AS s FROM flat GROUP BY pos
+    ), qt AS (
+      SELECT f.pos, s, vn, CAST(ROUND(vn * 127.0 / s) AS BIGINT) AS q
+      FROM flat f JOIN sc USING (pos)
+    )
+    SELECT pos,
+           MAX(s) AS scale_nano,
+           COUNT(*) AS n_vals,
+           MAX(ABS(127 * vn - q * s)) AS max_err_u,
+           CAST(SUM(ABS(127 * vn - q * s)) AS BIGINT) AS sum_err_u
+    FROM qt GROUP BY pos
+    """,
+    tags=("embedding", "quantization"),
+)
+def q_embed_quantize_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric (absmax) scalar quantization of the embedding
+    column with EXACT reconstruction-error accounting — the 4x
+    storage/bandwidth cut every large-scale vector store applies
+    before anything fancier (PQ lives one query over,
+    similarity_q.q_ann_pq). Per-dimension scale = max |v| (the absmax
+    calibration), code = round(v * 127 / scale), and the reported
+    error is the INTEGER |127*vn - q*s| in nano-127-units: the
+    float->int boundary happens once per value (the same 1e-9
+    quantization as q_embed_centroids, far below float32 input
+    precision); after that everything is bigint arithmetic whose max/
+    sum are aggregation-order-free, so the hash survives any plan.
+
+    Scale shape: one posexplode + hash agg for the scales (dim-sized
+    result), a BROADCAST of the 64-row scale table back onto the long
+    stream, one final dim-keyed agg with map-side partials. The
+    vectors themselves never shuffle; the only wide exchange carries
+    (pos, vn) longs. The quantization bound |err| <= s/2 + rounding in
+    these units is pinned in tests."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("p", "v")).select(
+        F.col("p").cast("int").alias("pos"),
+        F.round(F.col("v").cast("double") * 1e9).cast("bigint").alias("vn"),
+    )
+    sc = flat.groupBy("pos").agg(
+        F.greatest(F.max(F.abs("vn")), F.lit(1).cast("bigint")).alias("s")
+    )
+    qt = flat.join(F.broadcast(sc), "pos").select(
+        "pos",
+        "s",
+        "vn",
+        F.round(F.col("vn") * 127.0 / F.col("s")).cast("bigint").alias("q"),
+    )
+    err = F.abs(127 * F.col("vn") - F.col("q") * F.col("s"))
+    return qt.groupBy("pos").agg(
+        F.max("s").alias("scale_nano"),
+        F.count(F.lit(1)).alias("n_vals"),
+        F.max(err).alias("max_err_u"),
+        F.sum(err).cast("bigint").alias("sum_err_u"),
+    )

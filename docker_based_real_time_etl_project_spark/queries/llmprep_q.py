@@ -850,3 +850,62 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below runs on the checkpointed buckets.
     c = c.localCheckpoint(eager=True)
     return psi_from_bucket_counts(c)
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+    ), idx AS (
+        SELECT CAST(unnest(range(1, (SELECT MAX(length(w)) FROM wc))) AS INTEGER) AS i
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, c
+        FROM wc JOIN idx ON i <= length(w) - 1
+    ), agg AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS n_words
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, n_words FROM agg ORDER BY n DESC, pair LIMIT 50
+    """,
+    tags=("llm-prep", "text", "tokenizer"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, round one: the top-50 adjacent
+    character-pair frequencies over the corpus — the inner statistic
+    every BPE/WordPiece trainer computes before each merge. Done the
+    way SentencePiece does it at scale: the corpus first collapses to
+    the DISTINCT-WORD frequency table (a vocabulary-sized rollup —
+    Zipf makes |vocab| grow like sqrt(corpus), so the expensive text
+    pass ends at the first groupBy), then pair generation runs per
+    distinct word (transform over sequence(1, len-1), JVM-side, no
+    UDF) weighted by the word's count. Two narrow shuffles — word
+    rollup, pair rollup — both with map-side partial aggregation, then
+    TakeOrderedAndProject for the top-k; nothing corpus-sized crosses
+    the wire after the first exchange. Ties broken by pair text so the
+    cut is deterministic at every parallelism."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )

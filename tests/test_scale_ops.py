@@ -322,3 +322,42 @@ def test_temperature_mix_upweights_tail_sources(spark, sf_dir):
     # rates are in ticket units (out of 10000): the head source is
     # genuinely subsampled, the tail source effectively kept in full
     assert rates[0] < 10000 and rates[-1] > 10000
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """q_embed_quantize_err's exact integer errors must respect the
+    absmax-quantization bound: q = round(127*vn/s) implies
+    |127*vn - q*s| <= s/2 (+1 for the tie direction). Also the codes
+    must actually span the int8 range (the max-|v| value maps to
+    +/-127), i.e. the scale is calibrated, not degenerate."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_embed_quantize_err"].fn(spark, sf_dir).collect()
+    assert rows, "expected one row per embedding dimension"
+    for r in rows:
+        assert r.max_err_u * 2 <= r.scale_nano + 2, (
+            f"dim {r.pos}: err {r.max_err_u} exceeds s/2={r.scale_nano / 2}"
+        )
+        assert r.n_vals > 0 and r.sum_err_u >= 0
+
+
+def test_bpe_pair_counts_against_python(spark, sf_dir):
+    """Independent re-computation of the top pair statistic in plain
+    Python over the collected corpus (test scale only) — pins the
+    word-rollup-then-pair-expand factorization against a direct
+    per-document count, i.e. the Zipf compression step changed the
+    cost, not the answer."""
+    from collections import Counter
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    got = [(r.pair, r.n) for r in REGISTRY["q_bpe_pair_counts"].fn(spark, sf_dir).collect()]
+    c: Counter = Counter()
+    for row in table(spark, sf_dir, "documents").select("text").collect():
+        for w in (row.text or "").split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    c[w[i : i + 2]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want
