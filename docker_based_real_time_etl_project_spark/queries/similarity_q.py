@@ -244,3 +244,47 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     books = pq_train(e, m=16, n_codes=16)
     return pq_topk(e, _query_df(spark, sf_dir), books, k=10, shortlist=150)
+
+
+@register(
+    "q_embed_quantize_recall",
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "embedding", "quantization"),
+)
+def q_embed_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 storage cost any retrieval quality? The search-side
+    contract for q_embed_quantize_err (embeddings_q): the corpus is
+    absmax-quantized to int8 per dimension and DEQUANTIZED for
+    scoring (asymmetric search — queries stay full-precision, the
+    standard vector-store setup), then the same 0.8-floor / 0.9-mean
+    recall@10 gate as the LSH/IVF/PQ twins compares against exact
+    brute force. Quantize/dequantize is one zip_with over the vector
+    and the broadcast 64-double scale array — JVM-side, no UDF, no
+    extra shuffle beyond the dim-sized scale aggregation."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("p", "v")).select(
+        "p", F.round(F.col("v").cast("double") * 1e9).cast("bigint").alias("vn")
+    )
+    scales = (
+        flat.groupBy("p")
+        .agg(F.greatest(F.max(F.abs("vn")), F.lit(1).cast("bigint")).alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "s"))),
+                lambda x: x["s"].cast("double"),
+            ).alias("s_arr")
+        )
+    )
+    dq = e.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            "s_arr",
+            lambda v, s: F.round(
+                F.round(v.cast("double") * 1e9) * 127.0 / s
+            ) * s / (127.0 * 1e9),
+        ).alias("dq_vec"),
+    )
+    q = _query_df(spark, sf_dir, _RECALL_QUERY_IDS)
+    approx = brute_force_topk(dq, q, k=10, vec_col="dq_vec")
+    return _recall_df(approx, brute_force_topk(table(spark, sf_dir, "embeddings"), q, k=10))

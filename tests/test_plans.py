@@ -642,3 +642,18 @@ def test_token_budget_no_global_window(spark, sf_dir):
     # the only SinglePartition exchange is the budget aggregate's
     # 32-partial-row merge; the corpus-bearing exchange is the pid hash
     assert p.count("SinglePartition") == 1
+
+
+def test_bucketed_join_query_plan(spark, sf_dir):
+    """q_join_bucketed's physical plan must prove the co-located
+    layout paid off: both scans read Bucketed: true, the SortMergeJoin
+    takes them with NO exchange on either input, and the single
+    Exchange in the whole plan is the 5-row priority aggregation after
+    the join — i.e. the fact-fact shuffle, the dominant cost at scale,
+    is gone."""
+    df = _q("q_join_bucketed", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2
+    assert p.count("Exchange") == 1
+    assert "Exchange hashpartitioning(o_orderpriority" in p
