@@ -333,7 +333,12 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     key = (sf_dir, table_fingerprint(sf_dir, "lineitem"), table_fingerprint(sf_dir, "orders"))
     if key not in _BUCKETED_CACHE:
-        tag = abs(hash(key)) % 10**8
+        import hashlib
+
+        # deterministic across processes (unlike hash()): the same
+        # data snapshot reuses/overwrites the same warehouse tables
+        # instead of littering a new pair per session
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
         li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
         (
             table(spark, sf_dir, "lineitem")
