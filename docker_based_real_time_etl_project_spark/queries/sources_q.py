@@ -19,6 +19,7 @@ breaks the hash.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -321,6 +322,26 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_CACHE: dict[tuple, tuple[str, str]] = {}
 
 
+def _clear_stale_table_location(spark: SparkSession, name: str) -> None:
+    """Remove a managed-table warehouse directory that outlived its
+    catalog entry. With the default in-memory catalog, table
+    registrations die with the JVM but warehouse dirs persist on
+    disk, so a FRESH session's saveAsTable hits
+    LOCATION_ALREADY_EXISTS on a dir it cannot reuse (bucketing
+    metadata lives only in the catalog). Safe to delete: an
+    unregistered bucketed-table dir is unreadable as a bucketed
+    table anyway."""
+    if spark.catalog.tableExists(name):
+        return  # registered: mode("overwrite") handles it atomically
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    loc = os.path.join(wh.path or wh.geturl(), name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """lineitem + orders saved as BUCKETED tables (8 buckets on the
     join key, sorted within) once per (sf_dir, data fingerprint) —
@@ -340,6 +361,8 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # instead of littering a new pair per session
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
         li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
+        _clear_stale_table_location(spark, li_name)
+        _clear_stale_table_location(spark, o_name)
         (
             table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")

@@ -12,6 +12,9 @@ from docker_based_real_time_etl_project_spark.operators.similarity import (
     ivf_topk,
     ivf_train,
 )
+from docker_based_real_time_etl_project_spark.queries.sources_q import (
+    _clear_stale_table_location,
+)
 from docker_based_real_time_etl_project_spark.sources.parquet import load_table
 
 
@@ -73,6 +76,8 @@ def bucketed_tables(spark, sf_dir, tmp_path):
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    _clear_stale_table_location(spark, "li_bucketed")
+    _clear_stale_table_location(spark, "o_bucketed")
     (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("li_bucketed"))
     (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -93,6 +98,43 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     assert "Exchange" not in plan, plan[:2000]
     # and it computes the same row count as the unbucketed join
     assert joined.count() > 0
+
+
+def test_bucketed_pair_survives_stale_warehouse_dir(spark, sf_dir):
+    """Regression: the in-memory catalog dies with the JVM but
+    warehouse dirs persist, so a FRESH process calling
+    _bucketed_pair hit LOCATION_ALREADY_EXISTS on its own
+    deterministic table names. Simulate the orphan dir and require
+    the build to succeed anyway."""
+    import os
+    from urllib.parse import urlparse
+
+    from docker_based_real_time_etl_project_spark.queries import sources_q
+
+    # compute the same deterministic names the impl will use
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        table_fingerprint,
+    )
+    import hashlib
+
+    key = (
+        sf_dir,
+        table_fingerprint(sf_dir, "lineitem"),
+        table_fingerprint(sf_dir, "orders"),
+    )
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+    li_name = f"li_bkt_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+    sources_q._BUCKETED_CACHE.pop(key, None)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    loc = os.path.join(wh.path or wh.geturl(), li_name.lower())
+    os.makedirs(loc, exist_ok=True)  # the orphan: dir with no catalog entry
+    li_got, o_got = sources_q._bucketed_pair(spark, sf_dir)
+    assert li_got == li_name
+    assert spark.table(li_got).count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {li_got}")
+    spark.sql(f"DROP TABLE IF EXISTS {o_got}")
+    sources_q._BUCKETED_CACHE.pop(key, None)
 
 
 def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
