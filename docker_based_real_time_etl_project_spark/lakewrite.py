@@ -125,6 +125,109 @@ def write_clustered(
             conf.set(key, prev)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    delete_col: str | None = None,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> dict[str, int]:
+    """Copy-on-write MERGE into a plain-parquet lake directory: the
+    Delta/Hudi ``MERGE INTO`` pattern expressed with stock Spark.
+
+    ``updates`` carries full rows in the table's schema (plus an
+    optional boolean ``delete_col``): a row whose ``key_cols`` match an
+    existing row replaces it (upsert), an unmatched row is inserted,
+    and a ``delete_col=true`` row removes its key. Only the partition
+    directories named in ``updates[partition_col]`` are read and
+    rewritten — I/O is proportional to TOUCHED partitions, not table
+    size, which is the entire point of CoW at 100 TB: a daily-partition
+    upsert of one hot day rewrites one directory while the other ~36 k
+    day-dirs are never opened (their files' mtimes are pinned unchanged
+    in tests/test_lakewrite.py).
+
+    Contract (the standard one for partitioned CoW tables without a
+    global index, e.g. Hudi non-global): ``partition_col`` is immutable
+    per key — an update must arrive in the partition its key already
+    lives in, otherwise the old row survives in its old partition.
+
+    Mechanics: base rows of the touched partitions are anti-joined
+    against the (broadcast — update batches are small relative to the
+    table by assumption) update keys, surviving rows are unioned with
+    the non-delete updates, and the result is written with Spark's
+    dynamic partition overwrite, which atomically-per-directory swaps
+    exactly the partitions present in the output. A partition whose
+    rows were ALL deleted produces no output and is removed explicitly
+    (dynamic overwrite cannot express "overwrite with nothing").
+    NOT atomic across partitions — same single-writer maintenance
+    window caveat as :func:`compact_dir`; a table format (Iceberg/
+    Delta) is the transactional upgrade, the physical work is this.
+
+    Returns counts so callers/tests can assert the contract.
+    """
+    key_cols = list(key_cols)
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]  # O(touched partitions) — the batch's partition footprint, tiny
+    base = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    upd_keys = updates.select(*key_cols).distinct()
+    survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
+    incoming = updates
+    n_deletes = 0
+    if delete_col is not None:
+        n_deletes = updates.filter(F.col(delete_col)).count()
+        incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
+    merged = survivors.unionByName(incoming)
+    if sort_by:
+        merged = merged.repartitionByRange(
+            partition_col, *sort_by
+        ).sortWithinPartitions(partition_col, *sort_by)
+    # A partition emptied by deletes must be detected from the MERGED
+    # rows BEFORE the write: dynamic overwrite skips directories absent
+    # from the output, so the emptied dir would keep its pre-merge
+    # files and a post-write listing could not tell it apart. One
+    # persist bounds the cost to the touched-partition footprint.
+    merged = merged.persist()
+    try:
+        out_parts = {r[0] for r in merged.select(partition_col).distinct().collect()}
+        conf = spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = conf.get(key, None)
+        conf.set(key, "dynamic")
+        try:
+            w = merged.write.mode("overwrite").partitionBy(partition_col)
+            if target_rows_per_file:
+                w = w.option("maxRecordsPerFile", int(target_rows_per_file))
+            w.parquet(path)
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+    finally:
+        merged.unpersist()
+    emptied = {str(v) for v in touched if v not in out_parts}
+    if emptied:
+        from urllib.parse import unquote
+
+        # match directories by their UNESCAPED partition value: the
+        # writer Hive-escapes special characters (%XX) in dir names
+        prefix = f"{partition_col}="
+        for name in os.listdir(path):
+            if name.startswith(prefix) and unquote(name[len(prefix):]) in emptied:
+                d = os.path.join(path, name)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+    return {
+        "touched_partitions": len(touched),
+        "update_rows": updates.count(),
+        "delete_rows": n_deletes,
+    }
+
+
 def _leaf_parquet_files(path: str) -> list[str]:
     return [
         os.path.join(root, f)

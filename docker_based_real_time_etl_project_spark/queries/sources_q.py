@@ -416,3 +416,133 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+def _orders_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Pristine clustered-lake copy of orders (partition dirs on
+    o_orderpriority, sorted on o_orderkey), once per (sf_dir, data
+    fingerprint). q_lake_merge copies this artifact before mutating —
+    the cached original is never written to twice."""
+    from docker_based_real_time_etl_project_spark.lakewrite import write_clustered
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_orders_")
+        write_clustered(
+            table(spark, sf_dir, "orders"),
+            out,
+            partition_by=("o_orderpriority",),
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        return out
+
+    return materialize_once(
+        ("lake_clustered_orders", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+def _merge_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGE batch derived from orders itself so a SQL
+    oracle can restate it exactly: key%97==0 rows are upserted with a
+    +1000.00 price correction (unless also deleted), key%103==5 rows
+    are deleted, and key%101==3 rows are re-inserted under key+2e9
+    (guaranteed-new keys). Partition values are never changed — the
+    CoW immutable-partition-key contract."""
+    o = table(spark, sf_dir, "orders")
+    upserts = (
+        o.filter((F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 103 != 5))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("_delete", F.lit(False))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 103 == 5).withColumn(
+        "_delete", F.lit(True)
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 101 == 3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2_000_000_000))
+        .withColumn("_delete", F.lit(False))
+    )
+    return upserts.unionByName(deletes).unionByName(inserts)
+
+
+@register(
+    "q_lake_merge",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice,
+               FALSE AS del
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 103 = 5
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_orderpriority, o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 101 = 3
+    ), merged AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM upd WHERE NOT del
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           COUNT(*) FILTER (WHERE o_orderkey >= 2000000000) AS n_inserted
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "cdc", "scale"),
+)
+def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO a plain-parquet lake — the Delta/Hudi
+    upsert pattern with stock Spark (lakewrite.merge_upsert): a derived
+    update batch (price-corrections + deletes + new keys) is merged
+    into a partitioned clustered copy of orders via broadcast anti-join
+    + dynamic partition overwrite, then the MUTATED LAKE is read back
+    and aggregated per partition. The oracle restates the merge
+    relationally over the original table, so the hash proves upsert
+    (replaced, not duplicated), delete (gone), insert (present
+    exactly once) and that untouched rows survived the rewrite
+    byte-faithfully. I/O at scale ∝ touched partitions: see the
+    mtime-pinned pruning proof in tests/test_lakewrite.py. Reference
+    parity: this is the idempotent keyed-upsert delivery semantic of
+    the Cassandra sink (cassandra-sink-config.json:19-20) re-expressed
+    as a lake maintenance operator."""
+    import shutil
+
+    from docker_based_real_time_etl_project_spark.lakewrite import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="lake_merge_")
+    shutil.rmtree(work)
+    shutil.copytree(_orders_lake(spark, sf_dir), work)
+    merge_upsert(
+        spark,
+        work,
+        _merge_updates(spark, sf_dir),
+        key_cols=("o_orderkey",),
+        partition_col="o_orderpriority",
+        delete_col="_delete",
+        sort_by=("o_orderkey",),
+        target_rows_per_file=20_000,
+    )
+    return (
+        spark.read.parquet(work)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(
+                (F.col("o_orderkey") >= 2_000_000_000).cast("bigint")
+            ).alias("n_inserted"),
+        )
+    )

@@ -193,3 +193,120 @@ def test_streaming_sink_then_compact(spark, sf_dir):
     back = spark.read.parquet(sink).select(*src.columns)
     assert _checksum(back) == want
     assert not os.path.exists(os.path.join(sink, "_spark_metadata"))
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert: copy-on-write MERGE contracts
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def merge_lake(spark, sf_dir):
+    """Fresh orders lake partitioned on o_orderpriority per test."""
+    out = tempfile.mkdtemp(prefix="t_merge_")
+    write_clustered(
+        table(spark, sf_dir, "orders"),
+        out,
+        partition_by=("o_orderpriority",),
+        sort_by=("o_orderkey",),
+        target_rows_per_file=200,
+    )
+    return out
+
+
+def test_merge_upsert_semantics(spark, sf_dir, merge_lake):
+    """Upsert replaces (not duplicates), delete removes, insert adds."""
+    from docker_based_real_time_etl_project_spark.lakewrite import merge_upsert
+
+    o = table(spark, sf_dir, "orders")
+    first = o.orderBy("o_orderkey").limit(3).collect()
+    k_up, k_del = first[0]["o_orderkey"], first[1]["o_orderkey"]
+    template = o.filter(F.col("o_orderkey") == k_up)
+    updates = (
+        template.withColumn("o_totalprice", F.lit(123.25)).withColumn(
+            "_delete", F.lit(False)
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") == k_del).withColumn("_delete", F.lit(True))
+        )
+        .unionByName(
+            template.withColumn("o_orderkey", F.lit(999_999_999))
+            .withColumn("o_totalprice", F.lit(7.5))
+            .withColumn("_delete", F.lit(False))
+        )
+    )
+    stats = merge_upsert(
+        spark, merge_lake, updates,
+        key_cols=("o_orderkey",), partition_col="o_orderpriority",
+        delete_col="_delete",
+    )
+    back = spark.read.parquet(merge_lake)
+    n_before = o.count()
+    assert stats["delete_rows"] == 1
+    assert back.count() == n_before  # -1 delete +1 insert
+    up = back.filter(F.col("o_orderkey") == k_up).collect()
+    assert len(up) == 1 and up[0]["o_totalprice"] == 123.25
+    assert back.filter(F.col("o_orderkey") == k_del).count() == 0
+    ins = back.filter(F.col("o_orderkey") == 999_999_999).collect()
+    assert len(ins) == 1 and ins[0]["o_totalprice"] == 7.5
+
+
+def test_merge_upsert_prunes_untouched_partitions(spark, sf_dir, merge_lake):
+    """CoW I/O ∝ touched partitions: files in partitions absent from
+    the update batch are NOT rewritten (byte-identical mtimes), while
+    the touched partition's files are."""
+    from docker_based_real_time_etl_project_spark.lakewrite import (
+        _leaf_parquet_files,
+        merge_upsert,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    target = o.orderBy("o_orderkey").limit(1).collect()[0]
+    tp = target["o_orderpriority"]
+    before = {f: os.path.getmtime(f) for f in _leaf_parquet_files(merge_lake)}
+    updates = (
+        o.filter(F.col("o_orderkey") == target["o_orderkey"])
+        .withColumn("o_totalprice", F.lit(1.0))
+        .withColumn("_delete", F.lit(False))
+    )
+    merge_upsert(
+        spark, merge_lake, updates,
+        key_cols=("o_orderkey",), partition_col="o_orderpriority",
+        delete_col="_delete",
+    )
+    touched_prefix = os.path.join(merge_lake, f"o_orderpriority={tp}")
+    untouched = [f for f in before if not f.startswith(touched_prefix)]
+    assert untouched, "fixture must span >1 partition"
+    for f in untouched:
+        assert os.path.getmtime(f) == before[f], f"untouched file rewritten: {f}"
+    new_files = set(_leaf_parquet_files(merge_lake))
+    old_touched = {f for f in before if f.startswith(touched_prefix)}
+    assert not (old_touched & new_files), "touched partition must be rewritten"
+
+
+def test_merge_upsert_removes_emptied_partition(spark, sf_dir, merge_lake):
+    """Deleting every row of a partition removes its directory —
+    dynamic overwrite alone cannot express 'overwrite with nothing'."""
+    from docker_based_real_time_etl_project_spark.lakewrite import merge_upsert
+
+    o = table(spark, sf_dir, "orders")
+    tp = o.orderBy("o_orderkey").limit(1).collect()[0]["o_orderpriority"]
+    updates = o.filter(F.col("o_orderpriority") == tp).withColumn(
+        "_delete", F.lit(True)
+    )
+    merge_upsert(
+        spark, merge_lake, updates,
+        key_cols=("o_orderkey",), partition_col="o_orderpriority",
+        delete_col="_delete",
+    )
+    from urllib.parse import unquote
+
+    dirs = [
+        unquote(d.split("=", 1)[1])
+        for d in os.listdir(merge_lake)
+        if d.startswith("o_orderpriority=")
+    ]
+    assert tp not in dirs
+    back = spark.read.parquet(merge_lake)
+    assert back.filter(F.col("o_orderpriority") == tp).count() == 0
+    assert back.count() == o.filter(F.col("o_orderpriority") != tp).count()
