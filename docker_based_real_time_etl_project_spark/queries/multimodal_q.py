@@ -220,3 +220,110 @@ def q_media_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>"
     )).select("media_id", "kind", "meta", "content"), fake=False)
     return frames.select("media_id", "frame_idx", "frame_ms")
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: media arriving as FILES, not rows — the lake-ingest
+# direction (crawl dumps, object-store buckets) where each blob is its
+# own object and the engine's job is distributed listing + streaming the
+# bytes into the decode path without ever collecting them.
+# ---------------------------------------------------------------------------
+
+
+def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One genuine media FILE per selected doc (doc_id % 5 == 0),
+    written from EXECUTORS via mapInPandas (no driver bytes), once per
+    (sf_dir, data fingerprint). Models an object-store landing zone of
+    crawled media blobs."""
+    import os
+    import tempfile
+
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="media_files_")
+        media = synth_real_media(
+            table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+            "doc_id",
+        )
+
+        def write(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                    p = os.path.join(out, f"media_{int(mid):09d}.bin")
+                    with open(p, "wb") as fh:
+                        fh.write(bytes(blob))
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        media.select("media_id", "content").mapInPandas(write, "n long").agg(
+            F.sum("n")
+        ).collect()
+        return out
+
+    return materialize_once(
+        ("media_files", sf_dir, 5, table_fingerprint(sf_dir, "documents")),
+        build,
+    )
+
+
+@register(
+    "q_source_binaryfile",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {_R_MIME} AS mime,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN {_R_W} WHEN 2 THEN {_R_VW} END AS width,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN {_R_H} WHEN 2 THEN {_R_VH} END AS height,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN CAST((doc_id % 20 + 1) * 100 AS BIGINT)
+                WHEN 2 THEN CAST({_R_NF} * {_R_DELAY} AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(8000 + doc_id % 3 * 4000 AS INT) END AS sample_rate
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("source", "multimodal", "decode"),
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's binaryFile SOURCE as the media-lake ingest path: genuine
+    PNG/WAV/APNG files land in a directory (one blob per object, the
+    object-store shape), ``spark.read.format("binaryFile")`` lists and
+    reads them DISTRIBUTED (listing parallelized, each task streams its
+    own files — no driver bytes), identity is recovered from the path,
+    and the bytes flow into the same real-codec decode as the row-form
+    queries. The oracle restates the synthesis algebra for the selected
+    ids, so file round-trip + path parsing + header decode are all
+    hash-checked. At 100 TB this is the pattern for crawled-media
+    ingest: partition by listing, never collect, drop bytes at the
+    earliest typed boundary."""
+    d = _media_files_dir(spark, sf_dir)
+    # load the DIRECTORY with a glob filter, not an expanded */.bin
+    # glob: a 1000-path glob makes the file index launch a
+    # 1000-task parallel-listing job (one stat per task — designed
+    # for object stores, pure overhead here); a single directory
+    # path is listed driver-side in one call
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    media = bf.select(
+        F.regexp_extract(F.col("path"), r"media_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content"),
+    ).withColumn(
+        "kind",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return extract_media_meta(media).select(
+        "media_id", "mime", "width", "height", "duration_ms", "sample_rate"
+    )
