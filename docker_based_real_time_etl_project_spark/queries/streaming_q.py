@@ -1239,12 +1239,16 @@ _OOO_ARRIVAL = [1, 0, 3, 2, 5, 4, 7, 6]  # adjacent slices swapped
 def _ooo_slices(spark: SparkSession, sf_dir: str) -> str:
     """Events sliced by ts range but ARRIVING in _OOO_ARRIVAL order
     (every odd slice arrives before its even predecessor — cross-batch
-    disorder bounded by ~2 slice spans), plus two max-ts sentinel files
-    that push the final watermark past every real row so the reorder
-    buffers flush (the second sentinel batch is where the EventTime
-    timeouts actually fire). The watermark delay that makes this safe
-    (span/3 > 2·span/8 of maximum lateness, so nothing is dropped as
-    late) is written to _ooo_meta.txt inside the dir."""
+    disorder bounded by ~2 slice spans), plus ONE max-ts sentinel file
+    that pushes the final watermark past every real row so the reorder
+    buffers flush: the sentinel batch advances the watermark, and the
+    no-data micro-batch Structured Streaming runs after any watermark
+    change is where the EventTime timeouts fire and the tail releases
+    (verified in the per-batch durationMs profile — a second sentinel
+    batch only repeated that work one micro-batch earlier, ~1 s of
+    pure fixed cost per OOO query). The watermark delay that makes
+    this safe (span/3 > 2·span/8 of maximum lateness, so nothing is
+    dropped as late) is written to _ooo_meta.txt inside the dir."""
     import os
     import time
     from datetime import timedelta
@@ -1264,12 +1268,8 @@ def _ooo_slices(spark: SparkSession, sf_dir: str) -> str:
         ).first()
         delay = int((mx - mn).total_seconds() // 3) + 1
         t1 = mx + timedelta(seconds=delay + 60)
-        t2 = t1 + timedelta(seconds=delay + 60)
         sent = spark.createDataFrame(
-            [
-                (10**15, t1, 0, "__sentinel__", 0.0, "{}"),
-                (10**15 + 1, t2, 0, "__sentinel__", 0.0, "{}"),
-            ],
+            [(10**15, t1, 0, "__sentinel__", 0.0, "{}")],
             TESTDATA_SCHEMAS["events"],
         )
         base = max(
@@ -1277,14 +1277,11 @@ def _ooo_slices(spark: SparkSession, sf_dir: str) -> str:
             for root, _, files in os.walk(d)
             for f in files
         )
-        for i in (1, 2):
-            sd = os.path.join(d, f"sentinel_{i}")
-            sent.filter(F.col("event_id") == 10**15 + i - 1).coalesce(
-                1
-            ).write.parquet(sd)
-            for f in os.listdir(sd):
-                p = os.path.join(sd, f)
-                os.utime(p, (base + 2 * i, base + 2 * i))
+        sd = os.path.join(d, "sentinel_1")
+        sent.coalesce(1).write.parquet(sd)
+        for f in os.listdir(sd):
+            p = os.path.join(sd, f)
+            os.utime(p, (base + 2, base + 2))
         with open(os.path.join(d, "_ooo_meta.txt"), "w") as fh:
             fh.write(str(delay))
         return d
