@@ -172,10 +172,22 @@ def merge_upsert(
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]  # O(touched partitions) — the batch's partition footprint, tiny
-    base = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    if not _leaf_parquet_files(path):
+        # create-or-merge bootstrap: nothing to anti-join against yet
+        # (streaming foreachBatch sinks hit this on their first batch)
+        base = spark.createDataFrame(
+            [], updates.drop(delete_col).schema if delete_col else updates.schema
+        )
+    else:
+        base = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
     upd_keys = updates.select(*key_cols).distinct()
     survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
     incoming = updates
+    # stats are counted BEFORE the overwrite: in a read-modify-write
+    # cycle `updates` may derive from a read of THIS lake (streaming
+    # foreachBatch sinks do exactly that), and re-evaluating it after
+    # the swap would re-list files the overwrite just deleted
+    n_updates = updates.count()
     n_deletes = 0
     if delete_col is not None:
         n_deletes = updates.filter(F.col(delete_col)).count()
@@ -223,7 +235,7 @@ def merge_upsert(
                     shutil.rmtree(d)
     return {
         "touched_partitions": len(touched),
-        "update_rows": updates.count(),
+        "update_rows": n_updates,
         "delete_rows": n_deletes,
     }
 

@@ -316,3 +316,120 @@ def q_stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.filter(F.col("n_keys") > 0).select(
         "bucket", "n_keys", (F.col("total_cents") / 100.0).alias("total_value")
     )
+
+
+@register("q_stream_cdc_lake_merge", oracle=_ORACLE, tags=("cdc", "streaming", "sink"))
+def q_stream_cdc_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream -> copy-on-write LAKE: the changelog replayed as a
+    4-batch stream lands in a partitioned parquet lake via foreachBatch
+    + lakewrite.merge_upsert — the production shape for "keep a 100 TB
+    lake table in sync with an OLTP source". Per batch: reduce the
+    batch to its latest image per key, read back ONLY the touched
+    partition dirs (read-modify-write at partition granularity),
+    resolve winners by the Debezium total order (ts_ms, lsn), and CoW
+    the winners in. Deletes are SOFT (a tombstone column, the
+    Hudi/Delta delete-marker practice): the replay deliberately splits
+    out of lsn order, so a hard delete could be resurrected by an
+    older image arriving in a later batch — the tombstone retains the
+    delete's (ts_ms, lsn) so ordering resolves it like any other
+    update. Final state filters tombstones and hash-matches the same
+    batch oracle as q_cdc_materialize, however the batches split.
+    Partition key = pmod(user_id, 8): derived from the key, so the
+    CoW immutable-partition-key contract holds by construction."""
+    import os
+
+    from docker_based_real_time_etl_project_spark.lakewrite import merge_upsert
+
+    envelopes = _changelog(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="cdc_lake_src_")
+    envelopes.withColumn(
+        "_bucket", F.ntile(4).over(Window.orderBy("value"))
+    ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
+
+    lake = tempfile.mkdtemp(prefix="cdc_lake_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = (
+            batch_df.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
+            .withColumn("deleted", F.col("_op") == "d")
+            .select(
+                "user_id", "bucket", "value",
+                F.col("_ts_ms").alias("ts_ms"), F.col("_lsn").alias("lsn"),
+                "deleted",
+            )
+        )
+        # latest image per key WITHIN the batch (max_by over the
+        # Debezium total order), then resolve against the lake's
+        # current row for the key — read-modify-write on touched
+        # partitions only
+        order = F.struct(F.col("ts_ms"), F.col("lsn"))
+        batch_latest = rows.groupBy("user_id", "bucket").agg(
+            F.max_by(F.struct("value", "ts_ms", "lsn", "deleted"), order).alias("_w")
+        ).select(
+            "user_id",
+            "bucket",
+            F.col("_w.value").alias("value"),
+            F.col("_w.ts_ms").alias("ts_ms"),
+            F.col("_w.lsn").alias("lsn"),
+            F.col("_w.deleted").alias("deleted"),
+        )
+        from docker_based_real_time_etl_project_spark.lakewrite import (
+            _leaf_parquet_files,
+        )
+
+        if _leaf_parquet_files(lake):
+            touched = batch_latest.select("bucket").distinct()
+            cur = (
+                s.read.parquet(lake)
+                .join(F.broadcast(touched), "bucket", "left_semi")
+                .join(
+                    F.broadcast(batch_latest.select("user_id").distinct()),
+                    "user_id",
+                    "left_semi",
+                )
+            )
+            winners = (
+                cur.unionByName(batch_latest)
+                .groupBy("user_id", "bucket")
+                .agg(
+                    F.max_by(
+                        F.struct("value", "ts_ms", "lsn", "deleted"),
+                        F.struct(F.col("ts_ms"), F.col("lsn")),
+                    ).alias("_w")
+                )
+                .select(
+                    "user_id", "bucket",
+                    F.col("_w.value").alias("value"),
+                    F.col("_w.ts_ms").alias("ts_ms"),
+                    F.col("_w.lsn").alias("lsn"),
+                    F.col("_w.deleted").alias("deleted"),
+                )
+            )
+        else:
+            winners = batch_latest
+        merge_upsert(
+            s, lake, winners,
+            key_cols=("user_id",), partition_col="bucket",
+        )
+
+    stream = (
+        spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    decoded = decode_envelope(stream, ROW_SCHEMA)
+    q = (
+        decoded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(lake, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.option("pathGlobFilter", "*.parquet").parquet(lake)
+        .filter(~F.col("deleted"))
+        .select("user_id", F.col("value").alias("current_value"))
+    )

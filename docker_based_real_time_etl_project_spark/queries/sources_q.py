@@ -546,3 +546,72 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_inserted"),
         )
     )
+
+
+def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events written in TWO schema generations into one directory,
+    once per (sf_dir, fingerprint): generation 1 (even event_id) has
+    the original columns; generation 2 (odd event_id) adds a
+    value_cents BIGINT the pipeline started emitting later. The
+    mixed-footer directory is what any long-lived lake table looks
+    like after a producer upgrade."""
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="events_evolved_")
+        ev = table(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(out)
+        (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .withColumn(
+                "value_cents", F.round(F.col("value") * 100).cast("bigint")
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+        return out
+
+    return materialize_once(
+        ("events_evolved", sf_dir, table_fingerprint(sf_dir, "events")), build
+    )
+
+
+@register(
+    "q_source_evolved",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_evolved,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+               AS cents_evolved,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_all
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "layout"),
+)
+def q_source_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ: a directory whose parquet files carry
+    two schema generations (a later producer added value_cents) is read
+    with mergeSchema=true — the union schema comes back, pre-evolution
+    rows surface NULL for the added column, and no rewrite of old files
+    is needed. The aggregate proves the null back-fill is exact (the
+    evolved-row cents sum counts only generation-2 rows) AND that the
+    old column is intact across generations (cents_all recomputed from
+    value matches the oracle over the original table). Scale policy:
+    mergeSchema is a per-read footer union — at 100 TB pin the table
+    schema in a catalog and pass it explicitly (schema-on-read, no
+    footer sampling job); this query is the semantics contract either
+    path must satisfy."""
+    d = _evolved_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value_cents").alias("n_evolved"),
+        F.sum("value_cents").alias("cents_evolved"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_all"),
+    )
