@@ -290,6 +290,48 @@ def compact_dir(
     }
 
 
+def vacuum_dir(path: str, min_age_sec: float = 3600.0) -> dict[str, int]:
+    """Remove ORPHANED maintenance debris next to a lake directory:
+    ``<path>.__compact_*`` / ``<path>.__old_*`` staging dirs left by a
+    :func:`compact_dir` that crashed between write and swap, and
+    in-progress writer droppings inside the table (``_temporary``,
+    ``.*.crc``). Plain parquet's no-manifest design means every
+    non-hidden file under the table IS live data — so vacuum never
+    touches those; only the staging names this module itself creates
+    are eligible, and only once older than ``min_age_sec`` (a racing
+    maintenance job's staging dir is younger). The table-format
+    analogue is Delta VACUUM / Iceberg remove_orphan_files; the
+    retention guard plays the same role as their retention interval.
+    Returns counts for callers/tests."""
+    import time
+
+    base = path.rstrip("/")
+    parent, name = os.path.dirname(base), os.path.basename(base)
+    now = time.time()
+    removed_dirs = removed_files = 0
+    for sib in os.listdir(parent or "."):
+        if sib.startswith((f"{name}.__compact_", f"{name}.__old_")):
+            p = os.path.join(parent, sib)
+            if os.path.isdir(p) and now - os.path.getmtime(p) >= min_age_sec:
+                shutil.rmtree(p)
+                removed_dirs += 1
+    for root, dirs, files in os.walk(base):
+        for d in list(dirs):
+            if d == "_temporary":
+                p = os.path.join(root, d)
+                if now - os.path.getmtime(p) >= min_age_sec:
+                    shutil.rmtree(p)
+                    removed_dirs += 1
+                dirs.remove(d)
+        for f in files:
+            if f.startswith(".") and f.endswith(".crc"):
+                p = os.path.join(root, f)
+                if now - os.path.getmtime(p) >= min_age_sec:
+                    os.remove(p)
+                    removed_files += 1
+    return {"removed_dirs": removed_dirs, "removed_files": removed_files}
+
+
 def row_group_ranges(path: str, column: str) -> list[tuple]:
     """(min, max) of ``column`` for every row group under ``path``,
     straight from parquet footer statistics — the same metadata a

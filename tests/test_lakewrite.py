@@ -310,3 +310,30 @@ def test_merge_upsert_removes_emptied_partition(spark, sf_dir, merge_lake):
     back = spark.read.parquet(merge_lake)
     assert back.filter(F.col("o_orderpriority") == tp).count() == 0
     assert back.count() == o.filter(F.col("o_orderpriority") != tp).count()
+
+
+def test_vacuum_removes_orphans_keeps_live_data(spark, sf_dir, merge_lake):
+    """vacuum_dir removes aged compaction staging dirs and crc debris,
+    never live data; young staging dirs (a racing job) survive."""
+    from docker_based_real_time_etl_project_spark.lakewrite import vacuum_dir
+
+    old_stage = f"{merge_lake}.__compact_deadbeef"
+    young_stage = f"{merge_lake}.__old_cafebabe"
+    os.makedirs(old_stage)
+    os.makedirs(young_stage)
+    tmp_dir = os.path.join(merge_lake, "_temporary")
+    os.makedirs(tmp_dir)
+    crc = os.path.join(merge_lake, ".part-0000.crc")
+    open(crc, "w").close()
+    past = os.path.getmtime(merge_lake) - 7200
+    for p in (old_stage, tmp_dir, crc):
+        os.utime(p, (past, past))
+
+    before = _checksum(spark.read.parquet(merge_lake))
+    stats = vacuum_dir(merge_lake, min_age_sec=3600)
+    assert stats == {"removed_dirs": 2, "removed_files": 1}
+    assert not os.path.exists(old_stage)
+    assert not os.path.exists(tmp_dir)
+    assert not os.path.exists(crc)
+    assert os.path.isdir(young_stage)  # younger than retention: kept
+    assert _checksum(spark.read.parquet(merge_lake)) == before
