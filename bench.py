@@ -77,6 +77,7 @@ HEADLINE = [
     "q_stream_rsi",          # vectorized integer indicator state fold
     "q_stream_rsi_ooo",      # watermark-delayed re-sort over shuffled arrival
     "q_lake_roundtrip",      # clustered lake write + partition-dir readback
+    "q_lake_merge",          # copy-on-write MERGE, touched-partition rewrite
 ]
 
 
