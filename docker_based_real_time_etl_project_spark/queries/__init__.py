@@ -8,6 +8,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     flows_q,
     functions_q,
     llmprep_q,
+    microstructure_q,
     multimodal_q,
     relational,
     relational2,

@@ -1,0 +1,287 @@
+"""Market-microstructure analytics over the event stream.
+
+The reference ingests live exchange trade data and maintains kline /
+ticker rollups (etl.py:146-171, init-db.sql:27-49); this module adds
+the microstructure layer a trading-analytics user computes ON that
+ingest: tick-rule trade signing (Lee & Ready 1991's tick test — the
+classification exchanges themselves publish as "taker side"), signed
+order-flow imbalance, event-driven volume bars (Mandelbrot/Clark's
+subordinated-clock sampling, the "volume bars" of López de Prado's
+AFML), and one-sided CUSUM change-point alarms (Page 1954) over the
+price stream.
+
+Determinism: prices become integer cents and volumes are integer, so
+every aggregate here is an exact integer — hash-stable under any
+aggregation order. The only per-key sequential structures are ordered
+windows over (ts, event_id), the same shape (and the same single sort
+exchange per key) as q_rsi/q_bollinger: at 100 TB the partition key is
+the symbol, so parallelism is the symbol universe, and each symbol's
+history is processed by streaming window frames — never materialized
+whole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    register,
+    table,
+)
+
+# Volume-bar threshold (subordinated volume clock): a new bar begins
+# each time cumulative pre-row volume crosses a multiple of this.
+BAR_VOLUME = 5_000
+# CUSUM allowance k (cents above the per-key reference mean that does
+# NOT count as drift) and alarm threshold h (cents of accumulated
+# excess). Tuned so alarms exist at every test SF; both are plain
+# parameters a production monitor would set from process variance.
+CUSUM_K_CENTS = 300
+CUSUM_H_CENTS = 20_000
+
+def _cents():
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module is imported by the queries package before tests
+    # (or the driver) have necessarily created one
+    return F.round(F.col("value") * 100).cast("bigint")
+
+
+def _vol():
+    return F.get_json_object("props", "$.k").cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Tick-rule signing + order-flow imbalance
+# ---------------------------------------------------------------------------
+
+# shared with the streaming mirror (q_stream_tick_imbalance)
+_TICK_IMBALANCE_ORACLE = """
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(ROUND(value*100) AS BIGINT) AS c,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+    ), d AS (
+      SELECT *, c - LAG(c) OVER win AS diff
+      FROM o WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), e AS (
+      SELECT *, COALESCE(
+               LAST_VALUE(CASE WHEN diff > 0 THEN 1
+                               WHEN diff < 0 THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS sgn
+      FROM d
+    )
+    SELECT event_type, hour,
+           CAST(SUM(CASE WHEN sgn = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy_vol,
+           CAST(SUM(CASE WHEN sgn = -1 THEN vol ELSE 0 END) AS BIGINT) AS sell_vol,
+           CAST(SUM(sgn * vol) AS BIGINT) AS signed_vol,
+           CAST(COUNT(CASE WHEN sgn = 1 THEN 1 END) AS BIGINT) AS n_buys,
+           CAST(COUNT(CASE WHEN sgn = -1 THEN 1 END) AS BIGINT) AS n_sells
+    FROM e GROUP BY event_type, hour
+    """
+
+
+@register(
+    "q_tick_imbalance",
+    oracle=_TICK_IMBALANCE_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_tick_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule signed order-flow imbalance per (event_type, hour).
+
+    Each trade is signed by the tick test: +1 on an uptick, -1 on a
+    downtick, and on a zero tick the LAST non-zero sign carries forward
+    (Lee & Ready 1991). The leading run before any price change is
+    neutral (sign 0). Hourly buy/sell volume, signed volume and trade
+    counts follow — the flow-imbalance series every short-horizon
+    price-impact model starts from.
+
+    Exactness: the sign is a pure integer comparison and the carry is
+    `last(non-zero sign) ignore nulls` over the same (ts, event_id)
+    order both engines sort by, so every output is an exact integer.
+    Scale: ONE sort exchange per event_type serves the lag and the
+    carry-forward window (same frame family); the hourly aggregation
+    is a hash agg with map-side partials."""
+    d = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = d.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        _cents().alias("c"),
+        _vol().alias("vol"),
+    )
+    diff = F.col("c") - F.lag("c").over(w)
+    raw = F.when(diff > 0, F.lit(1)).when(diff < 0, F.lit(-1))
+    e = o.withColumn("sgn", F.coalesce(F.last(raw, ignorenulls=True).over(wc), F.lit(0)))
+    return e.groupBy("event_type", "hour").agg(
+        F.sum(F.when(F.col("sgn") == 1, F.col("vol")).otherwise(0))
+        .cast("bigint")
+        .alias("buy_vol"),
+        F.sum(F.when(F.col("sgn") == -1, F.col("vol")).otherwise(0))
+        .cast("bigint")
+        .alias("sell_vol"),
+        F.sum(F.col("sgn") * F.col("vol")).cast("bigint").alias("signed_vol"),
+        F.count(F.when(F.col("sgn") == 1, 1)).cast("bigint").alias("n_buys"),
+        F.count(F.when(F.col("sgn") == -1, 1)).cast("bigint").alias("n_sells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-driven volume bars
+# ---------------------------------------------------------------------------
+
+_VOLUME_BARS_ORACLE = f"""
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value*100) AS BIGINT) AS c,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+    ), b AS (
+      SELECT *, COALESCE(SUM(vol) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {BAR_VOLUME} AS bar_id
+      FROM o
+    )
+    SELECT event_type, CAST(bar_id AS BIGINT) AS bar_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(vol) AS BIGINT) AS bar_vol,
+           CAST(MIN({{'t': ts, 'e': event_id, 'c': c}}).c AS BIGINT) AS open_cents,
+           CAST(MAX(c) AS BIGINT) AS high_cents,
+           CAST(MIN(c) AS BIGINT) AS low_cents,
+           CAST(MAX({{'t': ts, 'e': event_id, 'c': c}}).c AS BIGINT) AS close_cents,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM b GROUP BY event_type, bar_id
+    """
+
+
+@register(
+    "q_volume_bars",
+    oracle=_VOLUME_BARS_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bars on a VOLUME clock instead of a time clock: a row
+    belongs to bar floor(volume-before-it / BAR_VOLUME), so every bar
+    carries ~equal traded volume and bars arrive faster when the
+    market is active — the subordinated-clock sampling that gives
+    better-behaved returns than wall-clock bars (Clark 1973; volume
+    bars in López de Prado 2018). The time-windowed counterpart is
+    q_ohlcv_1h; only the clock differs.
+
+    The bar assignment is one exclusive-prefix integer cumsum per key
+    (same sort exchange family as the tick window), and the OHLCV agg
+    uses min/max over (ts, event_id, c) structs so open/close are
+    deterministic under any partitioning. Everything is int64: vol
+    sums are exact and bar_id is a floor division of non-negatives."""
+    d = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    o = d.select(
+        "event_type", "ts", "event_id", _cents().alias("c"), _vol().alias("vol")
+    )
+    b = o.withColumn("pre_vol", F.sum("vol").over(wx)).withColumn(
+        "bar_id", F.expr(f"coalesce(pre_vol, 0) div {BAR_VOLUME}")
+    )
+    st = F.struct("ts", "event_id", "c")
+    return b.groupBy("event_type", "bar_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.sum("vol").cast("bigint").alias("bar_vol"),
+        F.min(st).getField("c").cast("bigint").alias("open_cents"),
+        F.max("c").cast("bigint").alias("high_cents"),
+        F.min("c").cast("bigint").alias("low_cents"),
+        F.max(st).getField("c").cast("bigint").alias("close_cents"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-sided CUSUM change-point alarms
+# ---------------------------------------------------------------------------
+
+# shared with the streaming mirror (q_stream_cusum)
+_CUSUM_ORACLE = f"""
+    WITH o AS (
+      SELECT event_type, ts, event_id, CAST(ROUND(value*100) AS BIGINT) AS c
+      FROM events
+    ), t AS (
+      SELECT *, SUM(c) OVER (PARTITION BY event_type)
+                // COUNT(*) OVER (PARTITION BY event_type) AS target
+      FROM o
+    ), cu AS (
+      SELECT event_type, ts, event_id,
+             SUM(c - target - {CUSUM_K_CENTS}) OVER win AS cum
+      FROM t
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_type, ts, event_id, cum, MIN(cum) OVER win AS runmin
+      FROM cu
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), sv AS (
+      SELECT event_type, ts, cum - LEAST(0, runmin) AS s,
+             LAG(cum - LEAST(0, runmin), 1, 0)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_s
+      FROM s
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(s AS BIGINT) AS s_value
+    FROM sv WHERE s > {CUSUM_H_CENTS} AND prev_s <= {CUSUM_H_CENTS}
+    """
+
+
+@register(
+    "q_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "microstructure", "anomaly", "window"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM change-point alarms per event_type
+    (Page 1954): S_i = max(0, S_{i-1} + (c_i - target - k)), alarm on
+    each UPCROSSING of h. The drift-detection primitive for a price /
+    quality / latency stream — q_outliers_zscore flags single wild
+    rows, CUSUM flags small persistent shifts those tests never see.
+
+    The recursion is solved in closed form instead of folded:
+    S_i = cum_i - min(0, min_{j<=i} cum_j) (running drawup of the
+    deviation walk), which turns the sequential max-recursion into two
+    stock prefix windows over ONE sort exchange — exactly the shape
+    Catalyst already streams at scale, no stateful UDF needed. All
+    arithmetic is int64 cents; the per-key reference mean is an exact
+    integer division. Alarms report the first crossing of each
+    excursion (S > h and prev_S <= h), so alarm count is excursion
+    count, not time-above-threshold."""
+    d = table(spark, sf_dir, "events")
+    wk = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = d.select("event_type", "ts", "event_id", _cents().alias("c"))
+    t = o.withColumn("tot", F.sum("c").over(wk)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wk)
+    )
+    t = t.withColumn("dev", F.expr(f"c - tot div cnt - {CUSUM_K_CENTS}"))
+    cu = t.withColumn("cum", F.sum("dev").over(wr))
+    s = cu.withColumn("runmin", F.min("cum").over(wr)).withColumn(
+        "s", F.col("cum") - F.least(F.lit(0), F.col("runmin"))
+    )
+    sv = s.withColumn("prev_s", F.lag("s", 1, 0).over(w))
+    return sv.filter(
+        (F.col("s") > CUSUM_H_CENTS) & (F.col("prev_s") <= CUSUM_H_CENTS)
+    ).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("s").cast("bigint").alias("s_value"),
+    )

@@ -1493,3 +1493,116 @@ def q_stream_macd_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Microstructure twins: tick-rule imbalance and CUSUM alarms in-stream
+# ---------------------------------------------------------------------------
+
+
+def _tick_imbalance_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _TICK_IMBALANCE_ORACLE,
+    )
+
+    return _TICK_IMBALANCE_ORACLE
+
+
+@register(
+    "q_stream_tick_imbalance",
+    oracle=_tick_imbalance_oracle(),
+    tags=("streaming", "stateful", "microstructure", "timeseries"),
+)
+def q_stream_tick_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule signed order-flow imbalance maintained IN-STREAM:
+    3 longs of state per event_type carry (row count, last price, last
+    non-zero sign) across micro-batches; each batch's signs are
+    vectorized and per-hour integer PARTIALS are emitted append-mode,
+    so the post-drain groupBy-sum reproduces the batch
+    q_tick_imbalance oracle hash-exactly however the replay slices
+    the hours. The taker-side classification the reference's exchange
+    feed carries natively (etl.py ticker surface) is thus recomputable
+    from raw prices on an unbounded stream with O(keys) state.
+    In-order-per-key replay contract as for q_stream_ewma."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        tick_imbalance_stream,
+    )
+
+    st = _stream(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    )
+    out = run_to_memory(
+        tick_imbalance_stream(st), output_mode="append", state_partitions=8
+    )
+    return out.groupBy("event_type", "hour").agg(
+        F.sum("buy_vol").cast("bigint").alias("buy_vol"),
+        F.sum("sell_vol").cast("bigint").alias("sell_vol"),
+        F.sum("signed_vol").cast("bigint").alias("signed_vol"),
+        F.sum("n_buys").cast("bigint").alias("n_buys"),
+        F.sum("n_sells").cast("bigint").alias("n_sells"),
+    )
+
+
+def _cusum_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _CUSUM_ORACLE,
+    )
+
+    return _CUSUM_ORACLE
+
+
+@register(
+    "q_stream_cusum",
+    oracle=_cusum_oracle(),
+    tags=("streaming", "stateful", "microstructure", "anomaly"),
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms as an ingest-time monitor: the
+    per-key reference mean is trained offline from the static table
+    (one batch aggregate, O(keys) rows collected — how a production
+    monitor pins its in-control mean), then the live stream maintains
+    the drawup identity in THREE longs of state per key and emits each
+    upcrossing of h append-mode. Hash-matches the batch q_cusum oracle
+    at every SF. In-order-per-key replay contract as for
+    q_stream_ewma."""
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        CUSUM_H_CENTS,
+        CUSUM_K_CENTS,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        cusum_stream,
+    )
+
+    targets = {
+        r["event_type"]: r["target"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) div count(*)"
+            ).alias("target")
+        )
+        .collect()
+    }
+    out = run_to_memory(
+        cusum_stream(
+            _stream(spark, sf_dir), targets, CUSUM_K_CENTS, CUSUM_H_CENTS
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.select(
+        "event_type",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts"
+        ),
+        F.col("s_value").cast("bigint").alias("s_value"),
+    )

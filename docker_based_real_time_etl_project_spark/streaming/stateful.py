@@ -1108,3 +1108,172 @@ def macd_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming tick-rule order-flow imbalance: (last price, last sign) state
+# ---------------------------------------------------------------------------
+
+_TICKIMB_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("hour", T.StringType()),
+        T.StructField("buy_vol", T.LongType()),
+        T.StructField("sell_vol", T.LongType()),
+        T.StructField("signed_vol", T.LongType()),
+        T.StructField("n_buys", T.LongType()),
+        T.StructField("n_sells", T.LongType()),
+    ]
+)
+# n rows seen, last price (cents), last non-zero tick sign (0 = none yet)
+_TICKIMB_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("last_sign", T.LongType()),
+    ]
+)
+
+
+def _update_tick_imbalance(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Tick-rule signing with 3 longs of state per key. The in-batch
+    work is fully vectorized: sign of the delta chain (seeded by the
+    carried last price), zero ticks forward-filled from the last
+    non-zero sign by an index maximum-accumulate, then per-hour integer
+    PARTIAL sums are emitted. Partials are associative, so the
+    post-drain groupBy-sum hash-matches the batch oracle exactly no
+    matter how micro-batches split hours."""
+    n, last, last_sign = state.get if state.exists else (0, 0, 0)
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        state.update((n, last, last_sign))
+        return
+    cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    if n == 0:
+        d = np.concatenate((np.zeros(1, np.int64), np.diff(cents)))
+    else:
+        d = np.diff(np.concatenate((np.asarray([last], np.int64), cents)))
+    raw = np.sign(d).astype(np.int64)
+    nz = raw != 0
+    idx = np.where(nz, np.arange(len(raw)), -1)
+    np.maximum.accumulate(idx, out=idx)
+    eff = np.where(idx >= 0, raw[np.maximum(idx, 0)], np.int64(last_sign))
+    vol = pdf["vol"].to_numpy(dtype="int64")
+    part = pd.DataFrame(
+        {
+            "hour": pdf["hour"].to_numpy(),
+            "buy_vol": np.where(eff == 1, vol, 0),
+            "sell_vol": np.where(eff == -1, vol, 0),
+            "signed_vol": eff * vol,
+            "n_buys": (eff == 1).astype(np.int64),
+            "n_sells": (eff == -1).astype(np.int64),
+        }
+    ).groupby("hour", as_index=False, sort=False).sum()
+    state.update(
+        (n + len(cents), int(cents[-1]), int(eff[-1]) if eff[-1] else last_sign)
+    )
+    part.insert(0, "event_type", key[0])
+    yield part
+
+
+def tick_imbalance_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming tick-rule imbalance; in-order-per-key
+    replay guaranteed as for ewma_stream (ts-value slice boundaries).
+    Expects the caller to have attached integer ``vol`` and formatted
+    ``hour`` columns (JVM-side expressions — nothing string-heavy runs
+    in the fold)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_tick_imbalance,
+            outputStructType=_TICKIMB_OUT,
+            stateStructType=_TICKIMB_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: the drawup identity as 3 longs of state per key
+# ---------------------------------------------------------------------------
+
+_CUSUM_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("s_value", T.LongType()),
+    ]
+)
+# cumulative deviation walk, its running minimum, and the previous S
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("cum", T.LongType()),
+        T.StructField("runmin", T.LongType()),
+        T.StructField("prev_s", T.LongType()),
+    ]
+)
+
+
+def make_cusum_update(targets: dict, k_cents: int, h_cents: int):
+    """Build the CUSUM state function around a per-key reference map
+    (symbol -> target cents). The reference is TRAINED offline (here:
+    one batch aggregate over the static table, O(keys) rows collected)
+    exactly as a production monitor pins its in-control mean before
+    watching the live stream; the closure ships it to executors with
+    the serialized function."""
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cum, runmin, prev_s = state.get if state.exists else (0, 0, 0)
+        pdf = _concat_sorted(pdfs)
+        if not len(pdf):
+            state.update((cum, runmin, prev_s))
+            return
+        cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        dev = cents - np.int64(targets.get(key[0], 0)) - np.int64(k_cents)
+        cums = np.int64(cum) + np.cumsum(dev)
+        rm = np.minimum(np.minimum.accumulate(cums), np.int64(runmin))
+        s = cums - np.minimum(np.int64(0), rm)
+        prev = np.concatenate((np.asarray([prev_s], np.int64), s[:-1]))
+        alarm = (s > h_cents) & (prev <= h_cents)
+        state.update((int(cums[-1]), int(rm[-1]), int(s[-1])))
+        if alarm.any():
+            out = pd.DataFrame({"ts_us": ts_us[alarm], "s_value": s[alarm]})
+            out.insert(0, "event_type", key[0])
+            yield out
+
+    return _update
+
+
+def cusum_stream(
+    events: DataFrame,
+    targets: dict,
+    k_cents: int,
+    h_cents: int,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """One-sided CUSUM upcrossing alarms per event_type as a streaming
+    state machine: S_i = max(0, S_{i-1} + dev_i) maintained via the
+    same drawup identity the batch q_cusum uses (cum - min(0, running
+    min)), carried across micro-batches in THREE longs — no buffering,
+    O(keys) total state on an unbounded stream. The in-batch fold is
+    numpy cumsum / minimum-accumulate (integer, associative-safe), and
+    alarms emit append-mode. In-order-per-key replay contract as for
+    ewma_stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_cusum_update(targets, k_cents, h_cents),
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
