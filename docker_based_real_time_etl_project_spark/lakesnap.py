@@ -1,0 +1,307 @@
+"""Snapshot-versioned parquet lake: manifest-pointer time travel on
+top of the CoW write path (the transactional upgrade lakewrite.py's
+docstrings point at, built with stock Spark + JSON manifests).
+
+``lakewrite.merge_upsert`` rewrites touched partition directories in
+place — correct, but readers racing the swap can see a half-merged
+table, and yesterday's state is gone the moment the merge lands. The
+fix is the one every table format (Delta/Iceberg/Hudi) converges on:
+**data files are immutable; a tiny manifest names the live set; a
+commit is one atomic manifest swap.** This module implements exactly
+that core:
+
+- every write lands in a fresh ``c{version}/`` commit directory
+  (partition-dir layout inside, so scans still prune);
+- ``_manifests/v{N}.json`` lists the data files (with their partition
+  value) that make up version N; writing it is write-temp + rename —
+  the single atomic step that publishes a commit;
+- a merge copies FORWARD the untouched partitions' manifest entries
+  (zero data I/O for them — the manifest IS the pruning index, no
+  directory listing at all) and adds the rewritten partitions' new
+  files; old files are never modified or removed by a commit, so any
+  retained version remains exactly readable (time travel) until
+  ``snap_vacuum`` reclaims it.
+
+Scale: a manifest row is a file path + partition value, i.e. the
+manifest is O(files), the same metadata a table format keeps; reads
+open only manifest-named files (no listStatus storm on 36k-partition
+tables); merges read only touched-partition files. The snapshot swap
+is a one-file rename, giving single-writer snapshot isolation —
+readers resolve a manifest once and see a consistent version
+regardless of concurrent merges. Multi-writer coordination (optimistic
+manifest CAS) is the one piece a real object-store deployment adds on
+top; single-writer is the contract here, as for lakewrite.
+
+Reference parity: the reference keeps only latest state in row stores
+(etl.py:181-187); versioned history of an upserted table is what its
+operators (and any audit/backfill consumer) would need at lake scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Sequence
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.lakewrite import write_clustered
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_file(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def snap_versions(path: str) -> list[int]:
+    """Committed versions, ascending. A crashed writer leaves at most
+    a ``.tmp`` file, never a half-visible version."""
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_file(path, version)) as fh:
+        return json.load(fh)
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """The commit point: manifests become visible via one rename."""
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    final = _manifest_file(path, manifest["version"])
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, final)
+
+
+def _commit_entries(path: str, commit_rel: str, partition_col: str) -> list[dict]:
+    """Manifest entries for every data file under one commit dir,
+    partition value decoded from the Hive-style directory name."""
+    root = os.path.join(path, commit_rel)
+    out = []
+    prefix = f"{partition_col}="
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), path)
+            part = next(
+                (
+                    unquote(seg[len(prefix):])
+                    for seg in rel.split(os.sep)
+                    if seg.startswith(prefix)
+                ),
+                None,
+            )
+            out.append({"path": rel, "partition": part})
+    return out
+
+
+def snap_init(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> int:
+    """Create version 1 of a snapshot table from ``df``. The data
+    write reuses the clustered layout contract (partition dirs +
+    range clustering + file caps); the manifest publish is the
+    commit."""
+    commit_rel = "c000001"
+    write_clustered(
+        df,
+        os.path.join(path, commit_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    _publish(
+        path,
+        {
+            "version": 1,
+            "partition_col": partition_col,
+            "entries": _commit_entries(path, commit_rel, partition_col),
+        },
+    )
+    return 1
+
+
+def snap_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partitions: Sequence[str] | None = None,
+) -> DataFrame:
+    """Read a snapshot version (default: latest). ``partitions``
+    prunes to named partition values USING ONLY THE MANIFEST — no
+    directory listing, no footer reads for pruned files. Files are
+    grouped per commit dir so partition-dir inference (basePath) can
+    re-attach the partition column; commits' scans are unioned by
+    name."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not present under {path} (have {versions})"
+        )
+    m = _read_manifest(path, v)
+    entries = m["entries"]
+    if not entries:
+        raise ValueError(f"version {v} of {path} is empty — no schema to serve")
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        entries = [e for e in entries if str(e["partition"]) in want]
+    by_commit: dict[str, list[str]] = {}
+    for e in entries:
+        commit = e["path"].split(os.sep)[0]
+        by_commit.setdefault(commit, []).append(os.path.join(path, e["path"]))
+    parts = [
+        spark.read.option("basePath", os.path.join(path, commit)).parquet(*files)
+        for commit, files in sorted(by_commit.items())
+    ]
+    if not parts:
+        return snap_read(spark, path, version=v).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def snap_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> int:
+    """Copy-on-write MERGE producing a NEW version: upsert on
+    ``key_cols``, optional boolean ``delete_col`` tombstones. Same
+    immutable-partition-key contract as ``lakewrite.merge_upsert``.
+
+    I/O: touched partitions' files are read, merged, and written into
+    a fresh commit dir; untouched partitions contribute nothing but
+    their manifest rows, copied forward verbatim. Old versions stay
+    readable — nothing is deleted here."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_merge on uninitialized table {path}")
+    cur = _read_manifest(path, versions[-1])
+    partition_col = cur["partition_col"]
+    key_cols = list(key_cols)
+    touched = {
+        str(r[0]) for r in updates.select(partition_col).distinct().collect()
+    }
+    base = snap_read(spark, path, versions[-1], partitions=sorted(touched))
+    upd_keys = updates.select(*key_cols).distinct()
+    survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
+    incoming = updates
+    if delete_col is not None:
+        incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
+    merged = survivors.select(incoming.columns).unionByName(incoming)
+    new_version = versions[-1] + 1
+    commit_rel = f"c{new_version:06d}"
+    write_clustered(
+        merged,
+        os.path.join(path, commit_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    carried = [e for e in cur["entries"] if str(e["partition"]) not in touched]
+    _publish(
+        path,
+        {
+            "version": new_version,
+            "partition_col": partition_col,
+            "entries": carried + _commit_entries(path, commit_rel, partition_col),
+        },
+    )
+    return new_version
+
+
+def snap_diff(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level change set between two snapshot versions: one
+    full-outer join on the keys, null-safe struct comparison on the
+    rest. Returns (key cols, change_type in insert|delete|update,
+    _old struct, _new struct) — the CDC feed a downstream consumer
+    replays to catch up from v_old to v_new without rescanning the
+    table (Delta CDF / Iceberg changelog shape). Cost is a join over
+    the two versions' rows; with a partition-pruned read (both
+    manifests name their files) it narrows to partitions that can
+    differ."""
+    key_cols = list(key_cols)
+    a, b = snap_read(spark, path, v_old), snap_read(spark, path, v_new)
+    others = [c for c in a.columns if c not in key_cols]
+    oa = a.select(*key_cols, F.struct(*others).alias("_old"))
+    ob = b.select(*key_cols, F.struct(*others).alias("_new"))
+    j = oa.join(ob, on=key_cols, how="full_outer")
+    ct = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).select(
+        *key_cols, ct.alias("change_type"), "_old", "_new"
+    )
+
+
+def snap_vacuum(
+    path: str, keep_last: int = 2, min_age_sec: float = 0.0
+) -> dict[str, int]:
+    """Reclaim storage: drop all but the last ``keep_last`` manifests,
+    then delete data files no retained manifest references (subject to
+    ``min_age_sec``, the retention guard against racing readers of a
+    just-expired version — Delta VACUUM's retention interval). Time
+    travel contracts shrink accordingly; the latest version is never
+    touched."""
+    versions = snap_versions(path)
+    retained = versions[-max(1, keep_last):]
+    referenced = set()
+    for v in retained:
+        referenced.update(e["path"] for e in _read_manifest(path, v)["entries"])
+    now = time.time()
+    removed_files = removed_manifests = 0
+    for dirpath, _, files in os.walk(path):
+        if _MANIFEST_DIR in os.path.relpath(dirpath, path).split(os.sep):
+            continue
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, path)
+            if rel not in referenced and now - os.path.getmtime(full) >= min_age_sec:
+                os.remove(full)
+                removed_files += 1
+    for v in versions:
+        if v not in retained:
+            os.remove(_manifest_file(path, v))
+            removed_manifests += 1
+    # sweep now-empty partition/commit dirs so listings stay clean
+    for dirpath, dirs, files in os.walk(path, topdown=False):
+        if dirpath != path and not dirs and not files:
+            shutil.rmtree(dirpath, ignore_errors=True)
+    return {"removed_files": removed_files, "removed_manifests": removed_manifests}

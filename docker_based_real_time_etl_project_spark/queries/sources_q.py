@@ -615,3 +615,147 @@ def q_source_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("cents_evolved"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_all"),
     )
+
+
+def _orders_snap(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a two-version SNAPSHOT table (lakesnap): v1 = the
+    pristine table, v2 = the same deterministic MERGE batch
+    q_lake_merge applies — so SQL oracles can restate both versions
+    from the original parquet. Built once per (sf_dir, fingerprint)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        snap_merge(
+            spark,
+            out,
+            _merge_updates(spark, sf_dir),
+            key_cols=("o_orderkey",),
+            delete_col="_delete",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders", sf_dir, table_fingerprint(sf_dir, "orders")), build
+    )
+
+
+_SNAP_MERGED_CTE = """
+    upd AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice,
+               FALSE AS del
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 103 = 5
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_orderpriority, o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 101 = 3
+    ), merged AS (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM upd WHERE NOT del
+    )
+"""
+
+
+@register(
+    "q_lake_time_travel",
+    oracle=f"""
+    WITH {_SNAP_MERGED_CTE}
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*), {sql_dsum('o_totalprice')},
+           MAX(o_orderkey)
+    FROM merged
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the snapshot lake (lakesnap.py): orders receives
+    a CoW MERGE (upserts + deletes + inserts), yet reading version 1
+    afterwards returns the pre-merge table EXACTLY — data files are
+    immutable, commits are atomic manifest swaps, so history stays
+    readable until vacuumed. The query aggregates BOTH versions
+    (rows, exact price total, max key); the oracle recomputes v1 from
+    the original parquet and v2 from the relational restatement of
+    the merge, so the hash proves the snapshot isolation property
+    end-to-end, not just row counts. At scale the manifest read is
+    O(files) metadata and the untouched partitions of v2 are the
+    SAME bytes as v1 (carried manifest rows — pinned in
+    tests/test_lakesnap.py)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap(spark, sf_dir)
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            snap_read(spark, path, v).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("o_totalprice").alias("total_price"),
+                F.max("o_orderkey").alias("max_key"),
+            ).select(F.lit(v).cast("bigint").alias("version"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@register(
+    "q_lake_version_diff",
+    oracle="""
+    SELECT 'update' AS change_type, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS old_cents,
+           CAST(ROUND((o_totalprice + 1000.0) * 100) AS BIGINT) AS new_cents
+    FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+    UNION ALL
+    SELECT 'delete', o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM orders WHERE o_orderkey % 103 = 5
+    UNION ALL
+    SELECT 'insert', o_orderkey + 2000000000,
+           CAST(NULL AS BIGINT), CAST(ROUND(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 3
+    """,
+    tags=("cdc", "layout", "scale", "lakesnap"),
+)
+def q_lake_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED between two snapshot versions (Delta CDF / Iceberg
+    changelog shape): full-outer join of v1 and v2 on the key with
+    null-safe struct comparison yields exactly the merge batch's
+    effect — every upsert as an update (old and new price), every
+    tombstone as a delete, every new key as an insert. The oracle
+    restates the change set relationally from the original table, so
+    the hash proves the diff reconstructs the CDC stream that
+    produced v2 — the audit/backfill primitive a versioned lake
+    exists for."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_diff
+
+    path = _orders_snap(spark, sf_dir)
+    d = snap_diff(spark, path, 1, 2, key_cols=("o_orderkey",))
+    return d.select(
+        "change_type",
+        "o_orderkey",
+        F.round(F.col("_old.o_totalprice") * 100).cast("bigint").alias("old_cents"),
+        F.round(F.col("_new.o_totalprice") * 100).cast("bigint").alias("new_cents"),
+    )

@@ -1,0 +1,149 @@
+"""Snapshot-versioned lake contracts: time travel, manifest-only
+pruning (untouched files byte-untouched and carried forward), diff as
+a CDC feed, and vacuum retention."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from docker_based_real_time_etl_project_spark.lakesnap import (
+    snap_diff,
+    snap_init,
+    snap_merge,
+    snap_read,
+    snap_vacuum,
+    snap_versions,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def snap_table(spark):
+    """orders as a snapshot table: v1 = pristine, v2 = one-partition
+    upsert+delete+insert batch."""
+    path = tempfile.mkdtemp(prefix="snaptbl_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    v1 = snap_init(
+        spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",)
+    )
+    assert v1 == 1
+    # touch ONLY one partition so carried-forward pruning is observable
+    part = "1-URGENT"
+    upd = (
+        orders.filter(
+            (F.col("o_orderpriority") == part) & (F.col("o_orderkey") % 7 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("_delete", F.col("o_orderkey") % 14 == 0)
+    )
+    ins = (
+        orders.filter(
+            (F.col("o_orderpriority") == part) & (F.col("o_orderkey") % 11 == 3)
+        )
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("_delete", F.lit(False))
+    )
+    v2 = snap_merge(
+        spark,
+        path,
+        upd.unionByName(ins),
+        key_cols=("o_orderkey",),
+        delete_col="_delete",
+        sort_by=("o_orderkey",),
+    )
+    assert v2 == 2
+    return path, part, orders
+
+
+def test_time_travel_v1_unchanged(spark, snap_table):
+    path, _, orders = snap_table
+    got = snap_read(spark, path, 1).select(*orders.columns)
+    assert got.exceptAll(orders).count() == 0
+    assert orders.exceptAll(got).count() == 0
+
+
+def test_latest_reflects_merge(spark, snap_table):
+    path, part, orders = snap_table
+    latest = snap_read(spark, path).select(*orders.columns)
+    # deleted keys gone, updated keys changed, inserted keys present
+    assert (
+        latest.filter(
+            (F.col("o_orderpriority") == part)
+            & (F.col("o_orderkey") % 14 == 0)
+            & (F.col("o_orderkey") < 10_000_000)
+        ).count()
+        == 0
+    )
+    n_ins_expected = orders.filter(
+        (F.col("o_orderpriority") == part) & (F.col("o_orderkey") % 11 == 3)
+    ).count()
+    assert (
+        latest.filter(F.col("o_orderkey") >= 10_000_000).count()
+        == n_ins_expected
+    )
+    # untouched partitions identical to v1
+    other = latest.filter(F.col("o_orderpriority") != part)
+    truth = orders.filter(F.col("o_orderpriority") != part)
+    assert other.exceptAll(truth).count() == 0
+    assert truth.exceptAll(other).count() == 0
+
+
+def test_untouched_files_carried_forward(snap_table):
+    """The merge must not rewrite (or even re-list) untouched
+    partitions: their manifest rows are copied verbatim, still
+    pointing into the v1 commit dir."""
+    import json
+
+    path, part, _ = snap_table
+    m1 = json.load(open(os.path.join(path, "_manifests", "v000001.json")))
+    m2 = json.load(open(os.path.join(path, "_manifests", "v000002.json")))
+    carried1 = sorted(e["path"] for e in m1["entries"] if e["partition"] != part)
+    carried2 = sorted(e["path"] for e in m2["entries"] if e["partition"] != part)
+    assert carried1 == carried2
+    assert all(p.startswith("c000001") for p in carried2)
+    touched2 = [e["path"] for e in m2["entries"] if e["partition"] == part]
+    assert touched2 and all(p.startswith("c000002") for p in touched2)
+
+
+def test_diff_is_the_change_feed(spark, snap_table):
+    path, part, orders = snap_table
+    d = snap_diff(spark, path, 1, 2, key_cols=("o_orderkey",)).cache()
+    base = orders.filter(F.col("o_orderpriority") == part)
+    n_upd = base.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 14 != 0)
+    ).count()
+    n_del = base.filter(F.col("o_orderkey") % 14 == 0).count()
+    n_ins = base.filter(F.col("o_orderkey") % 11 == 3).count()
+    got = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"update": n_upd, "delete": n_del, "insert": n_ins}
+    # update rows really differ, by exactly the price correction
+    bad = d.filter(
+        (F.col("change_type") == "update")
+        & (
+            F.abs(
+                F.col("_new.o_totalprice") - F.col("_old.o_totalprice") - 5.0
+            )
+            > 1e-9
+        )
+    ).count()
+    assert bad == 0
+    d.unpersist()
+
+
+def test_vacuum_retention(spark, snap_table):
+    path, _, orders = snap_table
+    latest_before = snap_read(spark, path).count()
+    res = snap_vacuum(path, keep_last=1)
+    assert res["removed_manifests"] == 1
+    assert res["removed_files"] > 0
+    assert snap_versions(path) == [2]
+    assert snap_read(spark, path).count() == latest_before
+    with pytest.raises(FileNotFoundError):
+        snap_read(spark, path, 1)
