@@ -1606,3 +1606,90 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_value").cast("bigint").alias("s_value"),
     )
+
+
+@register(
+    "q_stream_tick_imbalance_ooo",
+    oracle=_tick_imbalance_oracle(),
+    tags=("streaming", "stateful", "microstructure", "out-of-order"),
+)
+def q_stream_tick_imbalance_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule imbalance over the OUT-OF-ORDER replay (adjacent
+    slices swapped), hash-matching the same batch oracle: the
+    watermark-delayed re-sort buffer feeds the vectorized sign fold in
+    exact (ts, event_id) order; released rows emit associative
+    per-hour integer partials, so disorder costs buffering but never a
+    different answer. The tick test is ORDER-DEFINED (a sign depends
+    on the previous trade), making it exactly the class of operator
+    the re-sort exists for."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        tick_imbalance_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    st = st.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    out = run_to_memory(
+        tick_imbalance_stream_ooo(st, watermark=delay),
+        output_mode="append",
+        state_partitions=8,
+    ).filter(F.col("event_type") != "__sentinel__")
+    return out.groupBy("event_type", "hour").agg(
+        F.sum("buy_vol").cast("bigint").alias("buy_vol"),
+        F.sum("sell_vol").cast("bigint").alias("sell_vol"),
+        F.sum("signed_vol").cast("bigint").alias("signed_vol"),
+        F.sum("n_buys").cast("bigint").alias("n_buys"),
+        F.sum("n_sells").cast("bigint").alias("n_sells"),
+    )
+
+
+@register(
+    "q_stream_cusum_ooo",
+    oracle=_cusum_oracle(),
+    tags=("streaming", "stateful", "microstructure", "anomaly", "out-of-order"),
+)
+def q_stream_cusum_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM alarms over the OUT-OF-ORDER replay, hash-matching the
+    batch q_cusum oracle: alarms are upcrossings of a path integral,
+    so a single early-folded late row would shift every later S value
+    — the re-sort buffer guarantees the fold sees the exact batch
+    order, and the trained per-key reference rides the closure as in
+    q_stream_cusum."""
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        CUSUM_H_CENTS,
+        CUSUM_K_CENTS,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        cusum_stream_ooo,
+    )
+
+    targets = {
+        r["event_type"]: r["target"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) div count(*)"
+            ).alias("target")
+        )
+        .collect()
+    }
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        cusum_stream_ooo(st, targets, CUSUM_K_CENTS, CUSUM_H_CENTS, delay),
+        output_mode="append",
+        state_partitions=8,
+    ).filter(F.col("event_type") != "__sentinel__")
+    return out.select(
+        "event_type",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts"
+        ),
+        F.col("s_value").cast("bigint").alias("s_value"),
+    )

@@ -1135,45 +1135,62 @@ _TICKIMB_STATE = T.StructType(
 )
 
 
+def _tick_sign_fold(
+    n: int, last: int, last_sign: int, cents: "np.ndarray"
+) -> tuple[int, int, int, "np.ndarray"]:
+    """Vectorized tick-rule signing of one ordered run of prices,
+    seeded by the carried (row count, last price, last non-zero sign).
+    Sign of the delta chain, zero ticks forward-filled from the last
+    non-zero sign by an index maximum-accumulate. Returns the updated
+    carry and the per-row effective signs."""
+    if n == 0:
+        d = np.concatenate((np.zeros(1, np.int64), np.diff(cents)))
+    else:
+        d = np.diff(np.concatenate((np.asarray([last], np.int64), cents)))
+    raw = np.sign(d).astype(np.int64)
+    idx = np.where(raw != 0, np.arange(len(raw)), -1)
+    np.maximum.accumulate(idx, out=idx)
+    eff = np.where(idx >= 0, raw[np.maximum(idx, 0)], np.int64(last_sign))
+    new_sign = int(eff[-1]) if eff[-1] else last_sign
+    return n + len(cents), int(cents[-1]), new_sign, eff
+
+
+def _tick_partials(hour: "np.ndarray", eff: "np.ndarray", vol: "np.ndarray") -> pd.DataFrame:
+    """Per-hour integer PARTIAL sums for one signed run. Partials are
+    associative, so the post-drain groupBy-sum hash-matches the batch
+    oracle exactly no matter how micro-batches split hours."""
+    return (
+        pd.DataFrame(
+            {
+                "hour": hour,
+                "buy_vol": np.where(eff == 1, vol, 0),
+                "sell_vol": np.where(eff == -1, vol, 0),
+                "signed_vol": eff * vol,
+                "n_buys": (eff == 1).astype(np.int64),
+                "n_sells": (eff == -1).astype(np.int64),
+            }
+        )
+        .groupby("hour", as_index=False, sort=False)
+        .sum()
+    )
+
+
 def _update_tick_imbalance(
     key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Tick-rule signing with 3 longs of state per key. The in-batch
-    work is fully vectorized: sign of the delta chain (seeded by the
-    carried last price), zero ticks forward-filled from the last
-    non-zero sign by an index maximum-accumulate, then per-hour integer
-    PARTIAL sums are emitted. Partials are associative, so the
-    post-drain groupBy-sum hash-matches the batch oracle exactly no
-    matter how micro-batches split hours."""
+    """Tick-rule signing with 3 longs of state per key; the in-batch
+    fold is _tick_sign_fold (vectorized)."""
     n, last, last_sign = state.get if state.exists else (0, 0, 0)
     pdf = _concat_sorted(pdfs)
     if not len(pdf):
         state.update((n, last, last_sign))
         return
     cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-    if n == 0:
-        d = np.concatenate((np.zeros(1, np.int64), np.diff(cents)))
-    else:
-        d = np.diff(np.concatenate((np.asarray([last], np.int64), cents)))
-    raw = np.sign(d).astype(np.int64)
-    nz = raw != 0
-    idx = np.where(nz, np.arange(len(raw)), -1)
-    np.maximum.accumulate(idx, out=idx)
-    eff = np.where(idx >= 0, raw[np.maximum(idx, 0)], np.int64(last_sign))
-    vol = pdf["vol"].to_numpy(dtype="int64")
-    part = pd.DataFrame(
-        {
-            "hour": pdf["hour"].to_numpy(),
-            "buy_vol": np.where(eff == 1, vol, 0),
-            "sell_vol": np.where(eff == -1, vol, 0),
-            "signed_vol": eff * vol,
-            "n_buys": (eff == 1).astype(np.int64),
-            "n_sells": (eff == -1).astype(np.int64),
-        }
-    ).groupby("hour", as_index=False, sort=False).sum()
-    state.update(
-        (n + len(cents), int(cents[-1]), int(eff[-1]) if eff[-1] else last_sign)
+    n, last, last_sign, eff = _tick_sign_fold(n, last, last_sign, cents)
+    part = _tick_partials(
+        pdf["hour"].to_numpy(), eff, pdf["vol"].to_numpy(dtype="int64")
     )
+    state.update((n, last, last_sign))
     part.insert(0, "event_type", key[0])
     yield part
 
@@ -1236,19 +1253,40 @@ def make_cusum_update(targets: dict, k_cents: int, h_cents: int):
             return
         cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
         ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        dev = cents - np.int64(targets.get(key[0], 0)) - np.int64(k_cents)
-        cums = np.int64(cum) + np.cumsum(dev)
-        rm = np.minimum(np.minimum.accumulate(cums), np.int64(runmin))
-        s = cums - np.minimum(np.int64(0), rm)
-        prev = np.concatenate((np.asarray([prev_s], np.int64), s[:-1]))
-        alarm = (s > h_cents) & (prev <= h_cents)
-        state.update((int(cums[-1]), int(rm[-1]), int(s[-1])))
-        if alarm.any():
-            out = pd.DataFrame({"ts_us": ts_us[alarm], "s_value": s[alarm]})
+        new_state, out = _cusum_fold(
+            (cum, runmin, prev_s), cents, ts_us,
+            targets.get(key[0], 0), k_cents, h_cents,
+        )
+        state.update(new_state)
+        if out is not None:
             out.insert(0, "event_type", key[0])
             yield out
 
     return _update
+
+
+def _cusum_fold(
+    carry: tuple[int, int, int],
+    cents: "np.ndarray",
+    ts_us: "np.ndarray",
+    target: int,
+    k_cents: int,
+    h_cents: int,
+) -> tuple[tuple[int, int, int], pd.DataFrame | None]:
+    """Drawup-identity CUSUM over one ordered run: integer cumsum +
+    running minimum, alarms on each h-upcrossing. Returns the updated
+    (cum, runmin, prev_s) carry and the alarm rows (None if none)."""
+    cum, runmin, prev_s = carry
+    dev = cents - np.int64(target) - np.int64(k_cents)
+    cums = np.int64(cum) + np.cumsum(dev)
+    rm = np.minimum(np.minimum.accumulate(cums), np.int64(runmin))
+    s = cums - np.minimum(np.int64(0), rm)
+    prev = np.concatenate((np.asarray([prev_s], np.int64), s[:-1]))
+    alarm = (s > h_cents) & (prev <= h_cents)
+    new_state = (int(cums[-1]), int(rm[-1]), int(s[-1]))
+    if not alarm.any():
+        return new_state, None
+    return new_state, pd.DataFrame({"ts_us": ts_us[alarm], "s_value": s[alarm]})
 
 
 def cusum_stream(
@@ -1275,5 +1313,194 @@ def cusum_stream(
             stateStructType=_CUSUM_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOO microstructure twins: re-sort buffer in front of the same folds
+# ---------------------------------------------------------------------------
+
+_TICKIMB_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("buf_vol", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("last_sign", T.LongType()),
+    ]
+)
+
+
+def _new_rows_priced(pdfs: Iterable[pd.DataFrame], with_vol: bool):
+    """(ts_us, event_id, cents[, vol]) arrays from a batch's chunks."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    cols = [
+        pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+        pdf["event_id"].to_numpy().astype("int64"),
+        pdf["value"].mul(100).round().astype("int64").to_numpy(),
+    ]
+    if with_vol:
+        # sentinel flush rows carry no volume (null), and they must flow
+        # THROUGH the state op (a pre-stateful filter gets pushed below
+        # the watermark node and would stop the sentinel from advancing
+        # it); their emissions are dropped post-drain by key
+        cols.append(pdf["vol"].fillna(0).astype("int64").to_numpy())
+    return tuple(cols)
+
+
+def _hour_str_from_us(ts_us: "np.ndarray") -> "np.ndarray":
+    """UTC hour-floor rendering identical to the engine's
+    date_format(date_trunc('hour', ts)) under the session's pinned UTC
+    timezone: pure calendar arithmetic on naive microsecond ints, no
+    locale, no zone database."""
+    return (
+        pd.Series(ts_us.astype("datetime64[us]"))
+        .dt.floor("h")
+        .dt.strftime("%Y-%m-%d %H:%M:%S")
+        .to_numpy()
+    )
+
+
+def _update_tick_imbalance_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bc, bv, n, last, last_sign = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bc, np.int64),
+            np.asarray(bv, np.int64),
+        )
+    else:
+        buf = (np.empty(0, np.int64),) * 4
+        n, last, last_sign = 0, 0, 0
+    new = None if state.hasTimedOut else _new_rows_priced(pdfs, with_vol=True)
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        n, last, last_sign, eff = _tick_sign_fold(n, last, last_sign, released[2])
+        part = _tick_partials(_hour_str_from_us(released[0]), eff, released[3])
+        part.insert(0, "event_type", key[0])
+        yield part
+    _rearm_or_clear(
+        state,
+        kept[0],
+        (
+            kept[0].tolist(),
+            kept[1].tolist(),
+            kept[2].tolist(),
+            kept[3].tolist(),
+            n,
+            last,
+            last_sign,
+        ),
+    )
+
+
+def tick_imbalance_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """Tick-rule imbalance over an OUT-OF-ORDER stream: the
+    watermark-delayed re-sort feeds _tick_sign_fold, so any arrival
+    order whose lateness stays within ``watermark`` emits partials
+    that sum to the in-order (= batch-oracle) result exactly. Hour
+    keys are derived from the released rows' own timestamps (pure UTC
+    calendar arithmetic), so nothing order-dependent leaves the
+    fold."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_tick_imbalance_ooo,
+            outputStructType=_TICKIMB_OUT,
+            stateStructType=_TICKIMB_OOO_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_CUSUM_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("cum", T.LongType()),
+        T.StructField("runmin", T.LongType()),
+        T.StructField("prev_s", T.LongType()),
+    ]
+)
+
+
+def make_cusum_update_ooo(targets: dict, k_cents: int, h_cents: int):
+    """OOO CUSUM state function: same trained reference map as
+    make_cusum_update, fronted by the per-key re-sort buffer."""
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bts, beid, bc, cum, runmin, prev_s = state.get
+            buf = (
+                np.asarray(bts, np.int64),
+                np.asarray(beid, np.int64),
+                np.asarray(bc, np.int64),
+            )
+        else:
+            buf = (np.empty(0, np.int64),) * 3
+            cum, runmin, prev_s = 0, 0, 0
+        new = None if state.hasTimedOut else _new_rows_priced(pdfs, with_vol=False)
+        released, kept = _buffer_release(state, buf, new)
+        if len(released[0]):
+            (cum, runmin, prev_s), out = _cusum_fold(
+                (cum, runmin, prev_s),
+                released[2],
+                released[0],
+                targets.get(key[0], 0),
+                k_cents,
+                h_cents,
+            )
+            if out is not None:
+                out.insert(0, "event_type", key[0])
+                yield out
+        _rearm_or_clear(
+            state,
+            kept[0],
+            (
+                kept[0].tolist(),
+                kept[1].tolist(),
+                kept[2].tolist(),
+                cum,
+                runmin,
+                prev_s,
+            ),
+        )
+
+    return _update
+
+
+def cusum_stream_ooo(
+    events: DataFrame,
+    targets: dict,
+    k_cents: int,
+    h_cents: int,
+    watermark: str,
+) -> DataFrame:
+    """CUSUM alarms over an OUT-OF-ORDER stream via the
+    watermark-delayed re-sort; hash-matches the batch q_cusum oracle
+    whenever lateness stays within ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_cusum_update_ooo(targets, k_cents, h_cents),
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_OOO_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

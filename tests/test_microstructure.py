@@ -70,6 +70,10 @@ def test_stream_twins_match_batch(spark):
     for batch_name, stream_name, keys in [
         ("q_tick_imbalance", "q_stream_tick_imbalance", ["event_type", "hour"]),
         ("q_cusum", "q_stream_cusum", ["event_type", "ts", "s_value"]),
+        # and the shuffled-arrival twins: the re-sort buffer must make
+        # disorder invisible for these order-DEFINED operators
+        ("q_tick_imbalance", "q_stream_tick_imbalance_ooo", ["event_type", "hour"]),
+        ("q_cusum", "q_stream_cusum_ooo", ["event_type", "ts", "s_value"]),
     ]:
         b = REGISTRY[batch_name].fn(spark, SF_SMOKE)
         s = REGISTRY[stream_name].fn(spark, SF_SMOKE)
