@@ -78,6 +78,10 @@ HEADLINE = [
     "q_stream_rsi_ooo",      # watermark-delayed re-sort over shuffled arrival
     "q_lake_roundtrip",      # clustered lake write + partition-dir readback
     "q_lake_merge",          # copy-on-write MERGE, touched-partition rewrite
+    "q_lake_time_travel",    # snapshot manifest time travel after a merge
+    "q_tick_imbalance",      # tick-rule signed order-flow imbalance
+    "q_volume_bars",         # OHLCV on a volume clock
+    "q_cusum",               # CUSUM change-point alarms, closed form
 ]
 
 

@@ -285,3 +285,184 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.col("s").cast("bigint").alias("s_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Roll effective-spread estimator
+# ---------------------------------------------------------------------------
+
+_ROLL_ORACLE = """
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(ROUND(value*100) AS BIGINT) AS c
+      FROM events
+    ), d AS (
+      SELECT *, c - LAG(c) OVER win AS d1,
+             LAG(c) OVER win - LAG(c, 2) OVER win AS d0
+      FROM o WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+      SELECT event_type, day,
+             COUNT(d1) FILTER (WHERE d0 IS NOT NULL) AS n,
+             SUM(d1*d0) AS sxy,
+             SUM(d1) FILTER (WHERE d0 IS NOT NULL) AS sx,
+             SUM(d0) AS sy
+      FROM d WHERE d1 IS NOT NULL
+      GROUP BY event_type, day
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_deltas,
+           CAST(n*sxy - sx*sy AS BIGINT) AS cov_num,
+           CASE WHEN n*sxy - sx*sy < 0
+                THEN CAST(ROUND(2.0 * SQRT(CAST(-(n*sxy - sx*sy) AS DOUBLE))
+                          / n * 100) AS BIGINT)
+                ELSE NULL END AS roll_spread_centi
+    FROM g WHERE n >= 2
+    """
+
+
+@register(
+    "q_roll_spread",
+    oracle=_ROLL_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread per (event_type, day):
+    2·sqrt(−cov(Δp_t, Δp_{t−1})) — bid-ask bounce makes consecutive
+    price changes negatively autocorrelated, and the serial covariance
+    recovers the spread without ever seeing a quote. Days whose
+    covariance is non-negative yield NULL (the estimator's own
+    documented failure mode on trending samples).
+
+    Exactness: the covariance NUMERATOR n·Σd₁d₀ − Σd₁Σd₀ is exact
+    int64 (per-day group sizes bound it far under 2^63; the global
+    regression q_kyle_lambda shows the decimal treatment for unbounded
+    groups), floating point enters once at the correctly-rounded IEEE
+    sqrt — the same discipline as q_bollinger's σ. The delta chain is
+    per-key (crossing midnight, like the tick signs), grouped by the
+    later trade's day; one sort exchange serves both lags."""
+    d = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = d.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        _cents().alias("c"),
+    )
+    dd = o.select(
+        "event_type",
+        "day",
+        (F.col("c") - F.lag("c").over(w)).alias("d1"),
+        (F.lag("c").over(w) - F.lag("c", 2).over(w)).alias("d0"),
+    ).filter(F.col("d1").isNotNull())
+    g = dd.groupBy("event_type", "day").agg(
+        F.count(F.when(F.col("d0").isNotNull(), 1)).alias("n"),
+        F.sum(F.col("d1") * F.col("d0")).alias("sxy"),
+        F.sum(F.when(F.col("d0").isNotNull(), F.col("d1"))).alias("sx"),
+        F.sum("d0").alias("sy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return g.filter(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_deltas"),
+        cov.cast("bigint").alias("cov_num"),
+        F.when(
+            cov < 0,
+            F.round(2.0 * F.sqrt((-cov).cast("double")) / F.col("n") * 100).cast(
+                "bigint"
+            ),
+        ).alias("roll_spread_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kyle lambda: price impact of signed order flow
+# ---------------------------------------------------------------------------
+
+_KYLE_ORACLE = """
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value*100) AS BIGINT) AS c,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+    ), d AS (
+      SELECT *, c - LAG(c) OVER win AS dy
+      FROM o WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), e AS (
+      SELECT *, COALESCE(
+               LAST_VALUE(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 END
+                          IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS sgn
+      FROM d
+    ), r AS (
+      SELECT event_type, CAST(dy AS HUGEINT) AS y,
+             CAST(sgn * vol AS HUGEINT) AS x
+      FROM e WHERE dy IS NOT NULL
+    ), g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x*y) AS sxy, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x*x) AS sx2
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           CAST((n*sxy - sx*sy) * 1000000
+                // NULLIF(n*sx2 - sx*sx, 0) AS BIGINT) AS lambda_micro
+    FROM g
+    """
+
+
+@register(
+    "q_kyle_lambda",
+    oracle=_KYLE_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle (1985) lambda per event_type: the OLS slope of price
+    change on tick-signed volume — cents of impact per unit of signed
+    flow, THE standard price-impact/illiquidity measure. Reuses the
+    tick-rule signs; the regression collapses to five sums, i.e. one
+    map-side-combined hash aggregate after the sign window.
+
+    Exactness under unbounded group sizes: per-row products stay
+    int64, the five sums and the slope's cross terms are DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — n·Σxy·10⁶ exceeds 2^63 already at
+    sf1 — and the slope is ONE integer division. Spark's `div` and
+    DuckDB's `//` both truncate toward zero (verified), so negative
+    slopes hash identically."""
+    d = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = d.select(
+        "event_type", "ts", "event_id", _cents().alias("c"), _vol().alias("vol")
+    )
+    dy = F.col("c") - F.lag("c").over(w)
+    raw = F.when(dy > 0, F.lit(1)).when(dy < 0, F.lit(-1))
+    e = o.select(
+        "event_type",
+        dy.alias("dy"),
+        F.coalesce(F.last(raw, ignorenulls=True).over(wc), F.lit(0)).alias("sgn"),
+        "vol",
+    ).filter(F.col("dy").isNotNull())
+    r = e.select(
+        "event_type",
+        F.col("dy").alias("y"),
+        (F.col("sgn") * F.col("vol")).alias("x"),
+    )
+    dec = "decimal(38,0)"
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sx2"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.expr(
+            "CAST(CAST((n*sxy - sx*sy) AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(CAST(n*sx2 - sx*sx AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("lambda_micro"),
+    )
