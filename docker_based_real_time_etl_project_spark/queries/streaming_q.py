@@ -1693,3 +1693,61 @@ def q_stream_cusum_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_value").cast("bigint").alias("s_value"),
     )
+
+
+def _volume_bars_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _VOLUME_BARS_ORACLE,
+    )
+
+    return _VOLUME_BARS_ORACLE
+
+
+@register(
+    "q_stream_volume_bars",
+    oracle=_volume_bars_oracle(),
+    tags=("streaming", "stateful", "microstructure", "timeseries"),
+)
+def q_stream_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars built at ingest time: the subordinated clock is two
+    longs of state per event_type; bars straddling micro-batches emit
+    associative per-batch partials whose post-drain struct-min/max
+    combine reproduces the batch q_volume_bars oracle hash-exactly —
+    real-time bar construction, the sampling layer a live
+    trading-signal pipeline runs BEFORE its models. In-order-per-key
+    replay contract as for q_stream_ewma."""
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        BAR_VOLUME,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        volume_bars_stream,
+    )
+
+    st = _stream(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    out = run_to_memory(
+        volume_bars_stream(st, BAR_VOLUME),
+        output_mode="append",
+        state_partitions=8,
+    )
+    o_struct = F.struct("o_ts", "o_eid", "o_c")
+    c_struct = F.struct("c_ts", "c_eid", "c_c")
+    return out.groupBy("event_type", "bar_id").agg(
+        F.sum("n_trades").cast("bigint").alias("n_trades"),
+        F.sum("bar_vol").cast("bigint").alias("bar_vol"),
+        F.min(o_struct).getField("o_c").cast("bigint").alias("open_cents"),
+        F.max("hi").cast("bigint").alias("high_cents"),
+        F.min("lo").cast("bigint").alias("low_cents"),
+        F.max(c_struct).getField("c_c").cast("bigint").alias("close_cents"),
+        F.date_format(
+            F.timestamp_micros(F.min("start_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("start_ts"),
+        F.date_format(
+            F.timestamp_micros(F.max("end_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("end_ts"),
+    )

@@ -1504,3 +1504,105 @@ def cusum_stream_ooo(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming volume bars: the subordinated clock as 2 longs of state
+# ---------------------------------------------------------------------------
+
+_VBAR_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bar_id", T.LongType()),
+        T.StructField("n_trades", T.LongType()),
+        T.StructField("bar_vol", T.LongType()),
+        T.StructField("o_ts", T.LongType()),
+        T.StructField("o_eid", T.LongType()),
+        T.StructField("o_c", T.LongType()),
+        T.StructField("c_ts", T.LongType()),
+        T.StructField("c_eid", T.LongType()),
+        T.StructField("c_c", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+# rows seen + cumulative volume: the whole volume clock
+_VBAR_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cum_vol", T.LongType()),
+    ]
+)
+
+
+def _update_volume_bars_factory(bar_volume: int):
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cum = state.get if state.exists else (0, 0)
+        pdf = _concat_sorted(pdfs)
+        if not len(pdf):
+            state.update((n, cum))
+            return
+        vol = pdf["vol"].to_numpy(dtype="int64")
+        cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        eid = pdf["event_id"].to_numpy().astype("int64")
+        pre = np.int64(cum) + np.concatenate(
+            (np.zeros(1, np.int64), np.cumsum(vol)[:-1])
+        )
+        bar = pre // bar_volume
+        g = pd.DataFrame(
+            {"bar_id": bar, "vol": vol, "c": cents, "ts": ts_us, "eid": eid}
+        ).groupby("bar_id", as_index=False, sort=False)
+        # rows are (ts, eid)-sorted, so positional first/last ARE the
+        # bar's open/close and min/max ts its bounds — the partials
+        # combine associatively post-drain via struct min/max
+        part = g.agg(
+            n_trades=("c", "size"),
+            bar_vol=("vol", "sum"),
+            o_ts=("ts", "first"),
+            o_eid=("eid", "first"),
+            o_c=("c", "first"),
+            c_ts=("ts", "last"),
+            c_eid=("eid", "last"),
+            c_c=("c", "last"),
+            hi=("c", "max"),
+            lo=("c", "min"),
+            start_us=("ts", "first"),
+            end_us=("ts", "last"),
+        )
+        state.update((n + len(vol), int(cum + vol.sum())))
+        part.insert(0, "event_type", key[0])
+        yield part
+
+    return _update
+
+
+def volume_bars_stream(
+    events: DataFrame, bar_volume: int, watermark: str = "4 hours"
+) -> DataFrame:
+    """Event-driven VOLUME bars built in-stream: the whole
+    subordinated clock is TWO longs of state per key (rows seen,
+    cumulative volume); each micro-batch assigns its rows to bars by
+    an exclusive-prefix cumsum seeded from the carried total and
+    emits per-bar integer partials (counts, sums, positional
+    open/close carrying their (ts, event_id) for deterministic
+    struct-min/max combination). Bars that straddle micro-batches
+    emit one partial per batch; the post-drain combine is associative,
+    so the drained result hash-matches the batch q_volume_bars oracle
+    exactly. In-order-per-key replay contract as for ewma_stream.
+    Expects integer ``vol`` attached JVM-side."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_volume_bars_factory(bar_volume),
+            outputStructType=_VBAR_OUT,
+            stateStructType=_VBAR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
