@@ -657,3 +657,21 @@ def test_bucketed_join_query_plan(spark, sf_dir):
     assert p.count("Bucketed: true") == 2
     assert p.count("Exchange") == 1
     assert "Exchange hashpartitioning(o_orderpriority" in p
+
+
+def test_microstructure_single_exchange(spark, sf_dir):
+    """Every round-8 microstructure batch operator is ONE hash exchange
+    on event_type: the lag / carry-forward / prefix-cumsum windows all
+    share the key sort (Catalyst reuses it) and the final group-by's
+    keys contain event_type, so ClusteredDistribution is already
+    satisfied — no second shuffle, no SinglePartition anywhere."""
+    for name in (
+        "q_tick_imbalance",
+        "q_volume_bars",
+        "q_cusum",
+        "q_roll_spread",
+        "q_kyle_lambda",
+    ):
+        df = _q(name, spark, sf_dir)
+        assert count_exchanges(df) == 1, name
+        assert "SinglePartition" not in formatted_plan(df), name
