@@ -1751,3 +1751,52 @@ def q_stream_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.max("end_us")), "yyyy-MM-dd HH:mm:ss"
         ).alias("end_ts"),
     )
+
+
+@register(
+    "q_stream_volume_bars_ooo",
+    oracle=_volume_bars_oracle(),
+    tags=("streaming", "stateful", "microstructure", "out-of-order"),
+)
+def q_stream_volume_bars_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars over the OUT-OF-ORDER replay, hash-matching the
+    batch q_volume_bars oracle: bar membership is a prefix sum — one
+    early-folded late row would shift every later bar boundary — so
+    the re-sort buffer guarantees the subordinated clock ticks in
+    exact (ts, event_id) order regardless of arrival."""
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        BAR_VOLUME,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        volume_bars_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    st = st.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    out = run_to_memory(
+        volume_bars_stream_ooo(st, BAR_VOLUME, watermark=delay),
+        output_mode="append",
+        state_partitions=8,
+    ).filter(F.col("event_type") != "__sentinel__")
+    o_struct = F.struct("o_ts", "o_eid", "o_c")
+    c_struct = F.struct("c_ts", "c_eid", "c_c")
+    return out.groupBy("event_type", "bar_id").agg(
+        F.sum("n_trades").cast("bigint").alias("n_trades"),
+        F.sum("bar_vol").cast("bigint").alias("bar_vol"),
+        F.min(o_struct).getField("o_c").cast("bigint").alias("open_cents"),
+        F.max("hi").cast("bigint").alias("high_cents"),
+        F.min("lo").cast("bigint").alias("low_cents"),
+        F.max(c_struct).getField("c_c").cast("bigint").alias("close_cents"),
+        F.date_format(
+            F.timestamp_micros(F.min("start_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("start_ts"),
+        F.date_format(
+            F.timestamp_micros(F.max("end_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("end_ts"),
+    )

@@ -1606,3 +1606,101 @@ def volume_bars_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_VBAR_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("buf_vol", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+        T.StructField("cum_vol", T.LongType()),
+    ]
+)
+
+
+def _update_volume_bars_ooo_factory(bar_volume: int):
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bts, beid, bc, bv, n, cum = state.get
+            buf = (
+                np.asarray(bts, np.int64),
+                np.asarray(beid, np.int64),
+                np.asarray(bc, np.int64),
+                np.asarray(bv, np.int64),
+            )
+        else:
+            buf = (np.empty(0, np.int64),) * 4
+            n, cum = 0, 0
+        new = None if state.hasTimedOut else _new_rows_priced(pdfs, with_vol=True)
+        released, kept = _buffer_release(state, buf, new)
+        if len(released[0]):
+            ts_us, eid, cents, vol = released
+            pre = np.int64(cum) + np.concatenate(
+                (np.zeros(1, np.int64), np.cumsum(vol)[:-1])
+            )
+            g = pd.DataFrame(
+                {
+                    "bar_id": pre // bar_volume,
+                    "vol": vol,
+                    "c": cents,
+                    "ts": ts_us,
+                    "eid": eid,
+                }
+            ).groupby("bar_id", as_index=False, sort=False)
+            part = g.agg(
+                n_trades=("c", "size"),
+                bar_vol=("vol", "sum"),
+                o_ts=("ts", "first"),
+                o_eid=("eid", "first"),
+                o_c=("c", "first"),
+                c_ts=("ts", "last"),
+                c_eid=("eid", "last"),
+                c_c=("c", "last"),
+                hi=("c", "max"),
+                lo=("c", "min"),
+                start_us=("ts", "first"),
+                end_us=("ts", "last"),
+            )
+            n, cum = n + len(vol), int(cum + vol.sum())
+            part.insert(0, "event_type", key[0])
+            yield part
+        _rearm_or_clear(
+            state,
+            kept[0],
+            (
+                kept[0].tolist(),
+                kept[1].tolist(),
+                kept[2].tolist(),
+                kept[3].tolist(),
+                n,
+                cum,
+            ),
+        )
+
+    return _update
+
+
+def volume_bars_stream_ooo(
+    events: DataFrame, bar_volume: int, watermark: str
+) -> DataFrame:
+    """Volume bars over an OUT-OF-ORDER stream: bar assignment is a
+    prefix sum of volume, i.e. fully order-defined, so the re-sort
+    buffer fronts the same positional-partial emission as the in-order
+    twin — shuffled arrival yields the identical bar set. Sentinel
+    rows flow through (post-drain key filter) so the flush watermark
+    advances."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_volume_bars_ooo_factory(bar_volume),
+            outputStructType=_VBAR_OUT,
+            stateStructType=_VBAR_OOO_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -75,6 +75,7 @@ def test_stream_twins_match_batch(spark):
         ("q_tick_imbalance", "q_stream_tick_imbalance_ooo", ["event_type", "hour"]),
         ("q_cusum", "q_stream_cusum_ooo", ["event_type", "ts", "s_value"]),
         ("q_volume_bars", "q_stream_volume_bars", ["event_type", "bar_id"]),
+        ("q_volume_bars", "q_stream_volume_bars_ooo", ["event_type", "bar_id"]),
     ]:
         b = REGISTRY[batch_name].fn(spark, SF_SMOKE)
         s = REGISTRY[stream_name].fn(spark, SF_SMOKE)
