@@ -433,3 +433,122 @@ def q_stream_cdc_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("deleted"))
         .select("user_id", F.col("value").alias("current_value"))
     )
+
+
+def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """The q_stream_cdc_lake_merge pipeline retargeted at the SNAPSHOT
+    lake (lakesnap): every micro-batch commits one immutable version,
+    so the sink leaves behind not just the synced table but its entire
+    replayable history — version k IS the lake after changelog batch k
+    (time travel over the sync, the audit/backfill story a CDC
+    consumer actually needs). Returns the lake path; the query reads
+    the LATEST version, tests walk the history."""
+    import os
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+        snap_read,
+        snap_versions,
+    )
+
+    envelopes = _changelog(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="cdc_snap_src_")
+    envelopes.withColumn(
+        "_bucket", F.ntile(4).over(Window.orderBy("value"))
+    ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
+
+    lake = tempfile.mkdtemp(prefix="cdc_snap_lake_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = (
+            batch_df.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
+            .withColumn("deleted", F.col("_op") == "d")
+            .select(
+                "user_id", "bucket", "value",
+                F.col("_ts_ms").alias("ts_ms"), F.col("_lsn").alias("lsn"),
+                "deleted",
+            )
+        )
+        order = F.struct(F.col("ts_ms"), F.col("lsn"))
+        batch_latest = rows.groupBy("user_id", "bucket").agg(
+            F.max_by(F.struct("value", "ts_ms", "lsn", "deleted"), order).alias("_w")
+        ).select(
+            "user_id", "bucket",
+            F.col("_w.value").alias("value"),
+            F.col("_w.ts_ms").alias("ts_ms"),
+            F.col("_w.lsn").alias("lsn"),
+            F.col("_w.deleted").alias("deleted"),
+        )
+        if not snap_versions(lake):
+            snap_init(s, batch_latest, lake, "bucket", sort_by=("user_id",))
+            return
+        touched = [
+            str(r[0]) for r in batch_latest.select("bucket").distinct().collect()
+        ]
+        cur = (
+            snap_read(s, lake, partitions=touched)
+            .join(
+                F.broadcast(batch_latest.select("user_id").distinct()),
+                "user_id",
+                "left_semi",
+            )
+        )
+        winners = (
+            cur.select(batch_latest.columns)
+            .unionByName(batch_latest)
+            .groupBy("user_id", "bucket")
+            .agg(
+                F.max_by(
+                    F.struct("value", "ts_ms", "lsn", "deleted"),
+                    F.struct(F.col("ts_ms"), F.col("lsn")),
+                ).alias("_w")
+            )
+            .select(
+                "user_id", "bucket",
+                F.col("_w.value").alias("value"),
+                F.col("_w.ts_ms").alias("ts_ms"),
+                F.col("_w.lsn").alias("lsn"),
+                F.col("_w.deleted").alias("deleted"),
+            )
+        )
+        snap_merge(s, lake, winners, key_cols=("user_id",), sort_by=("user_id",))
+
+    stream = (
+        spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    decoded = decode_envelope(stream, ROW_SCHEMA)
+    q = (
+        decoded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(lake, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return lake
+
+
+@register("q_stream_cdc_snap_merge", oracle=_ORACLE, tags=("cdc", "streaming", "sink", "lakesnap"))
+def q_stream_cdc_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream -> SNAPSHOT lake: q_stream_cdc_lake_merge's
+    out-of-lsn-order replay and soft-delete tombstone resolution, but
+    every micro-batch is one atomic manifest commit — the sink
+    produces the synced table AND its full version history (batch k's
+    state = version k, time-travel-readable until vacuumed; pinned in
+    tests/test_lakesnap.py). The final tombstone-filtered state
+    hash-matches the same oracle as q_cdc_materialize, so correctness
+    of the versioned path is held to the identical bar as the
+    plain-parquet CoW sink."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    lake = _cdc_snap_pipeline(spark, sf_dir)
+    return (
+        snap_read(spark, lake)
+        .filter(~F.col("deleted"))
+        .select("user_id", F.col("value").alias("current_value"))
+    )

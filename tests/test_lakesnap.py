@@ -147,3 +147,33 @@ def test_vacuum_retention(spark, snap_table):
     assert snap_read(spark, path).count() == latest_before
     with pytest.raises(FileNotFoundError):
         snap_read(spark, path, 1)
+
+
+def test_cdc_snap_history(spark):
+    """The versioned CDC sink leaves one readable version per
+    micro-batch; the final version's live state equals the batch
+    materialization."""
+    import pyspark.sql.functions as F
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.cdc_q import (
+        _cdc_snap_pipeline,
+    )
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_read,
+        snap_versions,
+    )
+
+    lake = _cdc_snap_pipeline(spark, SF_SMOKE)
+    versions = snap_versions(lake)
+    assert versions == [1, 2, 3, 4]  # one commit per changelog batch
+    for v in versions:
+        assert snap_read(spark, lake, v).count() > 0
+    final = (
+        snap_read(spark, lake)
+        .filter(~F.col("deleted"))
+        .select("user_id", F.col("value").alias("current_value"))
+    )
+    truth = REGISTRY["q_cdc_materialize"].fn(spark, SF_SMOKE)
+    assert final.exceptAll(truth).count() == 0
+    assert truth.exceptAll(final).count() == 0
