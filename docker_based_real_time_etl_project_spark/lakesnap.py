@@ -86,9 +86,35 @@ def _publish(path: str, manifest: dict) -> None:
     os.rename(tmp, final)
 
 
-def _commit_entries(path: str, commit_rel: str, partition_col: str) -> list[dict]:
+def _file_minmax(full: str, column: str):
+    """(min, max) of ``column`` over one parquet file, straight from
+    footer statistics — read once at commit time, never again."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if column not in idx:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx[column]).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or not isinstance(lo, (int, float, str)):
+        return None  # only JSON-safe scalar stats ride the manifest
+    return [lo, hi]
+
+
+def _commit_entries(
+    path: str, commit_rel: str, partition_col: str, stats_col: str | None = None
+) -> list[dict]:
     """Manifest entries for every data file under one commit dir,
-    partition value decoded from the Hive-style directory name."""
+    partition value decoded from the Hive-style directory name; with
+    ``stats_col``, each NEW file's footer min/max for that column is
+    hoisted into its manifest row (Iceberg's manifest-stats idea), so
+    later range reads prune files from metadata alone."""
     root = os.path.join(path, commit_rel)
     out = []
     prefix = f"{partition_col}="
@@ -96,7 +122,8 @@ def _commit_entries(path: str, commit_rel: str, partition_col: str) -> list[dict
         for f in files:
             if not f.endswith(".parquet") or f.startswith(("_", ".")):
                 continue
-            rel = os.path.relpath(os.path.join(dirpath, f), path)
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, path)
             part = next(
                 (
                     unquote(seg[len(prefix):])
@@ -105,7 +132,12 @@ def _commit_entries(path: str, commit_rel: str, partition_col: str) -> list[dict
                 ),
                 None,
             )
-            out.append({"path": rel, "partition": part})
+            e = {"path": rel, "partition": part}
+            if stats_col is not None:
+                mm = _file_minmax(full, stats_col)
+                if mm is not None:
+                    e["stats"] = mm
+            out.append(e)
     return out
 
 
@@ -116,6 +148,7 @@ def snap_init(
     partition_col: str,
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
+    stats_col: str | None = None,
 ) -> int:
     """Create version 1 of a snapshot table from ``df``. The data
     write reuses the clustered layout contract (partition dirs +
@@ -134,7 +167,10 @@ def snap_init(
         {
             "version": 1,
             "partition_col": partition_col,
-            "entries": _commit_entries(path, commit_rel, partition_col),
+            "stats_col": stats_col,
+            "entries": _commit_entries(
+                path, commit_rel, partition_col, stats_col
+            ),
         },
     )
     return 1
@@ -145,6 +181,7 @@ def snap_read(
     path: str,
     version: int | None = None,
     partitions: Sequence[str] | None = None,
+    range_filter: tuple | None = None,
 ) -> DataFrame:
     """Read a snapshot version (default: latest). ``partitions``
     prunes to named partition values USING ONLY THE MANIFEST — no
@@ -167,6 +204,17 @@ def snap_read(
     if partitions is not None:
         want = {str(p) for p in partitions}
         entries = [e for e in entries if str(e["partition"]) in want]
+    if range_filter is not None:
+        # file-level skipping from MANIFEST stats alone — no footer
+        # reads for pruned files. Files without stats are kept (safe).
+        # The caller still applies the row-level predicate; this only
+        # shrinks the file set, exactly like Iceberg manifest pruning.
+        lo, hi = range_filter
+        entries = [
+            e
+            for e in entries
+            if "stats" not in e or not (e["stats"][0] > hi or e["stats"][1] < lo)
+        ]
     by_commit: dict[str, list[str]] = {}
     for e in entries:
         commit = e["path"].split(os.sep)[0]
@@ -205,6 +253,7 @@ def snap_merge(
         raise FileNotFoundError(f"snap_merge on uninitialized table {path}")
     cur = _read_manifest(path, versions[-1])
     partition_col = cur["partition_col"]
+    stats_col = cur.get("stats_col")
     key_cols = list(key_cols)
     touched = {
         str(r[0]) for r in updates.select(partition_col).distinct().collect()
@@ -231,7 +280,9 @@ def snap_merge(
         {
             "version": new_version,
             "partition_col": partition_col,
-            "entries": carried + _commit_entries(path, commit_rel, partition_col),
+            "stats_col": stats_col,
+            "entries": carried
+            + _commit_entries(path, commit_rel, partition_col, stats_col),
         },
     )
     return new_version
@@ -305,3 +356,74 @@ def snap_vacuum(
         if dirpath != path and not dirs and not files:
             shutil.rmtree(dirpath, ignore_errors=True)
     return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
+
+def snap_files(
+    path: str,
+    version: int | None = None,
+    partitions: Sequence[str] | None = None,
+    range_filter: tuple | None = None,
+) -> list[str]:
+    """The relative data-file list a snap_read with the same arguments
+    would open — metadata-only (audit/test helper for the pruning
+    contracts)."""
+    versions = snap_versions(path)
+    v = versions[-1] if version is None else version
+    entries = _read_manifest(path, v)["entries"]
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        entries = [e for e in entries if str(e["partition"]) in want]
+    if range_filter is not None:
+        lo, hi = range_filter
+        entries = [
+            e
+            for e in entries
+            if "stats" not in e or not (e["stats"][0] > hi or e["stats"][1] < lo)
+        ]
+    return [e["path"] for e in entries]
+
+
+def snap_compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    sort_by: Sequence[str] = (),
+) -> int:
+    """Compaction AS A COMMIT: rewrite the latest version's data into
+    target-sized clustered files in a fresh commit dir and publish it
+    as version N+1 whose manifest references ONLY the new files. Unlike
+    lakewrite.compact_dir's rename swap, this needs no maintenance
+    window — readers of any committed version are untouched (their
+    files are immutable), the swap is the usual one-rename manifest
+    publish, and the small-file debris disappears for good when
+    retention vacuums the pre-compaction versions. This is exactly
+    Iceberg/Delta ``rewrite_data_files`` / OPTIMIZE."""
+    import math
+
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_compact on uninitialized table {path}")
+    cur = _read_manifest(path, versions[-1])
+    partition_col, stats_col = cur["partition_col"], cur.get("stats_col")
+    df = snap_read(spark, path, versions[-1])
+    rows = df.count()
+    new_version = versions[-1] + 1
+    commit_rel = f"c{new_version:06d}"
+    write_clustered(
+        df,
+        os.path.join(path, commit_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+        n_partitions=max(1, math.ceil(rows / target_rows_per_file)),
+    )
+    _publish(
+        path,
+        {
+            "version": new_version,
+            "partition_col": partition_col,
+            "stats_col": stats_col,
+            "entries": _commit_entries(path, commit_rel, partition_col, stats_col),
+        },
+    )
+    return new_version

@@ -177,3 +177,53 @@ def test_cdc_snap_history(spark):
     truth = REGISTRY["q_cdc_materialize"].fn(spark, SF_SMOKE)
     assert final.exceptAll(truth).count() == 0
     assert truth.exceptAll(final).count() == 0
+
+
+def test_manifest_stats_prune_files(spark):
+    """Range reads prune FILES from manifest min/max stats alone, and
+    the pruned read returns exactly the filtered rows."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_files
+
+    path = tempfile.mkdtemp(prefix="snapstats_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(
+        spark, orders, path, "o_orderpriority",
+        sort_by=("o_orderkey",), target_rows_per_file=200,
+        stats_col="o_orderkey",
+    )
+    lo, hi = 100, 300
+    all_files = snap_files(path)
+    pruned = snap_files(path, range_filter=(lo, hi))
+    assert len(pruned) < len(all_files)  # sorted layout => tight stats
+    got = snap_read(spark, path, range_filter=(lo, hi)).filter(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    truth = orders.filter(F.col("o_orderkey").between(lo, hi))
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
+
+
+def test_compaction_is_a_commit(spark):
+    """snap_compact publishes a new version with only fresh files;
+    prior versions stay readable until vacuumed; data identical."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_compact,
+        snap_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcompact_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(
+        spark, orders, path, "o_orderpriority",
+        sort_by=("o_orderkey",), target_rows_per_file=100,
+    )
+    files_before = len(snap_files(path))
+    v2 = snap_compact(spark, path, target_rows_per_file=100_000,
+                      sort_by=("o_orderkey",))
+    assert v2 == 2
+    assert len(snap_files(path, 2)) < files_before
+    assert all(p.startswith("c000002") for p in snap_files(path, 2))
+    a, b = snap_read(spark, path, 1), snap_read(spark, path, 2)
+    cols = orders.columns
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
