@@ -759,3 +759,93 @@ def q_lake_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_old.o_totalprice") * 100).cast("bigint").alias("old_cents"),
         F.round(F.col("_new.o_totalprice") * 100).cast("bigint").alias("new_cents"),
     )
+
+
+@register(
+    "q_lake_incremental_agg",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice,
+               FALSE AS del
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 103 = 5
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_orderpriority, o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 101 = 3
+    ), merged AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM upd WHERE NOT del
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderpriority
+    """,
+    tags=("cdc", "layout", "scale", "lakesnap"),
+)
+def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE from the snapshot change feed: a
+    per-partition aggregate built on version 1 is rolled forward to
+    version 2 by applying snap_diff's deltas — O(changes) work, the
+    table is never rescanned — and must hash-match the oracle's DIRECT
+    aggregation of the post-merge state. This is what the versioned
+    lake's change feed is FOR: the q_cdc_agg_incremental pattern with
+    the lake itself as the changelog source (Delta CDF -> incremental
+    materialized view). Exactness: both paths sum through
+    DECIMAL(25,10) — decimal addition is exact and commutative, so
+    base + delta equals the direct sum bit-for-bit after the one
+    string-hop cast to double."""
+    from docker_based_real_time_etl_project_spark.functions import (
+        DEC,
+        _dec_to_double,
+    )
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_diff,
+        snap_read,
+    )
+
+    path = _orders_snap(spark, sf_dir)
+    base = (
+        snap_read(spark, path, 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("t0"),
+        )
+    )
+    ct = F.col("change_type")
+    delta = (
+        snap_diff(spark, path, 1, 2, key_cols=("o_orderkey",))
+        .select(
+            F.coalesce(
+                F.col("_new.o_orderpriority"), F.col("_old.o_orderpriority")
+            ).alias("o_orderpriority"),
+            F.when(ct == "insert", 1).when(ct == "delete", -1).otherwise(0).alias(
+                "dn"
+            ),
+            (
+                F.coalesce(
+                    F.col("_new.o_totalprice").cast(DEC), F.lit(0).cast(DEC)
+                )
+                - F.coalesce(
+                    F.col("_old.o_totalprice").cast(DEC), F.lit(0).cast(DEC)
+                )
+            ).alias("dt"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum("dt").alias("dt"))
+    )
+    return base.join(delta, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        (F.col("n0") + F.coalesce(F.col("dn"), F.lit(0))).cast("bigint").alias(
+            "n_rows"
+        ),
+        _dec_to_double(
+            F.col("t0") + F.coalesce(F.col("dt"), F.lit(0).cast(DEC))
+        ).alias("total_price"),
+    )
