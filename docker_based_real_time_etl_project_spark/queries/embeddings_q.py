@@ -239,3 +239,126 @@ def q_embed_quantize_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(err).alias("max_err_u"),
         F.sum(err).cast("bigint").alias("sum_err_u"),
     )
+
+
+@register(
+    "q_embed_gram",
+    oracle="""
+    SELECT CAST(ti.i AS BIGINT) AS i, CAST(tj.j AS BIGINT) AS j,
+           CAST(SUM(CAST(ROUND(CAST(embedding[ti.i + 1] AS DOUBLE)
+                               * CAST(embedding[tj.j + 1] AS DOUBLE)
+                               * 1e9) AS BIGINT)) AS BIGINT) AS gram_nano,
+           COUNT(*) AS n_vecs
+    FROM embeddings, range(0, 64) ti(i), range(0, 64) tj(j)
+    WHERE tj.j >= ti.i
+    GROUP BY ti.i, tj.j
+    """,
+    tags=("embedding", "scale"),
+)
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAMIAN of the embedding matrix (upper triangle of
+    Σ x xᵀ, long format) — the one aggregate from which covariance /
+    PCA / whitening / OPQ rotations are all derived. Each row expands
+    to its d(d+1)/2 products ROW-SIDE via nested array transforms (no
+    self-join, no shuffle of raw vectors); the single hash aggregate
+    then moves O(partitions x d²) partials, so the wire cost at 100 TB
+    is independent of corpus size. Products are snapped to integer
+    NANO-units per row (the q_embed_centroids discipline: double
+    products are bit-deterministic per row, the 1e-9 quantization is
+    far below float32 input precision, and the bigint sum is exact and
+    order-free — no decimal-cast divergence, no float sum order
+    sensitivity)."""
+    e = table(spark, sf_dir, "embeddings")
+    pair = F.explode(
+        F.expr(
+            """
+            flatten(transform(embedding, (x, i) ->
+              transform(slice(embedding, i + 1, size(embedding) - i), (y, k) ->
+                struct(CAST(i AS BIGINT) AS i,
+                       CAST(i + k AS BIGINT) AS j,
+                       CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9)
+                            AS BIGINT) AS p))))
+            """
+        )
+    ).alias("pr")
+    return (
+        e.select(pair)
+        .select("pr.i", "pr.j", "pr.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").cast("bigint").alias("gram_nano"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+_PCA_K = 8
+
+
+@register("q_embed_pca", oracle=None, tags=("embedding", "scale"))
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embeddings onto the top-k principal
+    components — the whitening / dimensionality-reduction step of
+    embedding pipelines (and the rotation OPQ trains for PQ codes).
+
+    Scale shape (the textbook two-pass distributed PCA): the ONLY
+    distributed aggregates are the Gramian (q_embed_gram's row-side
+    pair expansion, O(partitions x d²) wire) and the d column means;
+    the driver does O(d²) work — eigh of a 64x64 covariance — which is
+    corpus-independent, then the projection is a stock expression
+    (zip_with dot product against literal component vectors) running
+    in codegen, no Python per row.
+
+    Rows-only by necessity: eigenvector SIGN is arbitrary (pinned here
+    by largest-|component| positive, but not an engine-portable SQL
+    contract) and eigh is not SQL-expressible. The oracled surface is
+    q_embed_gram (the distributed part); tests/test_pca.py pins the
+    math: per-component projection variance equals its eigenvalue,
+    components are pairwise decorrelated, and top-k explained variance
+    dominates any k raw coordinates."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    d = 64
+    g_rows = q_embed_gram(spark, sf_dir).collect()  # O(d²), corpus-independent
+    n = g_rows[0]["n_vecs"]
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram_nano"] / 1e9
+    m_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.round(F.col("v").cast("double") * 1e9).cast("bigint")).alias("s"))
+        .collect()
+    )
+    m = np.zeros(d)
+    for r in m_rows:
+        m[r["pos"]] = r["s"] / 1e9 / n
+    C = G / n - np.outer(m, m)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:_PCA_K]
+    comps, eigvals = V[:, order], w[order]
+    # deterministic sign: largest-|entry| coordinate made positive
+    for c in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    projected = []
+    for c in range(comps.shape[1]):
+        lit_vec = F.array(*[F.lit(float(x)) for x in comps[:, c]])
+        offset = float(m @ comps[:, c])
+        dot = F.aggregate(
+            F.zip_with("embedding", lit_vec, lambda x, v: x.cast("double") * v),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projected.append(
+            F.struct(
+                F.lit(c).cast("int").alias("comp"),
+                (dot - F.lit(offset)).alias("proj"),
+                F.lit(float(eigvals[c])).alias("eigenvalue"),
+            )
+        )
+    return e.select(
+        "vec_id", "label", F.explode(F.array(*projected)).alias("p")
+    ).select("vec_id", "label", "p.comp", "p.proj", "p.eigenvalue")

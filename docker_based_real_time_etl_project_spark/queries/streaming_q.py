@@ -1800,3 +1800,57 @@ def q_stream_volume_bars_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.max("end_us")), "yyyy-MM-dd HH:mm:ss"
         ).alias("end_ts"),
     )
+
+
+def _kyle_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _KYLE_ORACLE,
+    )
+
+    return _KYLE_ORACLE
+
+
+@register(
+    "q_stream_kyle_lambda",
+    oracle=_kyle_oracle(),
+    tags=("streaming", "stateful", "microstructure"),
+)
+def q_stream_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle lambda maintained ONLINE: the five OLS sums are associative
+    integers, so the stream emits one int64 partial row per key per
+    micro-batch (3 longs of tick-sign state) and the post-drain combine
+    sums them in DECIMAL(38,0) — where the cross terms outgrow int64 —
+    before the one integer division. Hash-matches the batch
+    q_kyle_lambda oracle: live price-impact estimation over an
+    unbounded trade stream with O(keys) state. In-order-per-key replay
+    contract as for q_stream_ewma."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        kyle_stream,
+    )
+
+    st = _stream(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    out = run_to_memory(
+        kyle_stream(st), output_mode="append", state_partitions=8
+    )
+    dec = "decimal(38,0)"
+    g = out.groupBy("event_type").agg(
+        F.sum(F.col("n_obs").cast(dec)).alias("n"),
+        F.sum(F.col("sxy").cast(dec)).alias("sxy"),
+        F.sum(F.col("sx").cast(dec)).alias("sx"),
+        F.sum(F.col("sy").cast(dec)).alias("sy"),
+        F.sum(F.col("sx2").cast(dec)).alias("sx2"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.expr(
+            "CAST(CAST((n*sxy - sx*sy) AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(CAST(n*sx2 - sx*sx AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("lambda_micro"),
+    )

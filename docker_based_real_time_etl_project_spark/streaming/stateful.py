@@ -1142,7 +1142,10 @@ def _tick_sign_fold(
     seeded by the carried (row count, last price, last non-zero sign).
     Sign of the delta chain, zero ticks forward-filled from the last
     non-zero sign by an index maximum-accumulate. Returns the updated
-    carry and the per-row effective signs."""
+    carry, the per-row effective signs, and the per-row deltas (row 0
+    of a FRESH key has no predecessor; its delta is reported as 0 and
+    must be excluded by consumers that need true deltas, exactly as
+    the batch operators drop the first NULL lag)."""
     if n == 0:
         d = np.concatenate((np.zeros(1, np.int64), np.diff(cents)))
     else:
@@ -1152,7 +1155,7 @@ def _tick_sign_fold(
     np.maximum.accumulate(idx, out=idx)
     eff = np.where(idx >= 0, raw[np.maximum(idx, 0)], np.int64(last_sign))
     new_sign = int(eff[-1]) if eff[-1] else last_sign
-    return n + len(cents), int(cents[-1]), new_sign, eff
+    return n + len(cents), int(cents[-1]), new_sign, eff, d
 
 
 def _tick_partials(hour: "np.ndarray", eff: "np.ndarray", vol: "np.ndarray") -> pd.DataFrame:
@@ -1186,7 +1189,7 @@ def _update_tick_imbalance(
         state.update((n, last, last_sign))
         return
     cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-    n, last, last_sign, eff = _tick_sign_fold(n, last, last_sign, cents)
+    n, last, last_sign, eff, _ = _tick_sign_fold(n, last, last_sign, cents)
     part = _tick_partials(
         pdf["hour"].to_numpy(), eff, pdf["vol"].to_numpy(dtype="int64")
     )
@@ -1384,7 +1387,9 @@ def _update_tick_imbalance_ooo(
     new = None if state.hasTimedOut else _new_rows_priced(pdfs, with_vol=True)
     released, kept = _buffer_release(state, buf, new)
     if len(released[0]):
-        n, last, last_sign, eff = _tick_sign_fold(n, last, last_sign, released[2])
+        n, last, last_sign, eff, _ = _tick_sign_fold(
+            n, last, last_sign, released[2]
+        )
         part = _tick_partials(_hour_str_from_us(released[0]), eff, released[3])
         part.insert(0, "event_type", key[0])
         yield part
@@ -1702,5 +1707,76 @@ def volume_bars_stream_ooo(
             stateStructType=_VBAR_OOO_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Kyle lambda: the online regression as five integer partials
+# ---------------------------------------------------------------------------
+
+_KYLE_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("sxy", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sy", T.LongType()),
+        T.StructField("sx2", T.LongType()),
+    ]
+)
+
+
+def _update_kyle(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Online price-impact regression: the five OLS sums are
+    associative, so each batch emits one int64 PARTIAL row per key
+    (y = price delta from the carried last price, x = tick-signed
+    volume; the first row of a fresh key has no delta and is excluded,
+    matching the batch operator's NULL-lag drop). State stays the
+    tick-sign carry — 3 longs. The slope itself is computed post-drain
+    in DECIMAL(38,0), where the cross terms outgrow int64."""
+    n, last, last_sign = state.get if state.exists else (0, 0, 0)
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        state.update((n, last, last_sign))
+        return
+    fresh = n == 0
+    cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    n, last, last_sign, eff, d = _tick_sign_fold(n, last, last_sign, cents)
+    x = eff * pdf["vol"].to_numpy(dtype="int64")
+    y = d
+    if fresh:
+        x, y = x[1:], y[1:]
+    if not len(x):
+        state.update((n, last, last_sign))
+        return
+    state.update((n, last, last_sign))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_obs": [len(x)],
+            "sxy": [int((x * y).sum())],
+            "sx": [int(x.sum())],
+            "sy": [int(y.sum())],
+            "sx2": [int((x * x).sum())],
+        }
+    )
+
+
+def kyle_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming Kyle-lambda partials;
+    in-order-per-key replay contract as for ewma_stream. Expects
+    integer ``vol`` attached JVM-side."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_kyle,
+            outputStructType=_KYLE_OUT,
+            stateStructType=_TICKIMB_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

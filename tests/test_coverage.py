@@ -75,6 +75,10 @@ ALLOWED_ROWS_ONLY = {
     # code assignments are codebook/engine-side; q_ann_pq_recall is the
     # oracled contract twin (same pattern as the LSH/IVF pairs)
     "q_ann_pq",
+    # eigenvector sign is arbitrary and eigh is not SQL-expressible;
+    # the distributed aggregate underneath (q_embed_gram) is fully
+    # hash-oracled and tests/test_pca.py pins the math
+    "q_embed_pca",
     "q_media_features",
     "q_stream_session_window",
     "q_stream_dedup_latest",
