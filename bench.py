@@ -82,6 +82,8 @@ HEADLINE = [
     "q_tick_imbalance",      # tick-rule signed order-flow imbalance
     "q_volume_bars",         # OHLCV on a volume clock
     "q_cusum",               # CUSUM change-point alarms, closed form
+    "q_kyle_lambda",         # OLS price impact, decimal cross terms
+    "q_embed_gram",          # distributed Gramian, row-side pair expansion
 ]
 
 
