@@ -114,7 +114,14 @@ def _make_attach_asof(tolerance_us: int | None):
         pdf = pdf.sort_values(
             ["ts", "side", "event_id"], kind="mergesort"
         ).reset_index(drop=True)
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ts = pdf["ts"]
+        if getattr(ts.dtype, "tz", None) is not None:
+            # Arrow can hand this fold tz-aware timestamps; numpy's
+            # tz-aware->datetime64 parse is deprecated (future pandas
+            # raises). Session tz is pinned UTC, so stripping the zone
+            # after converting to UTC is value-identical.
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_us = ts.to_numpy().astype("datetime64[us]").astype("int64")
         side = pdf["side"].to_numpy()
         eid = pdf["event_id"].to_numpy()
         val = pdf["value"].to_numpy()
