@@ -1854,3 +1854,58 @@ def q_stream_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(CAST(n*sx2 - sx*sx AS DECIMAL(38,0)), 0) AS BIGINT)"
         ).alias("lambda_micro"),
     )
+
+
+def _roll_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _ROLL_ORACLE,
+    )
+
+    return _ROLL_ORACLE
+
+
+@register(
+    "q_stream_roll_spread",
+    oracle=_roll_oracle(),
+    tags=("streaming", "stateful", "microstructure"),
+)
+def q_stream_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll implied spread maintained ONLINE: per-(key, day) integer
+    serial-covariance partials over three longs of state (last price,
+    last delta); the post-drain combine sums partials and applies the
+    one IEEE sqrt — hash-matching the batch q_roll_spread oracle.
+    Spread monitoring at ingest time with O(keys) state.
+    In-order-per-key replay contract as for q_stream_ewma."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        roll_stream,
+    )
+
+    st = _stream(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    out = run_to_memory(
+        roll_stream(st), output_mode="append", state_partitions=8
+    )
+    g = out.groupBy("event_type", "day").agg(
+        F.sum("n_pairs").alias("n"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return g.filter(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_deltas"),
+        cov.cast("bigint").alias("cov_num"),
+        F.when(
+            cov < 0,
+            F.round(2.0 * F.sqrt((-cov).cast("double")) / F.col("n") * 100).cast(
+                "bigint"
+            ),
+        ).alias("roll_spread_centi"),
+    )

@@ -1787,3 +1787,86 @@ def kyle_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Roll spread: serial-covariance partials over 3 longs of state
+# ---------------------------------------------------------------------------
+
+_ROLL_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("sxy", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sy", T.LongType()),
+    ]
+)
+# rows seen, last price, last delta (valid iff rows seen >= 2)
+_ROLL_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("last_d", T.LongType()),
+    ]
+)
+
+
+def _update_roll(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(key, day) serial-covariance PARTIALS (n, Σd₁d₀, Σd₁, Σd₀)
+    for the Roll estimator: the delta chain is seeded by the carried
+    last price, the lagged delta by the carried last delta, and a row
+    contributes iff its GLOBAL index ≥ 2 (both deltas defined —
+    exactly the batch operator's double-NULL-lag drop). Integer
+    partials are associative; the spread's sqrt happens post-drain."""
+    n, last_c, last_d = state.get if state.exists else (0, 0, 0)
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        state.update((n, last_c, last_d))
+        return
+    cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    m = len(cents)
+    if n == 0:
+        d = np.concatenate((np.zeros(1, np.int64), np.diff(cents)))
+    else:
+        d = np.diff(np.concatenate((np.asarray([last_c], np.int64), cents)))
+    d0 = np.concatenate((np.asarray([last_d], np.int64), d[:-1]))
+    valid = (n + np.arange(m)) >= 2
+    state.update((n + m, int(cents[-1]), int(d[-1])))
+    if not valid.any():
+        return
+    part = (
+        pd.DataFrame(
+            {
+                "day": pdf["day"].to_numpy()[valid],
+                "n_pairs": np.ones(int(valid.sum()), np.int64),
+                "sxy": (d * d0)[valid],
+                "sx": d[valid],
+                "sy": d0[valid],
+            }
+        )
+        .groupby("day", as_index=False, sort=False)
+        .sum()
+    )
+    part.insert(0, "event_type", key[0])
+    yield part
+
+
+def roll_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming Roll-spread partials; in-order-per-key
+    replay contract as for ewma_stream. Expects a formatted ``day``
+    column attached JVM-side."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_roll,
+            outputStructType=_ROLL_OUT,
+            stateStructType=_ROLL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

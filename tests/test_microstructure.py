@@ -76,6 +76,8 @@ def test_stream_twins_match_batch(spark):
         ("q_cusum", "q_stream_cusum_ooo", ["event_type", "ts", "s_value"]),
         ("q_volume_bars", "q_stream_volume_bars", ["event_type", "bar_id"]),
         ("q_volume_bars", "q_stream_volume_bars_ooo", ["event_type", "bar_id"]),
+        ("q_roll_spread", "q_stream_roll_spread", ["event_type", "day"]),
+        ("q_kyle_lambda", "q_stream_kyle_lambda", ["event_type"]),
     ]:
         b = REGISTRY[batch_name].fn(spark, SF_SMOKE)
         s = REGISTRY[stream_name].fn(spark, SF_SMOKE)
