@@ -321,14 +321,15 @@ def snap_diff(
 
 
 def snap_vacuum(
-    path: str, keep_last: int = 2, min_age_sec: float = 0.0
+    path: str, keep_last: int = 2, min_age_sec: float = 3600.0
 ) -> dict[str, int]:
     """Reclaim storage: drop all but the last ``keep_last`` manifests,
     then delete data files no retained manifest references (subject to
     ``min_age_sec``, the retention guard against racing readers of a
-    just-expired version — Delta VACUUM's retention interval). Time
-    travel contracts shrink accordingly; the latest version is never
-    touched."""
+    just-expired version — Delta VACUUM's retention interval, default
+    1 h to match lakewrite.vacuum_dir; pass 0.0 explicitly for tests).
+    Time travel contracts shrink accordingly; the latest version is
+    never touched."""
     versions = snap_versions(path)
     retained = versions[-max(1, keep_last):]
     referenced = set()
@@ -366,9 +367,14 @@ def snap_files(
 ) -> list[str]:
     """The relative data-file list a snap_read with the same arguments
     would open — metadata-only (audit/test helper for the pruning
-    contracts)."""
+    contracts). Mirrors snap_read's error contract: FileNotFoundError
+    on an uninitialized table or an absent version."""
     versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
     v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot version {v} not found at {path}")
     entries = _read_manifest(path, v)["entries"]
     if partitions is not None:
         want = {str(p) for p in partitions}

@@ -234,7 +234,16 @@ def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
     """One genuine media FILE per selected doc (doc_id % 5 == 0),
     written from EXECUTORS via mapInPandas (no driver bytes), once per
     (sf_dir, data fingerprint). Models an object-store landing zone of
-    crawled media blobs."""
+    crawled media blobs.
+
+    LOCAL-MODE ASSUMPTION: executor tasks write into a driver-created
+    local temp dir, which only lands in one place because local[*]
+    executors share the driver filesystem. On a real cluster the
+    landing zone must be a SHARED path (object store / DFS scratch
+    root) — same mapInPandas write, different ``out``. The listing
+    count is verified against the expected doc count after the write
+    and fails loudly on any mismatch, so a mis-configured scratch path
+    can't silently produce a partial directory."""
     import os
     import tempfile
 
@@ -260,9 +269,19 @@ def _media_files_dir(spark: SparkSession, sf_dir: str) -> str:
                         fh.write(bytes(blob))
                 yield pd.DataFrame({"n": [len(pdf)]})
 
+        expected = media.count()
         media.select("media_id", "content").mapInPandas(write, "n long").agg(
             F.sum("n")
         ).collect()
+        written = len(
+            [f for f in os.listdir(out) if f.startswith("media_")]
+        )
+        if written != expected:
+            raise RuntimeError(
+                f"media landing zone incomplete: {written}/{expected} files "
+                f"in {out} — executors must share the landing path (use a "
+                "shared scratch root on a real cluster)"
+            )
         return out
 
     return materialize_once(

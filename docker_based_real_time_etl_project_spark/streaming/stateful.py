@@ -114,14 +114,7 @@ def _make_attach_asof(tolerance_us: int | None):
         pdf = pdf.sort_values(
             ["ts", "side", "event_id"], kind="mergesort"
         ).reset_index(drop=True)
-        ts = pdf["ts"]
-        if getattr(ts.dtype, "tz", None) is not None:
-            # Arrow can hand this fold tz-aware timestamps; numpy's
-            # tz-aware->datetime64 parse is deprecated (future pandas
-            # raises). Session tz is pinned UTC, so stripping the zone
-            # after converting to UTC is value-identical.
-            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-        ts_us = ts.to_numpy().astype("datetime64[us]").astype("int64")
+        ts_us = _ts_us(pdf["ts"])
         side = pdf["side"].to_numpy()
         eid = pdf["event_id"].to_numpy()
         val = pdf["value"].to_numpy()
@@ -367,6 +360,20 @@ _EWMA_STATE = T.StructType(
 )
 
 
+def _ts_us(series: pd.Series) -> "np.ndarray":
+    """Timestamp series -> int64 microseconds-since-epoch, tz-safe.
+
+    Arrow can hand applyInPandasWithState folds tz-aware timestamps;
+    numpy's tz-aware->datetime64 parse is deprecated (future pandas
+    raises). The session tz is pinned UTC, so converting to UTC and
+    stripping the zone is value-identical. Shared by every stateful
+    fold that needs integer event time (round-8 advice: the guard
+    originally lived only in the asof fold)."""
+    if getattr(series.dtype, "tz", None) is not None:
+        series = series.dt.tz_convert("UTC").dt.tz_localize(None)
+    return series.to_numpy().astype("datetime64[us]").astype("int64")
+
+
 def _concat_sorted(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
     """ALL of a group's Arrow chunks for this micro-batch, concatenated
     BEFORE the (ts, event_id) sort. applyInPandasWithState splits a
@@ -537,7 +544,7 @@ def _update_rsi(
         state.update((n, last, list(diffs)))
         return
     cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ts_us = _ts_us(pdf["ts"])
     n, last, diffs, out = _rsi_fold(n, last, list(diffs), cents, ts_us)
     state.update((n, last, diffs))
     out.insert(0, "event_type", key[0])
@@ -628,7 +635,7 @@ def _update_bollinger(
         state.update((list(ring),))
         return
     cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ts_us = _ts_us(pdf["ts"])
     ring, out = _boll_fold(list(ring), cents, ts_us)
     state.update((ring,))
     out.insert(0, "event_type", key[0])
@@ -718,7 +725,7 @@ def _new_rows(pdfs: Iterable[pd.DataFrame], value_dtype: str):
         return None
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     return (
-        pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+        _ts_us(pdf["ts"]),
         pdf["event_id"].to_numpy().astype("int64"),
         pdf["value"].to_numpy().astype(value_dtype)
         if value_dtype == "float64"
@@ -1262,7 +1269,7 @@ def make_cusum_update(targets: dict, k_cents: int, h_cents: int):
             state.update((cum, runmin, prev_s))
             return
         cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ts_us = _ts_us(pdf["ts"])
         new_state, out = _cusum_fold(
             (cum, runmin, prev_s), cents, ts_us,
             targets.get(key[0], 0), k_cents, h_cents,
@@ -1351,7 +1358,7 @@ def _new_rows_priced(pdfs: Iterable[pd.DataFrame], with_vol: bool):
         return None
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     cols = [
-        pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+        _ts_us(pdf["ts"]),
         pdf["event_id"].to_numpy().astype("int64"),
         pdf["value"].mul(100).round().astype("int64").to_numpy(),
     ]
@@ -1560,7 +1567,7 @@ def _update_volume_bars_factory(bar_volume: int):
             return
         vol = pdf["vol"].to_numpy(dtype="int64")
         cents = pdf["value"].mul(100).round().astype("int64").to_numpy()
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ts_us = _ts_us(pdf["ts"])
         eid = pdf["event_id"].to_numpy().astype("int64")
         pre = np.int64(cum) + np.concatenate(
             (np.zeros(1, np.int64), np.cumsum(vol)[:-1])

@@ -140,8 +140,12 @@ def test_diff_is_the_change_feed(spark, snap_table):
 def test_vacuum_retention(spark, snap_table):
     path, _, orders = snap_table
     latest_before = snap_read(spark, path).count()
-    res = snap_vacuum(path, keep_last=1)
-    assert res["removed_manifests"] == 1
+    # default retention (1 h, Delta-style) spares just-written files so
+    # a racing reader of an expired version can't lose its data mid-read
+    guarded = snap_vacuum(path, keep_last=1)
+    assert guarded["removed_files"] == 0
+    assert guarded["removed_manifests"] == 1
+    res = snap_vacuum(path, keep_last=1, min_age_sec=0.0)
     assert res["removed_files"] > 0
     assert snap_versions(path) == [2]
     assert snap_read(spark, path).count() == latest_before
@@ -227,3 +231,24 @@ def test_compaction_is_a_commit(spark):
     cols = orders.columns
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_metadata_error_contract_uninitialized():
+    """snap_files and snap_read agree on the error contract: both raise
+    FileNotFoundError on an uninitialized table and on absent versions
+    (round-8 advice: snap_files used to IndexError)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_files
+
+    empty = tempfile.mkdtemp(prefix="snapempty_")
+    with pytest.raises(FileNotFoundError):
+        snap_files(empty)
+    with pytest.raises(FileNotFoundError):
+        snap_files(empty, 1)
+
+
+def test_metadata_error_contract_absent_version(snap_table):
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_files
+
+    path, _, _ = snap_table
+    with pytest.raises(FileNotFoundError):
+        snap_files(path, 99)
