@@ -75,3 +75,28 @@ def test_bloom_prefilter_is_selective_on_testdata(spark):
     )
     true_hits = test_g.join(train_g, "gh", "left_semi").count()
     assert true_hits <= passed <= total * 0.5, (passed, true_hits, total)
+
+
+def test_distributed_build_bit_identical(spark):
+    """build_bloom_words_distributed must produce the EXACT bitmap the
+    driver-side builder produces on the same keys — shared insert
+    arithmetic + associative OR means any drift is a bug. Also the
+    scale contract: the driver only ever receives m_bits/64 words,
+    regardless of key count or partitioning."""
+    from docker_based_real_time_etl_project_spark.operators.bloom import (
+        build_bloom_words_distributed,
+    )
+
+    rng = random.Random(11)
+    members = [rng.getrandbits(64) - (1 << 63) for _ in range(5000)]
+    m_bits = bloom_size_bits(len(members))
+    want = build_bloom_words(members, m_bits, k=4)
+    df = spark.createDataFrame([(h,) for h in members], "gh long")
+    # duplicate keys and odd partitioning must not change the bitmap
+    noisy = df.union(df.limit(500)).repartition(13)
+    got = build_bloom_words_distributed(noisy, "gh", m_bits, k=4)
+    assert got == want
+    # empty input -> all-zero bitmap, still the right length
+    empty = spark.createDataFrame([], "gh long")
+    zeros = build_bloom_words_distributed(empty, "gh", m_bits, k=4)
+    assert zeros == [0] * (m_bits // 64)
