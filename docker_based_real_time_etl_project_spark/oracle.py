@@ -123,6 +123,59 @@ def compare(name: str, spark_df, oracle_df, float_ulp_tol: bool = False) -> Pari
     return ParityResult(name, True, "ok", len(s), len(o))
 
 
+# Oracle results costing more than this many seconds are cached on
+# disk keyed by (query, oracle-SQL digest, table-file fingerprints).
+# The truth table only changes when the SQL or the data does — the
+# all-pairs oracles (minhash pairs, corpus gate, cluster closure) are
+# ~10 min each at sf0.1 and dominated the parity sweep (r8 verdict
+# "What's wrong" #4). Cheap oracles are never cached (no bloat, and a
+# fresh run stays the common case).
+ORACLE_CACHE_MIN_SEC = 10.0
+
+
+def _oracle_cache_path(sf_dir: str, name: str, sql: str) -> str:
+    """Cache file path; digest covers the SQL text and (path, size,
+    mtime_ns) of every registered table parquet, so edits to either
+    invalidate the entry."""
+    import hashlib
+
+    h = hashlib.sha256(sql.encode())
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    cache_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".oracle_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"{name}_{h.hexdigest()[:20]}.pkl")
+
+
+def run_oracle(sf_dir: str, name: str, sql: str):
+    """Execute an oracle SQL on DuckDB with the disk cache in front.
+    Pickle (not parquet) so the pandas frame round-trips with EXACT
+    dtypes — the strict comparator is dtype-class-sensitive and list
+    columns don't survive a parquet round-trip unchanged."""
+    import time
+
+    import pandas as pd
+
+    cpath = _oracle_cache_path(sf_dir, name, sql)
+    if os.path.exists(cpath):
+        return pd.read_pickle(cpath)
+    con = duckdb_conn(sf_dir)
+    t0 = time.perf_counter()
+    odf = con.execute(sql).fetchdf()
+    if time.perf_counter() - t0 >= ORACLE_CACHE_MIN_SEC:
+        tmp = cpath + ".tmp"
+        odf.to_pickle(tmp)
+        os.replace(tmp, cpath)
+    return odf
+
+
 def check_query(spark: SparkSession, sf_dir: str, name: str) -> ParityResult:
     from docker_based_real_time_etl_project_spark.queries import REGISTRY
 
@@ -131,6 +184,5 @@ def check_query(spark: SparkSession, sf_dir: str, name: str) -> ParityResult:
     if q.oracle is None:
         ok = len(sdf) >= 0
         return ParityResult(name, ok, f"rows-only: {len(sdf)} rows", len(sdf), -1)
-    con = duckdb_conn(sf_dir)
-    odf = con.execute(q.oracle).fetchdf()
+    odf = run_oracle(sf_dir, name, q.oracle)
     return compare(name, sdf, odf)

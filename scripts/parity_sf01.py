@@ -3,8 +3,12 @@
 100x the unit-test scale: the same hash-equality gate the driver runs
 at sf0.01, executed for EVERY registered query against DuckDB truth
 at sf0.1. The all-pairs oracles (minhash pairs, ngram jaccard,
-cluster closure) dominate wall time — the quadratic cost lives in
-the oracle, which is the point.
+cluster closure) dominate first-run wall time — the quadratic cost
+lives in the oracle, which is the point. Round 9: oracle results
+costing >10 s are cached on disk keyed by (query, SQL digest, table
+fingerprints) — see oracle.run_oracle — so warm sweeps skip the
+quadratic truth recomputation entirely; the comparison itself always
+runs fresh.
 """
 import json
 import sys

@@ -138,3 +138,25 @@ def test_driver_window_matches_policy():
     assert len(dw.DRIVER_WINDOW) == 50
     assert len(set(dw.DRIVER_WINDOW)) == 50
     assert set(dw.DRIVER_WINDOW) <= set(REGISTRY)
+
+
+def test_oracle_cache_roundtrip(tmp_path, monkeypatch):
+    """The oracle disk cache must return the EXACT frame a fresh DuckDB
+    run returns (dtypes included — the strict comparator is
+    dtype-class-sensitive), and must invalidate when the SQL changes."""
+    import pandas as pd
+
+    from docker_based_real_time_etl_project_spark import oracle as om
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_CACHE", str(tmp_path))
+    monkeypatch.setattr(om, "ORACLE_CACHE_MIN_SEC", 0.0)
+    sf = "/root/testdata/sf0.001"
+    sql = "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1"
+    fresh = om.run_oracle(sf, "cache_probe", sql)
+    assert len(list(tmp_path.glob("cache_probe_*.pkl"))) == 1
+    cached = om.run_oracle(sf, "cache_probe", sql)
+    pd.testing.assert_frame_equal(fresh, cached)
+    # different SQL -> different cache entry, not a stale hit
+    other = om.run_oracle(sf, "cache_probe", sql + " ORDER BY 1")
+    assert len(list(tmp_path.glob("cache_probe_*.pkl"))) == 2
+    assert list(other.columns) == list(fresh.columns)
