@@ -26,11 +26,14 @@ Scale: a manifest row is a file path + partition value, i.e. the
 manifest is O(files), the same metadata a table format keeps; reads
 open only manifest-named files (no listStatus storm on 36k-partition
 tables); merges read only touched-partition files. The snapshot swap
-is a one-file rename, giving single-writer snapshot isolation —
-readers resolve a manifest once and see a consistent version
-regardless of concurrent merges. Multi-writer coordination (optimistic
-manifest CAS) is the one piece a real object-store deployment adds on
-top; single-writer is the contract here, as for lakewrite.
+is a one-file CAS publish (exclusive create), so readers resolve a
+manifest once and see a consistent version regardless of concurrent
+merges. Multi-writer coordination is first-class:
+``snap_merge_concurrent`` runs the Delta/Iceberg optimistic-commit
+protocol — unique commit dirs per writer, manifest CAS, rebase over
+disjoint-partition commits with zero data rewrite, full re-merge when
+a competing commit overlapped (first committer wins) — so every
+history is equivalent to some serial writer order.
 
 Reference parity: the reference keeps only latest state in row stores
 (etl.py:181-187); versioned history of an upserted table is what its
@@ -76,14 +79,45 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _publish(path: str, manifest: dict) -> None:
-    """The commit point: manifests become visible via one rename."""
+class SnapshotConflictError(RuntimeError):
+    """Another writer published this version first (the manifest CAS
+    lost). snap_merge_concurrent handles it by rebase-or-retry; the
+    single-writer APIs surface it, because losing the CAS under a
+    single-writer contract means the contract was violated."""
+
+
+def _try_publish(path: str, manifest: dict) -> bool:
+    """The commit point, as a COMPARE-AND-SWAP: version N+1 becomes
+    visible only if no other writer published N+1 first. Locally the
+    primitive is an exclusive hard-link of the fully-written temp file
+    (atomic; fails with EEXIST if the version is taken — the POSIX
+    twin of an object store's conditional PUT / If-None-Match, or
+    HDFS's rename-without-overwrite). Returns False on a lost race;
+    the temp file is always cleaned up."""
+    import uuid
+
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     final = _manifest_file(path, manifest["version"])
-    tmp = final + ".tmp"
+    tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """Single-writer publish: same CAS primitive, but a lost race is a
+    broken contract, not a retry condition."""
+    if not _try_publish(path, manifest):
+        raise SnapshotConflictError(
+            f"version {manifest['version']} already committed under {path} — "
+            "concurrent writers must use snap_merge_concurrent"
+        )
 
 
 def _file_minmax(full: str, column: str):
@@ -251,26 +285,17 @@ def snap_merge(
     versions = snap_versions(path)
     if not versions:
         raise FileNotFoundError(f"snap_merge on uninitialized table {path}")
-    cur = _read_manifest(path, versions[-1])
-    partition_col = cur["partition_col"]
-    stats_col = cur.get("stats_col")
-    key_cols = list(key_cols)
-    touched = {
-        str(r[0]) for r in updates.select(partition_col).distinct().collect()
-    }
-    base = snap_read(spark, path, versions[-1], partitions=sorted(touched))
-    upd_keys = updates.select(*key_cols).distinct()
-    survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
-    incoming = updates
-    if delete_col is not None:
-        incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
-    merged = survivors.select(incoming.columns).unionByName(incoming)
-    new_version = versions[-1] + 1
+    base_v = versions[-1]
+    cur = _read_manifest(path, base_v)
+    merged, touched = _plan_merge(
+        spark, path, base_v, cur, updates, key_cols, delete_col
+    )
+    new_version = base_v + 1
     commit_rel = f"c{new_version:06d}"
     write_clustered(
         merged,
         os.path.join(path, commit_rel),
-        partition_by=(partition_col,),
+        partition_by=(cur["partition_col"],),
         sort_by=tuple(sort_by),
         target_rows_per_file=target_rows_per_file,
     )
@@ -279,13 +304,167 @@ def snap_merge(
         path,
         {
             "version": new_version,
-            "partition_col": partition_col,
-            "stats_col": stats_col,
+            "partition_col": cur["partition_col"],
+            "stats_col": cur.get("stats_col"),
             "entries": carried
-            + _commit_entries(path, commit_rel, partition_col, stats_col),
+            + _commit_entries(
+                path, commit_rel, cur["partition_col"], cur.get("stats_col")
+            ),
         },
     )
     return new_version
+
+
+def _plan_merge(
+    spark: SparkSession,
+    path: str,
+    base_v: int,
+    cur: dict,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None,
+) -> tuple[DataFrame, set[str]]:
+    """The merge plan against a pinned base version: (merged rows for
+    the touched partitions, touched partition set). Shared by the
+    single-writer and optimistic-concurrent merge paths so their
+    row-level semantics cannot drift."""
+    partition_col = cur["partition_col"]
+    key_cols = list(key_cols)
+    touched = {
+        str(r[0]) for r in updates.select(partition_col).distinct().collect()
+    }
+    base = snap_read(spark, path, base_v, partitions=sorted(touched))
+    upd_keys = updates.select(*key_cols).distinct()
+    survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
+    incoming = updates
+    if delete_col is not None:
+        incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
+    merged = survivors.select(incoming.columns).unionByName(incoming)
+    return merged, touched
+
+
+def _touched_partitions(path: str, version: int) -> set[str]:
+    """Partitions whose file set changed between ``version - 1`` and
+    ``version`` — the conflict footprint of one commit. If the
+    predecessor manifest was vacuumed, the commit conservatively
+    counts as touching everything it contains."""
+    cur = _read_manifest(path, version)
+    if version - 1 not in snap_versions(path):
+        return {str(e["partition"]) for e in cur["entries"]}
+    prev = _read_manifest(path, version - 1)
+
+    def by_part(entries):
+        out: dict[str, set[str]] = {}
+        for e in entries:
+            out.setdefault(str(e["partition"]), set()).add(e["path"])
+        return out
+
+    a, b = by_part(prev["entries"]), by_part(cur["entries"])
+    return {p for p in set(a) | set(b) if a.get(p) != b.get(p)}
+
+
+def snap_merge_concurrent(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+    writer_id: str | None = None,
+    max_attempts: int = 5,
+    _before_publish=None,
+) -> int:
+    """MERGE under MULTI-WRITER optimistic concurrency — the
+    Delta/Iceberg commit protocol on the same manifest machinery:
+
+    1. pin the latest version N as the merge base; write the merged
+       touched-partition files into a commit dir unique to this
+       writer+attempt (racing writers can never collide on data
+       paths — dir names are namespaced, not version-numbered);
+    2. attempt the manifest CAS for N+1;
+    3. lost the CAS? read what landed. If every intervening commit
+       touched only partitions DISJOINT from ours, the merge result
+       is still valid — REBASE: re-derive the carried entries from
+       the new latest manifest, keep our data files, and CAS for
+       latest+1 (no data I/O at all). If any intervening commit
+       overlapped our partitions, our merged files are stale —
+       discard the commit dir and RE-EXECUTE the merge against the
+       new base.
+
+    Every committed version is therefore equivalent to SOME serial
+    order of the writers (snapshot isolation with first-committer-
+    wins on overlap), which is exactly the contract q_lake_concurrent_merge
+    hash-checks against a serially-executed oracle.
+
+    ``_before_publish`` is a test seam: called once after the data
+    write and before the first CAS attempt, so tests can inject a
+    competing commit deterministically instead of relying on thread
+    timing. ``writer_id`` namespaces commit dirs (defaults to a
+    random token)."""
+    import uuid
+
+    token = writer_id or uuid.uuid4().hex[:8]
+    if not snap_versions(path):
+        raise FileNotFoundError(f"snap_merge_concurrent on uninitialized table {path}")
+    for attempt in range(max_attempts):
+        versions = snap_versions(path)
+        base_v = versions[-1]
+        cur = _read_manifest(path, base_v)
+        partition_col = cur["partition_col"]
+        stats_col = cur.get("stats_col")
+        merged, touched = _plan_merge(
+            spark, path, base_v, cur, updates, key_cols, delete_col
+        )
+        commit_rel = f"c{base_v + 1:06d}w{token}a{attempt}"
+        write_clustered(
+            merged,
+            os.path.join(path, commit_rel),
+            partition_by=(partition_col,),
+            sort_by=tuple(sort_by),
+            target_rows_per_file=target_rows_per_file,
+        )
+        new_entries = _commit_entries(path, commit_rel, partition_col, stats_col)
+        if _before_publish is not None:
+            hook, _before_publish = _before_publish, None
+            hook()
+        # CAS loop: rebase over disjoint commits without rewriting data
+        carried_from = cur["entries"]
+        target_v = base_v + 1
+        stale = False
+        while True:
+            carried = [
+                e for e in carried_from if str(e["partition"]) not in touched
+            ]
+            ok = _try_publish(
+                path,
+                {
+                    "version": target_v,
+                    "partition_col": partition_col,
+                    "stats_col": stats_col,
+                    "entries": carried + new_entries,
+                },
+            )
+            if ok:
+                return target_v
+            latest_v = snap_versions(path)[-1]
+            overlap = set()
+            for v in range(target_v, latest_v + 1):
+                overlap |= _touched_partitions(path, v) & touched
+            if overlap:
+                # our merged files no longer reflect the base rows of
+                # these partitions — first committer wins, we redo
+                stale = True
+                break
+            carried_from = _read_manifest(path, latest_v)["entries"]
+            target_v = latest_v + 1
+        if stale:
+            shutil.rmtree(os.path.join(path, commit_rel), ignore_errors=True)
+            continue
+    raise SnapshotConflictError(
+        f"merge on {path} lost {max_attempts} optimistic attempts — "
+        "contention too high for optimistic concurrency"
+    )
 
 
 def snap_diff(

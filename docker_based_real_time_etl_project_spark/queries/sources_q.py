@@ -849,3 +849,131 @@ def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t0") + F.coalesce(F.col("dt"), F.lit(0).cast(DEC))
         ).alias("total_price"),
     )
+
+
+def _orders_snap_cas(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a snapshot table committed by TWO RACING WRITERS
+    under the optimistic-CAS merge protocol: writer A pins v1 as its
+    base and writes its merged files; before A's first publish
+    attempt, writer B commits v2 (the deterministic seam — same
+    conflict the threaded race produces, minus the timing
+    dependence); A's CAS for v2 loses, it rebases over B's
+    disjoint-partition commit without rewriting data, and lands v3.
+    Both edits survive; history is the serial order B-then-A. Built
+    once per (sf_dir, fingerprint)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge_concurrent,
+        snap_versions,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_cas_orders_")
+        orders = table(spark, sf_dir, "orders")
+        snap_init(
+            spark, orders, out, "o_orderpriority",
+            sort_by=("o_orderkey",), target_rows_per_file=20_000,
+        )
+        upd_b = orders.filter(
+            (F.col("o_orderpriority") == "2-HIGH")
+            & (F.col("o_orderkey") % 13 == 1)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+        upd_a = (
+            orders.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 13 == 1)
+                & (F.col("o_orderkey") % 29 != 2)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + 25.0)
+            .withColumn("_delete", F.lit(False))
+            .unionByName(
+                orders.filter(
+                    (F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_orderkey") % 29 == 2)
+                ).withColumn("_delete", F.lit(True))
+            )
+        )
+
+        def commit_b() -> None:
+            snap_merge_concurrent(
+                spark, out, upd_b, key_cols=("o_orderkey",),
+                sort_by=("o_orderkey",), writer_id="b",
+            )
+
+        v = snap_merge_concurrent(
+            spark, out, upd_a, key_cols=("o_orderkey",),
+            delete_col="_delete", sort_by=("o_orderkey",),
+            writer_id="a", _before_publish=commit_b,
+        )
+        assert v == 3 and snap_versions(out) == [1, 2, 3]
+        return out
+
+    return materialize_once(
+        ("lake_cas_orders", sf_dir, table_fingerprint(sf_dir, "orders")), build
+    )
+
+
+@register(
+    "q_lake_concurrent_merge",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '2-HIGH' AND o_orderkey % 13 = 1
+                    THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    ), v3 AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 1
+                         AND o_orderkey % 29 <> 2
+                    THEN o_totalprice + 25.0 ELSE o_totalprice END AS o_totalprice
+        FROM v2
+        WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 29 = 2)
+    )
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price, MAX(o_orderkey) AS max_key
+    FROM orders
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*), {sql_dsum('o_totalprice')}, MAX(o_orderkey)
+    FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*), {sql_dsum('o_totalprice')}, MAX(o_orderkey)
+    FROM v3
+    """,
+    tags=("sink", "layout", "scale", "lakesnap", "concurrency"),
+)
+def q_lake_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WRITER optimistic concurrency on the snapshot lake
+    (lakesnap.snap_merge_concurrent — the Delta/Iceberg commit
+    protocol): two writers merge concurrently, the loser of the
+    manifest CAS rebases over the winner's disjoint-partition commit
+    WITHOUT rewriting data, and every version in the resulting
+    history must equal its serial-execution restatement — which is
+    exactly what the oracle computes (v1 = pristine, v2 = writer B
+    applied, v3 = B then A, exact decimal sums). The conflict is
+    injected deterministically (the same interleaving the threaded
+    race test exercises nondeterministically) so the hash is stable.
+    At 100 TB this is the protocol that lets N pipelines commit to
+    one table: contention cost is manifest-sized (a JSON CAS +
+    rebase), never data-sized, unless partitions genuinely overlap —
+    in which case first-committer-wins forces a re-merge of only the
+    overlapped partitions' files."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_cas(spark, sf_dir)
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            snap_read(spark, path, v).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("o_totalprice").alias("total_price"),
+                F.max("o_orderkey").alias("max_key"),
+            ).select(F.lit(v).cast("bigint").alias("version"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
