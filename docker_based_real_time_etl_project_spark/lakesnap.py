@@ -183,11 +183,13 @@ def snap_init(
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
     stats_col: str | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Create version 1 of a snapshot table from ``df``. The data
     write reuses the clustered layout contract (partition dirs +
     range clustering + file caps); the manifest publish is the
-    commit."""
+    commit. ``meta`` adds table-level keys to the manifest (e.g. the
+    z-order grid) that every later commit carries forward."""
     commit_rel = "c000001"
     write_clustered(
         df,
@@ -199,6 +201,7 @@ def snap_init(
     _publish(
         path,
         {
+            **(meta or {}),
             "version": 1,
             "partition_col": partition_col,
             "stats_col": stats_col,
@@ -303,9 +306,8 @@ def snap_merge(
     _publish(
         path,
         {
+            **{k: v for k, v in cur.items() if k != "entries"},
             "version": new_version,
-            "partition_col": cur["partition_col"],
-            "stats_col": cur.get("stats_col"),
             "entries": carried
             + _commit_entries(
                 path, commit_rel, cur["partition_col"], cur.get("stats_col")
@@ -439,9 +441,8 @@ def snap_merge_concurrent(
             ok = _try_publish(
                 path,
                 {
+                    **{k: v for k, v in cur.items() if k != "entries"},
                     "version": target_v,
-                    "partition_col": partition_col,
-                    "stats_col": stats_col,
                     "entries": carried + new_entries,
                 },
             )
@@ -605,10 +606,109 @@ def snap_compact(
     _publish(
         path,
         {
+            **{k: v for k, v in cur.items() if k != "entries"},
             "version": new_version,
-            "partition_col": partition_col,
-            "stats_col": stats_col,
             "entries": _commit_entries(path, commit_rel, partition_col, stats_col),
         },
     )
     return new_version
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered snapshot tables: the Morton bucket IS the manifest
+# partition key, so 2-D box reads prune FILES from the manifest alone
+# (Iceberg metadata pruning over a Delta OPTIMIZE ZORDER layout).
+# ---------------------------------------------------------------------------
+
+
+def snap_init_zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    bits: int = 3,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> int:
+    """Create version 1 CLUSTERED ON THE MORTON CURVE of (col1, col2):
+    the z-bucket ``zb`` becomes the snapshot partition key, and the
+    fitted grid rides in the manifest (carried forward by every merge
+    and compaction), so any later reader can box-prune without
+    side-channel state. Merges work unchanged — updates just need the
+    same ``zb`` column, which :func:`snap_zvalue` derives from the
+    stored grid."""
+    from docker_based_real_time_etl_project_spark.operators.zorder import (
+        fit_grid,
+        zvalue_expr,
+    )
+
+    grid = fit_grid(df, col1, col2, bits=bits)
+    return snap_init(
+        spark,
+        df.withColumn("zb", zvalue_expr(grid)),
+        path,
+        "zb",
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+        meta={
+            "zorder": {
+                "col1": grid.col1, "col2": grid.col2,
+                "min1": grid.min1, "max1": grid.max1,
+                "min2": grid.min2, "max2": grid.max2,
+                "bits": grid.bits,
+            }
+        },
+    )
+
+
+def _snap_grid(path: str):
+    from docker_based_real_time_etl_project_spark.operators.zorder import ZGrid
+
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    z = _read_manifest(path, versions[-1]).get("zorder")
+    if z is None:
+        raise ValueError(f"{path} is not a z-ordered snapshot table")
+    return ZGrid(**z)
+
+
+def snap_zvalue(path: str) -> "F.Column":
+    """The ``zb`` expression for NEW rows of a z-ordered snapshot table
+    (e.g. a merge batch), derived from the manifest's stored grid so
+    updates land in the same buckets as the original layout."""
+    from docker_based_real_time_etl_project_spark.operators.zorder import zvalue_expr
+
+    return zvalue_expr(_snap_grid(path))
+
+
+def snap_box_read(
+    spark: SparkSession,
+    path: str,
+    lo1: int,
+    hi1: int,
+    lo2: int,
+    hi2: int,
+    version: int | None = None,
+) -> DataFrame:
+    """2-D box query over a z-ordered snapshot table: the covered
+    Morton buckets are enumerated driver-side from the manifest's grid
+    (no data pass), the manifest prunes to exactly those buckets'
+    files (``snap_read(partitions=...)`` — no listing, no footer
+    reads), and the exact per-row predicate is re-applied so the
+    layout can only change bytes read, never results."""
+    grid = _snap_grid(path)
+    buckets = [str(b) for b in grid.box_buckets(lo1, hi1, lo2, hi2)]
+    return snap_read(spark, path, version, partitions=buckets).filter(
+        F.col(grid.col1).between(lo1, hi1) & F.col(grid.col2).between(lo2, hi2)
+    )
+
+
+def snap_box_files(path: str, lo1: int, hi1: int, lo2: int, hi2: int,
+                   version: int | None = None) -> list[str]:
+    """The file list a :func:`snap_box_read` would open — the pruning
+    contract, metadata-only (test/audit helper)."""
+    grid = _snap_grid(path)
+    buckets = [str(b) for b in grid.box_buckets(lo1, hi1, lo2, hi2)]
+    return snap_files(path, version=version, partitions=buckets)

@@ -59,13 +59,26 @@ def write_clustered(
     mode: str = "overwrite",
     bloom_filter_cols: Mapping[str, int] | None = None,
     writer_options: Mapping[str, str] | None = None,
-) -> None:
+    layout: str = "linear",
+    zorder_by: Sequence[str] | None = None,
+    zorder_bits: int = 3,
+):
     """Write ``df`` as a pruning- and skipping-friendly parquet layout.
 
     One range exchange clusters rows by (partition_by, sort_by); the
     in-task sort makes every written row group's (sort_by) min/max
     tight, and ``maxRecordsPerFile`` bounds file sizes without a
     second shuffle (the writer rolls to a new file in place).
+
+    ``layout="zorder"`` (with ``zorder_by=(col1, col2)``) makes the
+    CLUSTERED dimension a Morton curve instead of a linear key: the
+    two columns' bits interleave into a ``zb`` bucket column
+    (operators/zorder.py — pure codegen'd bit arithmetic) appended to
+    ``partition_by``, so a conjunctive 2-D range box maps to an
+    exactly-enumerable bucket IN-list and partition pruning skips
+    everything else — Delta's OPTIMIZE ZORDER BY as a write option.
+    Returns the fitted ``ZGrid`` (None for linear) — keep it with the
+    table; ``zorder.zorder_box_scan`` needs it to enumerate buckets.
 
     ``bloom_filter_cols`` maps column -> expected distinct count and
     turns on parquet bloom filters for those columns: min/max skipping
@@ -75,6 +88,20 @@ def write_clustered(
     lookups skip row groups probabilistically, the standard lake-table
     trick for needle-in-100-TB fetches.
     """
+    grid = None
+    if layout == "zorder":
+        if not zorder_by or len(zorder_by) != 2:
+            raise ValueError("layout='zorder' needs zorder_by=(col1, col2)")
+        from docker_based_real_time_etl_project_spark.operators.zorder import (
+            fit_grid,
+            zvalue_expr,
+        )
+
+        grid = fit_grid(df, zorder_by[0], zorder_by[1], bits=zorder_bits)
+        df = df.withColumn("zb", zvalue_expr(grid))
+        partition_by = (*partition_by, "zb")
+    elif layout != "linear":
+        raise ValueError(f"unknown layout {layout!r} (linear|zorder)")
     cols = [F.col(c) for c in (*partition_by, *sort_by)]
     out = df
     if cols:
@@ -123,6 +150,7 @@ def write_clustered(
             conf.unset(key)
         else:
             conf.set(key, prev)
+    return grid
 
 
 def merge_upsert(

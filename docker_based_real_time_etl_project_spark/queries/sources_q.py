@@ -977,3 +977,99 @@ def q_lake_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _lineitem_zsnap(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem as a Z-ORDERED snapshot table: v1 = the table clustered
+    on the (l_partkey, l_suppkey) Morton grid (the grid rides in the
+    manifest), v2 = a deterministic in-box quantity correction merged
+    through the grid-derived zb. Built once per (sf_dir, fingerprint)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init_zorder,
+        snap_merge,
+        snap_zvalue,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_zsnap_li_")
+        li = table(spark, sf_dir, "lineitem")
+        snap_init_zorder(
+            spark, li, out, "l_partkey", "l_suppkey", bits=3,
+            sort_by=("l_orderkey",), target_rows_per_file=20_000,
+        )
+        upd = li.filter(F.col("l_orderkey") % 19 == 0).withColumn(
+            "l_quantity", F.col("l_quantity") + 500.0
+        )
+        upd = upd.withColumn("zb", snap_zvalue(out))
+        snap_merge(
+            spark, out, upd, key_cols=("l_orderkey", "l_linenumber"),
+            sort_by=("l_orderkey",), target_rows_per_file=20_000,
+        )
+        return out
+
+    return materialize_once(
+        ("lake_zsnap_li", sf_dir, table_fingerprint(sf_dir, "lineitem")), build
+    )
+
+
+@register(
+    "q_lake_zorder_box",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+               MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx
+        FROM lineitem
+    ), v2 AS (
+        SELECT l_returnflag, l_partkey, l_suppkey, l_extendedprice, l_discount,
+               CASE WHEN l_orderkey % 19 = 0 THEN l_quantity + 500.0
+                    ELSE l_quantity END AS l_quantity
+        FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM v2, b
+    WHERE l_partkey BETWEEN pmn + (pmx - pmn) // 10 AND pmn + (pmx - pmn) // 4
+      AND l_suppkey BETWEEN smn AND smn + (smx - smn) // 5
+    GROUP BY l_returnflag
+    """,
+    tags=("sink", "layout", "scale", "lakesnap", "zorder"),
+)
+def q_lake_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER AS A LAKE LAYOUT: the snapshot table's partition key is
+    the Morton bucket of (l_partkey, l_suppkey) and the fitted grid
+    rides in the manifest, so a 2-D box read enumerates its covered
+    buckets driver-side and prunes FILES from the manifest alone — no
+    directory listing, no footer reads (snap_box_files pins the
+    skipped-file count in tests/test_lakesnap.py). The box aggregate
+    runs against v2 — AFTER a merge whose update rows derived their
+    buckets from the stored grid — so the hash also proves the grid
+    survives commits and updates land in the right cells. The exact
+    per-row predicate is re-applied post-pruning: layout changes bytes
+    read, never results, which is why the oracle can restate the same
+    box over the unclustered table. At 100 TB this is OPTIMIZE ZORDER
+    + Iceberg metadata pruning for workloads that filter two
+    dimensions at once (user x time, part x supplier)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _snap_grid,
+        snap_box_read,
+    )
+
+    path = _lineitem_zsnap(spark, sf_dir)
+    g = _snap_grid(path)
+    lo1 = g.min1 + (g.max1 - g.min1) // 10
+    hi1 = g.min1 + (g.max1 - g.min1) // 4
+    lo2, hi2 = g.min2, g.min2 + (g.max2 - g.min2) // 5
+    return (
+        snap_box_read(spark, path, lo1, hi1, lo2, hi2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
