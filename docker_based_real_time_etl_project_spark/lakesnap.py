@@ -276,6 +276,7 @@ def snap_merge(
     delete_col: str | None = None,
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE producing a NEW version: upsert on
     ``key_cols``, optional boolean ``delete_col`` tombstones. Same
@@ -284,7 +285,10 @@ def snap_merge(
     I/O: touched partitions' files are read, merged, and written into
     a fresh commit dir; untouched partitions contribute nothing but
     their manifest rows, copied forward verbatim. Old versions stay
-    readable — nothing is deleted here."""
+    readable — nothing is deleted here. ``meta`` keys overlay the
+    carried-forward manifest metadata (e.g. a streaming sink's
+    batch_id — the idempotence ledger a restarted query consults to
+    skip replayed batches)."""
     versions = snap_versions(path)
     if not versions:
         raise FileNotFoundError(f"snap_merge on uninitialized table {path}")
@@ -307,6 +311,7 @@ def snap_merge(
         path,
         {
             **{k: v for k, v in cur.items() if k != "entries"},
+            **(meta or {}),
             "version": new_version,
             "entries": carried
             + _commit_entries(
@@ -712,3 +717,16 @@ def snap_box_files(path: str, lo1: int, hi1: int, lo2: int, hi2: int,
     grid = _snap_grid(path)
     buckets = [str(b) for b in grid.box_buckets(lo1, hi1, lo2, hi2)]
     return snap_files(path, version=version, partitions=buckets)
+
+
+def snap_meta(path: str, version: int | None = None) -> dict:
+    """Table-level manifest metadata of a version (everything but the
+    file entries) — e.g. the z-order grid, or a streaming sink's
+    committed batch_id. Same error contract as snap_read/snap_files."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot version {v} not found at {path}")
+    return {k: val for k, val in _read_manifest(path, v).items() if k != "entries"}

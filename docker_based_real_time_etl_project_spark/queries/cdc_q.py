@@ -435,33 +435,29 @@ def q_stream_cdc_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
-    """The q_stream_cdc_lake_merge pipeline retargeted at the SNAPSHOT
-    lake (lakesnap): every micro-batch commits one immutable version,
-    so the sink leaves behind not just the synced table but its entire
-    replayable history — version k IS the lake after changelog batch k
-    (time travel over the sync, the audit/backfill story a CDC
-    consumer actually needs). Returns the lake path; the query reads
-    the LATEST version, tests walk the history."""
-    import os
-
+def make_cdc_snap_sink(lake: str):
+    """foreachBatch sink committing each CDC micro-batch as ONE
+    snapshot-lake version, idempotent under restart: the committed
+    batch_id rides in every manifest (snap_merge meta overlay), and a
+    REPLAYED batch — foreachBatch re-invoked after a crash between the
+    lake commit and the checkpoint ack, Spark's documented
+    at-least-once seam — is recognized and skipped, so a restart can
+    never double-commit a version. The manifest is the idempotence
+    ledger (the same role Delta's txn appId/version pair plays)."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
         snap_init,
         snap_merge,
+        snap_meta,
         snap_read,
         snap_versions,
     )
 
-    envelopes = _changelog(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="cdc_snap_src_")
-    envelopes.withColumn(
-        "_bucket", F.ntile(4).over(Window.orderBy("value"))
-    ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
-
-    lake = tempfile.mkdtemp(prefix="cdc_snap_lake_")
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if snap_versions(lake):
+            last = snap_meta(lake).get("batch_id")
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already a committed version
         rows = (
             batch_df.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
             .withColumn("deleted", F.col("_op") == "d")
@@ -482,7 +478,10 @@ def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
             F.col("_w.deleted").alias("deleted"),
         )
         if not snap_versions(lake):
-            snap_init(s, batch_latest, lake, "bucket", sort_by=("user_id",))
+            snap_init(
+                s, batch_latest, lake, "bucket", sort_by=("user_id",),
+                meta={"batch_id": batch_id},
+            )
             return
         touched = [
             str(r[0]) for r in batch_latest.select("bucket").distinct().collect()
@@ -513,7 +512,32 @@ def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
                 F.col("_w.deleted").alias("deleted"),
             )
         )
-        snap_merge(s, lake, winners, key_cols=("user_id",), sort_by=("user_id",))
+        snap_merge(
+            s, lake, winners, key_cols=("user_id",), sort_by=("user_id",),
+            meta={"batch_id": batch_id},
+        )
+
+    return sink
+
+
+def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """The q_stream_cdc_lake_merge pipeline retargeted at the SNAPSHOT
+    lake (lakesnap): every micro-batch commits one immutable version,
+    so the sink leaves behind not just the synced table but its entire
+    replayable history — version k IS the lake after changelog batch k
+    (time travel over the sync, the audit/backfill story a CDC
+    consumer actually needs). Returns the lake path; the query reads
+    the LATEST version, tests walk the history."""
+    import os
+
+    envelopes = _changelog(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="cdc_snap_src_")
+    envelopes.withColumn(
+        "_bucket", F.ntile(4).over(Window.orderBy("value"))
+    ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
+
+    lake = tempfile.mkdtemp(prefix="cdc_snap_lake_")
+    sink = make_cdc_snap_sink(lake)
 
     stream = (
         spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))

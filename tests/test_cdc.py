@@ -163,3 +163,115 @@ def test_incremental_agg_equals_state_recompute_under_batch_splits(spark):
     for cut in range(1, len(rows)):
         a, b = deltas(envelopes(rows[:cut])), deltas(envelopes(rows[cut:]))
         assert (a.cents + b.cents, a.keys + b.keys) == (725, 1), f"split at {cut}"
+
+
+def test_snap_sink_batch_ledger_skips_replayed_batch(spark):
+    """The snapshot-lake CDC sink's manifests record the committed
+    batch_id; re-invoking the sink with an already-committed batch
+    (foreachBatch's at-least-once replay after a crash between commit
+    and checkpoint ack) must be a NO-OP — no duplicate lake version."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_meta,
+        snap_versions,
+    )
+    from docker_based_real_time_etl_project_spark.queries.cdc_q import (
+        ROW_SCHEMA,
+        _changelog,
+        make_cdc_snap_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    decoded = decode_envelope(_changelog(spark, SF_SMOKE), ROW_SCHEMA)
+    b0 = decoded.filter(F.col("user_id") % 2 == 0)
+    b1 = decoded.filter(F.col("user_id") % 2 == 1)
+    lake = tempfile.mkdtemp(prefix="cdc_ledger_")
+    sink = make_cdc_snap_sink(lake)
+
+    sink(b0, 0)
+    assert snap_versions(lake) == [1]
+    sink(b0, 0)  # replayed first batch
+    assert snap_versions(lake) == [1], "replayed batch double-committed"
+    sink(b1, 1)
+    assert snap_versions(lake) == [1, 2]
+    sink(b1, 1)  # replayed second batch
+    assert snap_versions(lake) == [1, 2]
+    assert snap_meta(lake, 1)["batch_id"] == 0
+    assert snap_meta(lake, 2)["batch_id"] == 1
+
+
+def test_cdc_snap_restart_no_double_commit(spark):
+    """End-to-end kill-and-restart of the CDC -> snapshot-lake sync:
+    stream half the changelog files, stop, deliver the rest, restart
+    from the same checkpoint. Exactly one lake version per micro-batch
+    (4 files -> versions [1..4], batch_ids strictly increasing) and
+    the final tombstone-filtered state equals the batch truth."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_meta,
+        snap_read,
+        snap_versions,
+    )
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.cdc_q import (
+        ROW_SCHEMA,
+        _changelog,
+        make_cdc_snap_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = tempfile.mkdtemp(prefix="cdc_restart_src_")
+    _changelog(spark, SF_SMOKE).withColumn(
+        "_bucket", F.ntile(4).over(Window.orderBy("value"))
+    ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
+
+    held = [d for d in os.listdir(src) if d in ("_bucket=3", "_bucket=4")]
+    assert len(held) == 2
+    hold = tempfile.mkdtemp(prefix="cdc_restart_hold_")
+    for h in held:
+        shutil.move(os.path.join(src, h), os.path.join(hold, h))
+
+    lake = tempfile.mkdtemp(prefix="cdc_restart_lake_")
+    sink = make_cdc_snap_sink(lake)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                T.StructType([T.StructField("value", T.StringType())])
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        q = (
+            decode_envelope(stream, ROW_SCHEMA)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(lake, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    mid_versions = snap_versions(lake)
+    assert mid_versions == [1, 2]
+    for h in held:
+        shutil.move(os.path.join(hold, h), os.path.join(src, h))
+    run_once()
+
+    versions = snap_versions(lake)
+    assert versions == [1, 2, 3, 4]  # one version per micro-batch, no doubles
+    bids = [snap_meta(lake, v)["batch_id"] for v in versions]
+    assert bids == sorted(bids) and len(set(bids)) == 4
+    final = (
+        snap_read(spark, lake)
+        .filter(~F.col("deleted"))
+        .select("user_id", F.col("value").alias("current_value"))
+    )
+    truth = REGISTRY["q_cdc_materialize"].fn(spark, SF_SMOKE)
+    assert final.exceptAll(truth).count() == 0
+    assert truth.exceptAll(final).count() == 0

@@ -592,3 +592,71 @@ def test_ooo_late_beyond_watermark_is_dropped(spark, sf_dir):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in full.collect()}
     assert len(got) < len(want)
+
+
+def test_reorder_buffer_restart_from_checkpoint(spark, sf_dir):
+    """Round-8 verdict item 6: kill-and-restart for a REORDER-BUFFER
+    stateful query. Half the out-of-order slices stream, the query
+    stops (rows still buffered in the per-key reorder state), then the
+    rest (and the flush sentinel) arrive and the query restarts from
+    the SAME checkpoint: the recovered buffer + fold state must yield
+    the bit-identical EWMA the batch engine computes — nothing lost,
+    nothing refolded."""
+    import shutil
+    import subprocess
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.streaming_q import (
+        _ooo_slices,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        ewma_stream_ooo,
+        final_ewma,
+    )
+
+    master = _ooo_slices(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="ooo_restart_src_")
+    # -a preserves mtimes: the replay contract orders batches by mtime
+    subprocess.run(["cp", "-a", f"{master}/.", src], check=True)
+    with open(os.path.join(src, "_ooo_meta.txt")) as fh:
+        delay = int(fh.read())
+    held = ["slice=004", "slice=005", "slice=006", "slice=007", "sentinel_1"]
+    hold = tempfile.mkdtemp(prefix="ooo_restart_hold_")
+    for h in held:
+        shutil.move(os.path.join(src, h), os.path.join(hold, h))
+
+    sink = tempfile.mkdtemp(prefix="ooo_restart_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="ooo_restart_ckpt_")
+
+    def run_once():
+        q = (
+            ewma_stream_ooo(
+                replay_table(spark, src, "events"), watermark=f"{delay} seconds"
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    partial = spark.read.parquet(sink).agg(F.sum("n_events")).first()[0]
+    for h in held:
+        shutil.move(os.path.join(hold, h), os.path.join(src, h))
+    run_once()
+
+    emitted = spark.read.parquet(sink).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    got = final_ewma(emitted)
+    truth = REGISTRY["q_ewma"].fn(spark, sf_dir)
+    # the first run really did stop mid-stream with work outstanding
+    assert partial is not None
+    assert emitted.agg(F.sum("n_events")).first()[0] > partial
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
