@@ -913,3 +913,123 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@register(
+    "q_dedup_span_corpus",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_sql_shingles(5)} AS gl FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(range(1, len(gl) + 1)) AS pos,
+             unnest(gl) AS gram
+      FROM g WHERE len(gl) > 0
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+    flagged AS (
+      SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, COUNT(*) AS span, MIN(pos) AS start
+      FROM isl GROUP BY doc_id, grp
+    ),
+    best AS (
+      SELECT doc_id, span AS max_span, start AS max_span_start
+      FROM (
+        SELECT doc_id, span, start,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY span DESC, start ASC
+               ) AS rn
+        FROM spans
+      ) WHERE rn = 1
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(span) AS BIGINT) AS n_dup FROM spans GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM pos GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(b.max_span, 0) AS max_span,
+           COALESCE(b.max_span_start, 0) AS max_span_start,
+           COALESCE(p.n_dup, 0) AS n_dup
+    FROM totals t
+    LEFT JOIN best b USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL DUPLICATED SPANS ACROSS THE CORPUS — the ExactSubstr
+    deliverable of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), where q_contamination_span measured
+    spans only against the train split: for EVERY document, the
+    longest run of consecutive word 5-grams whose gram occurs more
+    than once corpus-wide, that run's start position (the actionable
+    removal coordinate), and the total duplicated-position count.
+    A verbatim press-release body pasted into 40 pages shows up as one
+    long span in each; 40 scattered idioms do not.
+
+    Engine plan is postings-shaped end to end — never doc x doc, never
+    suffix arrays: pos-explode to (doc_id, pos, gh=xxhash64(gram)),
+    one count-by-gram aggregation finds duplicated grams (8-byte keys,
+    map-side partial), a semi-join flags positions, and the
+    gaps-and-islands window (pos - row_number per doc) reconstructs
+    maximal runs; ties on span length break to the earliest start so
+    the result is deterministic. The suffix-array construction the
+    paper uses is a single-machine algorithm; the positional-gram
+    islands form is the scale-out equivalent for fixed minimum match
+    length (span >= 1 gram = 5 tokens), with every shuffle on
+    (doc_id) or (gh). The oracle restates the identical islands
+    algebra over the raw grams in DuckDB."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", 5).alias("grams")
+    )
+    pos = (
+        d.filter(F.size("grams") > 0)
+        .select("doc_id", F.posexplode("grams").alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("g").alias("gh"),
+        )
+    )
+    dup = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    flagged = pos.join(dup.select("gh"), "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span"), F.min("pos").alias("start")
+    )
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.col("span").desc(), F.col("start").asc()
+    )
+    best = (
+        spans.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("span").alias("max_span"),
+            F.col("start").alias("max_span_start"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span").alias("n_dup"))
+    totals = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(best, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("max_span", F.lit(0)).alias("max_span"),
+            F.coalesce("max_span_start", F.lit(0)).alias("max_span_start"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        )
+    )
