@@ -84,6 +84,11 @@ HEADLINE = [
     "q_cusum",               # CUSUM change-point alarms, closed form
     "q_kyle_lambda",         # OLS price impact, decimal cross terms
     "q_embed_gram",          # distributed Gramian, row-side pair expansion
+    # round 9 additions
+    "q_lake_concurrent_merge",  # optimistic-CAS two-writer merge + rebase
+    "q_lake_zorder_box",        # manifest-pruned 2-D box over z-lake
+    "q_dedup_span_corpus",      # corpus-wide maximal duplicated spans
+    "q_contamination_bloom",    # distributed bitmap build + expression probes
 ]
 
 

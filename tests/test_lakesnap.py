@@ -504,3 +504,33 @@ def test_write_clustered_zorder_layout(spark, tmp_path):
     cols = li.columns
     assert pruned.select(cols).exceptAll(linear.select(cols)).count() == 0
     assert linear.select(cols).exceptAll(pruned.select(cols)).count() == 0
+
+
+def test_vacuum_spares_resolved_readers_files(spark):
+    """Concurrent-vacuum-vs-reader retention: a reader that resolved a
+    version's manifest BEFORE the version expired must still find
+    every data file on disk after a default-retention vacuum — the
+    min_age guard is what makes the read race safe (Delta VACUUM
+    semantics)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_files
+
+    path = tempfile.mkdtemp(prefix="snapvacrace_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    snap_merge(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        key_cols=("o_orderkey",), sort_by=("o_orderkey",),
+    )
+    # reader resolves v1's file list, then v1 expires and vacuum runs
+    resolved = [os.path.join(path, p) for p in snap_files(path, 1)]
+    res = snap_vacuum(path, keep_last=1)  # default min_age_sec=3600
+    assert res["removed_manifests"] == 1  # the version is gone...
+    assert all(os.path.exists(p) for p in resolved)  # ...its bytes are not
+    # the reader's in-flight scan still works from the resolved paths
+    got = spark.read.option(
+        "basePath", os.path.join(path, "c000001")
+    ).parquet(*[p for p in resolved if "c000001" in p])
+    assert got.count() == orders.count()
