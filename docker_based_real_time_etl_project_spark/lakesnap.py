@@ -205,6 +205,7 @@ def snap_init(
             "version": 1,
             "partition_col": partition_col,
             "stats_col": stats_col,
+            "columns": list(df.columns),
             "entries": _commit_entries(
                 path, commit_rel, partition_col, stats_col
             ),
@@ -264,7 +265,15 @@ def snap_read(
         return snap_read(spark, path, version=v).limit(0)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # commits written before a column was added surface NULL for it
+        # (additive schema evolution, same back-fill as mergeSchema)
+        out = out.unionByName(p, allowMissingColumns=True)
+    cols = m.get("columns")
+    if cols:
+        for c in cols:  # a pre-evolution commit may miss new columns
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None))
+        out = out.select(*cols)
     return out
 
 
@@ -313,6 +322,7 @@ def snap_merge(
             **{k: v for k, v in cur.items() if k != "entries"},
             **(meta or {}),
             "version": new_version,
+            "columns": list(merged.columns),
             "entries": carried
             + _commit_entries(
                 path, commit_rel, cur["partition_col"], cur.get("stats_col")
@@ -334,19 +344,32 @@ def _plan_merge(
     """The merge plan against a pinned base version: (merged rows for
     the touched partitions, touched partition set). Shared by the
     single-writer and optimistic-concurrent merge paths so their
-    row-level semantics cannot drift."""
+    row-level semantics cannot drift.
+
+    SCHEMA EVOLUTION (additive, the Delta/Iceberg default): ``updates``
+    must carry every base column (full-row upserts — a missing base
+    column is an error, not an implicit null overwrite) and may carry
+    NEW columns; surviving base rows take NULL for those, the same
+    back-fill untouched partitions' old files get at read time."""
     partition_col = cur["partition_col"]
     key_cols = list(key_cols)
     touched = {
         str(r[0]) for r in updates.select(partition_col).distinct().collect()
     }
     base = snap_read(spark, path, base_v, partitions=sorted(touched))
+    incoming_cols = [c for c in updates.columns if c != delete_col]
+    missing = [c for c in base.columns if c not in incoming_cols]
+    if missing:
+        raise ValueError(
+            f"merge updates must carry full rows; missing base columns {missing} "
+            "(schema evolution is additive-only)"
+        )
     upd_keys = updates.select(*key_cols).distinct()
     survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
     incoming = updates
     if delete_col is not None:
         incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
-    merged = survivors.select(incoming.columns).unionByName(incoming)
+    merged = survivors.unionByName(incoming, allowMissingColumns=True)
     return merged, touched
 
 
@@ -448,6 +471,7 @@ def snap_merge_concurrent(
                 {
                     **{k: v for k, v in cur.items() if k != "entries"},
                     "version": target_v,
+                    "columns": list(merged.columns),
                     "entries": carried + new_entries,
                 },
             )

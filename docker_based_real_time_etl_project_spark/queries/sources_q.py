@@ -1073,3 +1073,89 @@ def q_lake_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+def _orders_snap_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot table whose v2 merge ADDS a column (deterministic
+    audit cents for updated keys) — the snapshot lake's additive schema
+    evolution, built once per (sf_dir, fingerprint)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_evo_orders_")
+        orders = table(spark, sf_dir, "orders")
+        snap_init(
+            spark, orders, out, "o_orderpriority",
+            sort_by=("o_orderkey",), target_rows_per_file=20_000,
+        )
+        upd = (
+            orders.filter(F.col("o_orderkey") % 9 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 2.0)
+            .withColumn(
+                "audit_cents",
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            )
+        )
+        snap_merge(
+            spark, out, upd, key_cols=("o_orderkey",),
+            sort_by=("o_orderkey",), target_rows_per_file=20_000,
+        )
+        return out
+
+    return materialize_once(
+        ("lake_evo_orders", sf_dir, table_fingerprint(sf_dir, "orders")), build
+    )
+
+
+@register(
+    "q_lake_schema_evolution",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 9 = 1 THEN o_totalprice + 2.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 9 = 1
+                    THEN CAST(ROUND((o_totalprice + 2.0) * 100) AS BIGINT)
+               END AS audit_cents
+        FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(COUNT(audit_cents) AS BIGINT) AS n_evolved,
+           CAST(SUM(audit_cents) AS BIGINT) AS cents_evolved,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM v2 GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "scale", "lakesnap", "schema-evolution"),
+)
+def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION through a snapshot-lake MERGE (the
+    Delta/Iceberg evolve-on-write default): the v2 update batch carries
+    a NEW audit_cents column; untouched partitions' v1 files are
+    carried forward UNREWRITTEN, yet the latest read surfaces the
+    union schema with exact NULL back-fill for every pre-evolution row
+    (the manifest records the evolved column order; reads union
+    commits by name with missing columns allowed). The aggregate
+    hash-proves three things at once: the back-fill is exact
+    (n_evolved counts only updated rows), the new column's values are
+    right (cents_evolved), and the old columns survived evolution
+    (exact decimal total_price). q_source_evolved is the mergeSchema
+    semantics contract for raw parquet dirs; this is the same contract
+    on the versioned lake, where the manifest — not a footer-sampling
+    job — carries the schema. Additive-only by design: a merge missing
+    a base column is refused (tests/test_lakesnap.py)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_evolved(spark, sf_dir)
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("audit_cents").cast("bigint").alias("n_evolved"),
+        F.sum("audit_cents").alias("cents_evolved"),
+        dsum("o_totalprice").alias("total_price"),
+    )

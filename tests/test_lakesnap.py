@@ -534,3 +534,48 @@ def test_vacuum_spares_resolved_readers_files(spark):
         "basePath", os.path.join(path, "c000001")
     ).parquet(*[p for p in resolved if "c000001" in p])
     assert got.count() == orders.count()
+
+
+def test_schema_evolution_on_merge(spark):
+    """Additive schema evolution through a MERGE: the update batch
+    carries a NEW column; the latest read surfaces it (NULL for every
+    pre-evolution row — untouched partitions' old files and unupdated
+    survivors alike), time travel to v1 still shows the original
+    schema, and a merge missing a base column fails loudly."""
+    path = tempfile.mkdtemp(prefix="snapevo_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    upd = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 9 == 1)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2.0)
+        .withColumn("audit_tag", F.lit("r9"))
+    )
+    v2 = snap_merge(spark, path, upd, key_cols=("o_orderkey",),
+                    sort_by=("o_orderkey",))
+    assert v2 == 2
+    latest = snap_read(spark, path)
+    assert "audit_tag" in latest.columns
+    n_upd = upd.count()
+    assert latest.filter(F.col("audit_tag") == "r9").count() == n_upd
+    assert latest.filter(F.col("audit_tag").isNull()).count() == (
+        orders.count() - n_upd
+    )
+    # time travel: v1 keeps the pre-evolution schema
+    assert "audit_tag" not in snap_read(spark, path, 1).columns
+    # and the evolved schema persists through a later ordinary merge
+    upd2 = (
+        snap_read(spark, path)
+        .filter(F.col("o_orderkey") % 9 == 2)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    v3 = snap_merge(spark, path, upd2, key_cols=("o_orderkey",),
+                    sort_by=("o_orderkey",))
+    assert "audit_tag" in snap_read(spark, path, v3).columns
+    # dropping a base column is refused
+    with pytest.raises(ValueError, match="missing base columns"):
+        snap_merge(
+            spark, path, upd.drop("o_totalprice"), key_cols=("o_orderkey",)
+        )
