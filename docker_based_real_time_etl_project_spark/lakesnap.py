@@ -99,6 +99,9 @@ def _try_publish(path: str, manifest: dict) -> bool:
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     final = _manifest_file(path, manifest["version"])
     tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+    # wall-clock commit stamp (always re-stamped, never carried forward)
+    # for TIMESTAMP AS OF resolution — see snap_as_of
+    manifest["committed_at"] = time.time()
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     try:
@@ -561,6 +564,15 @@ def snap_vacuum(
         if v not in retained:
             os.remove(_manifest_file(path, v))
             removed_manifests += 1
+    # crashed-writer debris: a writer that died between writing its
+    # manifest temp and the CAS link leaves a .tmp no publish will
+    # ever reclaim — age-guarded like data files
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            full = os.path.join(mdir, f)
+            if f.endswith(".tmp") and now - os.path.getmtime(full) >= min_age_sec:
+                os.remove(full)
     # sweep now-empty partition/commit dirs so listings stay clean
     for dirpath, dirs, files in os.walk(path, topdown=False):
         if dirpath != path and not dirs and not files:
@@ -754,3 +766,28 @@ def snap_meta(path: str, version: int | None = None) -> dict:
     if v not in versions:
         raise FileNotFoundError(f"snapshot version {v} not found at {path}")
     return {k: val for k, val in _read_manifest(path, v).items() if k != "entries"}
+
+
+def snap_as_of(path: str, ts_epoch: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta/Iceberg time travel by wall
+    clock): the latest version whose commit stamp is <= ``ts_epoch``.
+    Every publish re-stamps ``committed_at`` at the CAS point, so the
+    stamp order matches the version order by construction. Raises
+    FileNotFoundError when the table is uninitialized or the timestamp
+    predates the first commit — same contract as the version APIs.
+    Pass the result to snap_read/snap_files as ``version``."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    best = None
+    for v in versions:
+        stamp = _read_manifest(path, v).get("committed_at")
+        if stamp is None:  # pre-stamp manifest: fall back to file mtime
+            stamp = os.path.getmtime(_manifest_file(path, v))
+        if stamp <= ts_epoch:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version at or before epoch {ts_epoch} under {path}"
+        )
+    return best

@@ -579,3 +579,39 @@ def test_schema_evolution_on_merge(spark):
         snap_merge(
             spark, path, upd.drop("o_totalprice"), key_cols=("o_orderkey",)
         )
+
+
+def test_timestamp_as_of_and_crash_debris(spark):
+    """snap_as_of resolves by commit wall clock (monotone with version
+    order by construction); vacuum reclaims a crashed writer's
+    manifest .tmp debris under the same retention guard."""
+    import json as _json
+    import time as _time
+
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_as_of
+
+    path = tempfile.mkdtemp(prefix="snapasof_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    t_between = _time.time()
+    _time.sleep(0.05)
+    snap_merge(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        key_cols=("o_orderkey",), sort_by=("o_orderkey",),
+    )
+    assert snap_as_of(path, t_between) == 1
+    assert snap_as_of(path, _time.time()) == 2
+    with pytest.raises(FileNotFoundError):
+        snap_as_of(path, 0.0)
+    # crashed writer: a manifest .tmp that never reached the CAS link
+    debris = os.path.join(path, "_manifests", "v000009.json.dead.tmp")
+    with open(debris, "w") as fh:
+        _json.dump({"version": 9}, fh)
+    snap_vacuum(path, keep_last=2)  # default retention spares it
+    assert os.path.exists(debris)
+    snap_vacuum(path, keep_last=2, min_age_sec=0.0)
+    assert not os.path.exists(debris)
+    assert snap_versions(path) == [1, 2]  # real manifests untouched
