@@ -29,11 +29,10 @@ from docker_based_real_time_etl_project_spark.queries import REGISTRY  # noqa: E
 # first, then stalest latest-evidence round first) and writes the
 # checked-in driver_window.py; tests/test_coverage.py::
 # test_driver_window_matches_policy pins that the checked-in list
-# matches a fresh computation, so the rotation cannot drift from the
-# policy. The round-8 window holds exactly what the round-7 verdict
-# ordered — every never-driver-checked entry (q_ann_pq + all round-8
-# additions), the 2 r3-era stragglers, and all 36 r4-era rows — with
-# any remaining slots filled by the stalest (r5) evidence.
+# matches a fresh computation over the EVIDENCE_FILES recorded in
+# driver_window.py (so the pin survives the driver dropping the next
+# round's artifact mid-round), and the rotation cannot drift from the
+# policy. Regenerate after every registry addition.
 from driver_window import DRIVER_WINDOW as _DRIVER_WINDOW_PRIORITY  # noqa: E402
 
 
