@@ -466,3 +466,107 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(CAST(n*sx2 - sx*sx AS DECIMAL(38,0)), 0) AS BIGINT)"
         ).alias("lambda_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: lag-1..3 ACF of the price series
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+    WITH o AS (
+      SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c,
+             LEAD(CAST(ROUND(value*100) AS BIGINT), 1) OVER win AS c1,
+             LEAD(CAST(ROUND(value*100) AS BIGINT), 2) OVER win AS c2,
+             LEAD(CAST(ROUND(value*100) AS BIGINT), 3) OVER win AS c3
+      FROM events WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(c*c) AS HUGEINT) AS ss,
+             CAST(SUM(c*c1) AS HUGEINT) AS p1, CAST(COUNT(c1) AS HUGEINT) AS m1,
+             CAST(SUM(CASE WHEN c1 IS NOT NULL THEN c END) AS HUGEINT) AS h1,
+             CAST(SUM(c1) AS HUGEINT) AS t1,
+             CAST(SUM(c*c2) AS HUGEINT) AS p2, CAST(COUNT(c2) AS HUGEINT) AS m2,
+             CAST(SUM(CASE WHEN c2 IS NOT NULL THEN c END) AS HUGEINT) AS h2,
+             CAST(SUM(c2) AS HUGEINT) AS t2,
+             CAST(SUM(c*c3) AS HUGEINT) AS p3, CAST(COUNT(c3) AS HUGEINT) AS m3,
+             CAST(SUM(CASE WHEN c3 IS NOT NULL THEN c END) AS HUGEINT) AS h3,
+             CAST(SUM(c3) AS HUGEINT) AS t3
+      FROM o GROUP BY event_type
+    ), l AS (
+      SELECT event_type, 1 AS lag, n, s, ss, p1 AS p, m1 AS m, h1 AS h, t1 AS t FROM g
+      UNION ALL
+      SELECT event_type, 2, n, s, ss, p2, m2, h2, t2 FROM g
+      UNION ALL
+      SELECT event_type, 3, n, s, ss, p3, m3, h3, t3 FROM g
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(m AS BIGINT) AS n_pairs,
+           CAST((n*n*p - n*s*(h + t) + m*s*s) * 1000000
+                // NULLIF(n*n*ss - n*s*s, 0) AS BIGINT) AS acf_micro
+    FROM l
+    """
+
+
+@register(
+    "q_autocorr",
+    oracle=_ACF_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the price series per event_type at
+    lags 1..3 — the volatility-signature / market-efficiency diagnostic
+    that generalizes q_roll_spread's lag-1 serial covariance (an
+    efficient market's returns show ~0; bid-ask bounce shows negative
+    lag-1). Classical common-mean ACF, made hash-exact the pack's
+    standard way: cents in, every sum an int64-per-row product
+    accumulated in DECIMAL(38,0)/HUGEINT, the estimator cleared of the
+    1/n mean via n²·num = n²·Σx_t·x_{t+k} − n·S·(head+tail) + (n−k)·S²
+    over n²·den = n²·SS − n·S², and ONE truncating integer division to
+    micro-units (div/​// agree — the q_kyle_lambda discipline). Plan:
+    three LEADs share ONE sort exchange, then a single map-side-
+    combined hash aggregate per key; the 3-lag unpivot is a stack over
+    the 16-column aggregate row — at 100 TB the shuffle is the sort
+    exchange, everything after is O(keys). Bounds: n²·Σxx·10⁶ needs
+    ~10³⁷ at sf1-scale groups — inside DECIMAL(38,0), named here so a
+    1000× grain change revisits it consciously."""
+    d = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = d.select(
+        "event_type",
+        _cents().alias("c"),
+        *[F.lead(_cents(), k).over(w).alias(f"c{k}") for k in (1, 2, 3)],
+    )
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("c").cast(dec).alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("ss"),
+    ]
+    for k in (1, 2, 3):
+        ck = F.col(f"c{k}")
+        aggs += [
+            F.sum((F.col("c") * ck).cast(dec)).alias(f"p{k}"),
+            F.count(ck).cast(dec).alias(f"m{k}"),
+            F.sum(F.when(ck.isNotNull(), F.col("c"))).cast(dec).alias(f"h{k}"),
+            F.sum(ck).cast(dec).alias(f"t{k}"),
+        ]
+    g = o.groupBy("event_type").agg(*aggs)
+    stacked = g.select(
+        "event_type",
+        "n", "s", "ss",
+        F.expr(
+            "stack(3, 1L, p1, m1, h1, t1, 2L, p2, m2, h2, t2, 3L, p3, m3, h3, t3)"
+            " AS (lag, p, m, h, t)"
+        ),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(CAST((n*n*p - n*s*(h + t) + m*s*s) AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(CAST(n*n*ss - n*s*s AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("acf_micro"),
+    )

@@ -671,6 +671,7 @@ def test_microstructure_single_exchange(spark, sf_dir):
         "q_cusum",
         "q_roll_spread",
         "q_kyle_lambda",
+        "q_autocorr",  # round 9: three LEADs share the one sort exchange
     ):
         df = _q(name, spark, sf_dir)
         assert count_exchanges(df) == 1, name
