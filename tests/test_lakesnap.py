@@ -615,3 +615,56 @@ def test_timestamp_as_of_and_crash_debris(spark):
     snap_vacuum(path, keep_last=2, min_age_sec=0.0)
     assert not os.path.exists(debris)
     assert snap_versions(path) == [1, 2]  # real manifests untouched
+
+
+def test_partition_scoped_auto_compaction(spark):
+    """snap_maintain compacts ONLY fragmented partitions (metadata-only
+    detection): untouched partitions' manifest rows carry forward
+    byte-identical, fragmented ones collapse to target-sized files,
+    data is unchanged, and a second maintain is a no-op."""
+    import json as _json
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_files,
+        snap_maintain,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapmaint_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    # fragment ONE partition by merging it with a tiny file cap
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    snap_merge(
+        spark, path,
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        key_cols=("o_orderkey",), sort_by=("o_orderkey",),
+        target_rows_per_file=25,
+    )
+    m2 = _json.load(open(os.path.join(path, "_manifests", "v000002.json")))
+    frag_files = [e["path"] for e in m2["entries"] if e["partition"] == "1-URGENT"]
+    other_files = sorted(
+        e["path"] for e in m2["entries"] if e["partition"] != "1-URGENT"
+    )
+    assert len(frag_files) > 8  # genuinely fragmented
+    before = snap_read(spark, path)
+    total_before = before.count()
+
+    v3 = snap_maintain(spark, path, max_files_per_partition=8,
+                       target_rows_per_file=100_000, sort_by=("o_orderkey",))
+    assert v3 == 3
+    m3 = _json.load(open(os.path.join(path, "_manifests", "v000003.json")))
+    # untouched partitions: identical manifest rows, no rewrite
+    assert sorted(
+        e["path"] for e in m3["entries"] if e["partition"] != "1-URGENT"
+    ) == other_files
+    # fragmented partition: collapsed under the threshold, new commit dir
+    new_frag = [e["path"] for e in m3["entries"] if e["partition"] == "1-URGENT"]
+    assert 0 < len(new_frag) <= 8
+    assert all(p.startswith("c000003") for p in new_frag)
+    # data identical, steady state is a no-op
+    after = snap_read(spark, path)
+    assert after.count() == total_before
+    assert after.exceptAll(before).count() == 0
+    assert snap_maintain(spark, path, max_files_per_partition=8) is None
+    assert len(snap_files(path)) == len(m3["entries"])
