@@ -1909,3 +1909,123 @@ def q_stream_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("roll_spread_centi"),
     )
+
+
+def _acf_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _ACF_ORACLE,
+    )
+
+    return _ACF_ORACLE
+
+
+@register(
+    "q_stream_autocorr",
+    oracle=_acf_oracle(),
+    tags=("streaming", "stateful", "microstructure", "timeseries"),
+)
+def q_stream_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag-1..3 ACF maintained ONLINE: a lag-K autocorrelation
+    needs exactly the last K values per key as state (the pairs that
+    straddle micro-batches) — so the unbounded stream runs on 1 long +
+    a 3-long tail per key, each batch emits one int64 partial row, and
+    the post-drain combine assembles the same n²-cleared DECIMAL(38,0)
+    estimator as the batch operator before the one truncating division
+    to micro-units. Hash-matches the identical batch q_autocorr oracle.
+    In-order-per-key replay contract as for q_stream_ewma; an OOO
+    deployment fronts this with the watermark-delayed re-sort exactly
+    as the indicator twins do (pairing is order-defined)."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        acf_stream,
+    )
+
+    st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    out = run_to_memory(
+        acf_stream(st), output_mode="append", state_partitions=8
+    )
+    dec = "decimal(38,0)"
+    aggs = [
+        F.sum(F.col("n").cast(dec)).alias("n"),
+        F.sum(F.col("s").cast(dec)).alias("s"),
+        F.sum(F.col("ss").cast(dec)).alias("ss"),
+    ] + [
+        F.sum(F.col(f"{c}{k}").cast(dec)).alias(f"{c}{k}")
+        for k in (1, 2, 3)
+        for c in ("p", "m", "h", "t")
+    ]
+    g = out.groupBy("event_type").agg(*aggs)
+    stacked = g.select(
+        "event_type",
+        "n", "s", "ss",
+        F.expr(
+            "stack(3, 1L, p1, m1, h1, t1, 2L, p2, m2, h2, t2, 3L, p3, m3, h3, t3)"
+            " AS (lag, p, m, h, t)"
+        ),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(CAST((n*n*p - n*s*(h + t) + m*s*s) AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(CAST(n*n*ss - n*s*s AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("acf_micro"),
+    )
+
+
+@register(
+    "q_stream_autocorr_ooo",
+    oracle=_acf_oracle(),
+    tags=("streaming", "stateful", "microstructure", "out-of-order"),
+)
+def q_stream_autocorr_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ACF over OUT-OF-ORDER arrival: pair formation is
+    order-defined (one early-folded late row would pair wrong values at
+    every lag), so the watermark-delayed re-sort buffer fronts the SAME
+    shared _acf_fold as the in-order twin — adjacent replay slices
+    arrive swapped, the released sequences are identical, and the
+    result hash-matches the identical batch q_autocorr oracle. State =
+    the 3-value tail + the rows inside the delay window, the
+    irreducible cost of lateness tolerance."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        acf_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        acf_stream_ooo(
+            st.select("event_type", "ts", "event_id", "value"),
+            watermark=delay,
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+    out = out.filter(F.col("event_type") != "__sentinel__")
+    dec = "decimal(38,0)"
+    aggs = [
+        F.sum(F.col("n").cast(dec)).alias("n"),
+        F.sum(F.col("s").cast(dec)).alias("s"),
+        F.sum(F.col("ss").cast(dec)).alias("ss"),
+    ] + [
+        F.sum(F.col(f"{c}{k}").cast(dec)).alias(f"{c}{k}")
+        for k in (1, 2, 3)
+        for c in ("p", "m", "h", "t")
+    ]
+    g = out.groupBy("event_type").agg(*aggs)
+    stacked = g.select(
+        "event_type",
+        "n", "s", "ss",
+        F.expr(
+            "stack(3, 1L, p1, m1, h1, t1, 2L, p2, m2, h2, t2, 3L, p3, m3, h3, t3)"
+            " AS (lag, p, m, h, t)"
+        ),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(CAST((n*n*p - n*s*(h + t) + m*s*s) AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(CAST(n*n*ss - n*s*s AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("acf_micro"),
+    )
