@@ -90,15 +90,21 @@ def write_clustered(
     """
     grid = None
     if layout == "zorder":
-        if not zorder_by or len(zorder_by) != 2:
-            raise ValueError("layout='zorder' needs zorder_by=(col1, col2)")
+        if not zorder_by or len(zorder_by) < 2:
+            raise ValueError("layout='zorder' needs zorder_by=(col1, col2, ...)")
         from docker_based_real_time_etl_project_spark.operators.zorder import (
             fit_grid,
+            fit_grid_n,
             zvalue_expr,
+            zvalue_expr_n,
         )
 
-        grid = fit_grid(df, zorder_by[0], zorder_by[1], bits=zorder_bits)
-        df = df.withColumn("zb", zvalue_expr(grid))
+        if len(zorder_by) == 2:
+            grid = fit_grid(df, zorder_by[0], zorder_by[1], bits=zorder_bits)
+            df = df.withColumn("zb", zvalue_expr(grid))
+        else:
+            grid = fit_grid_n(df, tuple(zorder_by), bits=zorder_bits)
+            df = df.withColumn("zb", zvalue_expr_n(grid))
         partition_by = (*partition_by, "zb")
     elif layout != "linear":
         raise ValueError(f"unknown layout {layout!r} (linear|zorder)")

@@ -178,3 +178,124 @@ def zorder_box_scan(
         & F.col(grid.col1).between(lo1, hi1)
         & F.col(grid.col2).between(lo2, hi2)
     )
+
+
+# ---------------------------------------------------------------------------
+# N-dimensional Morton grid (Delta's OPTIMIZE ZORDER BY takes N columns)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ZGridN:
+    """N-dimensional Morton grid: per-dimension [lo, hi] and a shared
+    bit width — 2**bits cells per dimension, (2**bits)**N buckets
+    total. Same per-dimension cell arithmetic as :class:`ZGrid`
+    (clamped, monotonic, exact floor division); dimension d's bit i
+    interleaves to z-bit i*N + d. Choose ``bits`` so the bucket count
+    stays a sane partition count — bits=2 with 3 dims is 64 buckets,
+    the same budget as the 2-D default."""
+
+    cols: tuple[str, ...]
+    los: tuple[int, ...]
+    his: tuple[int, ...]
+    bits: int
+
+    def __post_init__(self) -> None:
+        assert len(self.cols) == len(self.los) == len(self.his) >= 2
+        for lo, hi in zip(self.los, self.his):
+            if hi < lo:
+                raise ValueError(f"empty key domain [{lo}, {hi}]")
+            if (hi - lo) > (1 << (62 - self.bits)):
+                raise ValueError(
+                    f"key domain [{lo}, {hi}] too wide for bits={self.bits}"
+                )
+
+    @property
+    def ndim(self) -> int:
+        return len(self.cols)
+
+    @property
+    def n_buckets(self) -> int:
+        return 1 << (self.ndim * self.bits)
+
+    def cell(self, dim: int, value: int) -> int:
+        """Cell index of ``value`` along dimension ``dim`` (0-based)."""
+        lo, hi = self.los[dim], self.his[dim]
+        v = min(max(value, lo), hi)
+        return ((v - lo) * (1 << self.bits)) // (hi - lo + 1)
+
+    def interleave(self, cells: Sequence[int]) -> int:
+        z = 0
+        for i in range(self.bits):
+            for d, c in enumerate(cells):
+                z |= ((c >> i) & 1) << (i * self.ndim + d)
+        return z
+
+    def box_buckets(self, bounds: Sequence[tuple]) -> list[int]:
+        """Every bucket whose cell hyper-rectangle intersects the query
+        box (one (lo, hi) pair per dimension) — the cross product of
+        per-dimension cell ranges, a superset by per-dim monotonicity.
+        Enumeration cost is the covered-cell count, bounded by
+        n_buckets."""
+        assert len(bounds) == self.ndim
+        ranges = [
+            range(self.cell(d, lo), self.cell(d, hi) + 1)
+            for d, (lo, hi) in enumerate(bounds)
+        ]
+        out = []
+        from itertools import product
+
+        for cells in product(*ranges):
+            out.append(self.interleave(cells))
+        return sorted(out)
+
+
+def fit_grid_n(df: DataFrame, cols: Sequence[str], bits: int = 2) -> ZGridN:
+    """One tiny agg defines the grid — 2N scalars to the driver."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).cast("long"), F.max(c).cast("long")]
+    row = df.agg(*aggs).first()
+    los = tuple(int(row[2 * i]) for i in range(len(cols)))
+    his = tuple(int(row[2 * i + 1]) for i in range(len(cols)))
+    return ZGridN(tuple(cols), los, his, bits)
+
+
+def zvalue_expr_n(grid: ZGridN) -> Column:
+    """Morton value over N columns as a pure bit-twiddling expression
+    tree (the N-dim twin of :func:`zvalue_expr`, same exact-floor cell
+    arithmetic and NULL contract: any NULL key -> NULL z-value)."""
+    cells = [
+        _cell_expr(F.col(c), grid.los[d], grid.his[d], grid.bits)
+        for d, c in enumerate(grid.cols)
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(grid.bits):
+        for d, cell in enumerate(cells):
+            z = z + F.shiftleft(
+                F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * grid.ndim + d
+            )
+    null_any = F.lit(False)
+    for c in grid.cols:
+        null_any = null_any | F.col(c).isNull()
+    return F.when(null_any, F.lit(None).cast("long")).otherwise(z)
+
+
+def zorder_write_n(df: DataFrame, path: str, grid: ZGridN) -> None:
+    """Materialize ``df`` clustered by N-dim z-bucket (``zb=<z>`` dirs),
+    same contract as :func:`zorder_write`."""
+    df.withColumn("zb", zvalue_expr_n(grid)).repartition("zb").write.partitionBy(
+        "zb"
+    ).mode("overwrite").parquet(path)
+
+
+def zorder_box_scan_n(
+    spark_read_df: DataFrame, grid: ZGridN, bounds: Sequence[tuple]
+) -> DataFrame:
+    """N-dim box query over a z-layout: bucket IN-list (partition
+    pruning from grid math) AND the exact per-dimension predicates."""
+    buckets = grid.box_buckets(bounds)
+    pred = F.col("zb").isin(buckets)
+    for d, (lo, hi) in enumerate(bounds):
+        pred = pred & F.col(grid.cols[d]).between(lo, hi)
+    return spark_read_df.filter(pred)

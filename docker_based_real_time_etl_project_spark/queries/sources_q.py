@@ -1159,3 +1159,87 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("audit_cents").alias("cents_evolved"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+_Z3_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _zordered3_lineitem(spark: SparkSession, sf_dir: str):
+    """lineitem clustered once per session on the 3-D
+    (l_partkey, l_suppkey, l_quantity) Morton grid via
+    write_clustered(layout='zorder') — bits=2, 64 buckets, the same
+    partition budget as the 2-D default."""
+    from docker_based_real_time_etl_project_spark.lakewrite import write_clustered
+
+    if sf_dir not in _Z3_CACHE:
+        li = table(spark, sf_dir, "lineitem").withColumn(
+            "l_qty_i", F.col("l_quantity").cast("bigint")
+        )
+        out = tempfile.mkdtemp(prefix="lineitem_z3_")
+        grid = write_clustered(
+            li, out, layout="zorder",
+            zorder_by=("l_partkey", "l_suppkey", "l_qty_i"), zorder_bits=2,
+        )
+        _Z3_CACHE[sf_dir] = (out, grid)
+    out, grid = _Z3_CACHE[sf_dir]
+    return spark.read.parquet(out), grid
+
+
+@register(
+    "q_zorder3_pruned_scan",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+               MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx,
+               MIN(CAST(l_quantity AS BIGINT)) AS qmn,
+               MAX(CAST(l_quantity AS BIGINT)) AS qmx
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem, b
+    WHERE l_partkey BETWEEN pmn + (pmx - pmn) // 10 AND pmn + (pmx - pmn) // 4
+      AND l_suppkey BETWEEN smn AND smn + (smx - smn) // 5
+      AND CAST(l_quantity AS BIGINT) BETWEEN qmn AND qmn + (qmx - qmn) // 2
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "layout", "scale", "zorder"),
+)
+def q_zorder3_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-dimensional z-order box scan (Delta's OPTIMIZE ZORDER BY
+    takes N columns; round 7's operator was 2-D): lineitem clustered on
+    the (partkey, suppkey, quantity) Morton grid, a conjunctive 3-D box
+    pruned to its covered buckets by driver-side grid arithmetic, the
+    exact predicates re-applied so the oracle runs the SAME box on the
+    unclustered table. Box bounds derive from the table's own min/max
+    with identical integer arithmetic on both sides
+    (scale-factor-agnostic). With bits=2 the grid is 64 buckets — same
+    partition budget as 2-D bits=3 — trading per-dimension resolution
+    for an extra pruned dimension, which is exactly the knob a table
+    owner turns when workloads filter three keys at once."""
+    from docker_based_real_time_etl_project_spark.operators.zorder import (
+        zorder_box_scan_n,
+    )
+
+    zdf, grid = _zordered3_lineitem(spark, sf_dir)
+    bounds = [
+        (grid.los[0] + (grid.his[0] - grid.los[0]) // 10,
+         grid.los[0] + (grid.his[0] - grid.los[0]) // 4),
+        (grid.los[1], grid.los[1] + (grid.his[1] - grid.los[1]) // 5),
+        (grid.los[2], grid.los[2] + (grid.his[2] - grid.los[2]) // 2),
+    ]
+    return (
+        zorder_box_scan_n(zdf, grid, bounds)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )

@@ -403,3 +403,53 @@ def test_bpe_pair_counts_against_python(spark, sf_dir):
                     c[w[i : i + 2]] += 1
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got == want
+
+
+def test_zorder3_layout_prunes_box_reads(spark, sf_dir, tmp_path):
+    """3-D Morton layout (round 9): a conjunctive 3-D box must read
+    only covered buckets' files and return exactly the unclustered
+    table's rows for the same box."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.operators.zorder import (
+        fit_grid_n,
+        zorder_box_scan_n,
+        zorder_write_n,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_i", F.col("l_quantity").cast("bigint")
+    )
+    grid = fit_grid_n(li, ("l_partkey", "l_suppkey", "l_qty_i"), bits=2)
+    out = str(tmp_path / "lineitem_z3")
+    zorder_write_n(li, out, grid)
+
+    bounds = [
+        (grid.los[0], grid.los[0] + (grid.his[0] - grid.los[0]) // 4),
+        (grid.los[1], grid.los[1] + (grid.his[1] - grid.los[1]) // 5),
+        (grid.los[2], grid.los[2] + (grid.his[2] - grid.los[2]) // 2),
+    ]
+    buckets = set(grid.box_buckets(bounds))
+    zdf = spark.read.parquet(out)
+    pruned = zorder_box_scan_n(zdf, grid, bounds)
+
+    occupied = {r[0] for r in zdf.select("zb").distinct().collect()}
+    assert len(buckets & occupied) < len(occupied)  # strict subset covered
+    touched = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched and all(
+        int(re.search(r"zb=(\d+)", f).group(1)) in buckets for f in touched
+    )
+    box = (
+        F.col("l_partkey").between(*bounds[0])
+        & F.col("l_suppkey").between(*bounds[1])
+        & F.col("l_qty_i").between(*bounds[2])
+    )
+    truth = li.filter(box)
+    cols = [c for c in li.columns]
+    got = pruned.select(cols)
+    assert got.exceptAll(truth.select(cols)).count() == 0
+    assert truth.select(cols).exceptAll(got).count() == 0
