@@ -668,3 +668,54 @@ def test_partition_scoped_auto_compaction(spark):
     assert after.exceptAll(before).count() == 0
     assert snap_maintain(spark, path, max_files_per_partition=8) is None
     assert len(snap_files(path)) == len(m3["entries"])
+
+
+def test_concurrent_merge_four_writer_contention(spark):
+    """Four writers race on four disjoint partitions: all four commits
+    land (versions [1..5]), no writer errors out within the retry
+    budget, and the final state equals the serial application of all
+    updates — the contention scenario a multi-pipeline deployment
+    actually runs."""
+    import threading
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_merge_concurrent,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcas4_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    parts = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]
+    errs = []
+
+    def writer(part, delta, wid):
+        try:
+            snap_merge_concurrent(
+                spark, path, _priced(orders, part, 3, delta),
+                key_cols=("o_orderkey",), writer_id=wid, max_attempts=8,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(p, float(i + 1), f"w{i}"))
+        for i, p in enumerate(parts)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert snap_versions(path) == [1, 2, 3, 4, 5]
+    latest = snap_read(spark, path).select(*orders.columns)
+    truth = orders
+    for i, p in enumerate(parts):
+        truth = truth.withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderpriority") == p) & (F.col("o_orderkey") % 17 == 3),
+                F.col("o_totalprice") + float(i + 1),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    assert latest.exceptAll(truth).count() == 0
+    assert truth.exceptAll(latest).count() == 0
