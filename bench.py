@@ -87,6 +87,7 @@ HEADLINE = [
     # round 9 additions
     "q_lake_concurrent_merge",  # optimistic-CAS two-writer merge + rebase
     "q_lake_zorder_box",        # manifest-pruned 2-D box over z-lake
+    "q_lake_point_lookup",      # per-file bloom-index point read
     "q_dedup_span_corpus",      # corpus-wide maximal duplicated spans
     "q_contamination_bloom",    # distributed bitmap build + expression probes
 ]

@@ -187,12 +187,23 @@ def snap_init(
     target_rows_per_file: int | None = None,
     stats_col: str | None = None,
     meta: dict | None = None,
+    bloom_col: str | None = None,
+    bloom_bits: int = 131072,
+    bloom_k: int = 4,
 ) -> int:
     """Create version 1 of a snapshot table from ``df``. The data
     write reuses the clustered layout contract (partition dirs +
     range clustering + file caps); the manifest publish is the
     commit. ``meta`` adds table-level keys to the manifest (e.g. the
-    z-order grid) that every later commit carries forward."""
+    z-order grid) that every later commit carries forward.
+
+    ``bloom_col`` configures a PER-FILE BLOOM INDEX on that column
+    (Delta bloom-filter-index shape): every commit — this one and all
+    later merges/compactions — writes a `_blooms.json` sidecar for its
+    new files, and :func:`snap_point_read` prunes point lookups to the
+    files whose bitmaps might hold the probed values. Size
+    ``bloom_bits`` at ~16x the rows per file (default 128 Ki bits =
+    16 KiB/file for ~8k-row files, FPR ~0.24% at k=4)."""
     commit_rel = "c000001"
     write_clustered(
         df,
@@ -201,19 +212,27 @@ def snap_init(
         sort_by=tuple(sort_by),
         target_rows_per_file=target_rows_per_file,
     )
-    _publish(
-        path,
-        {
-            **(meta or {}),
-            "version": 1,
-            "partition_col": partition_col,
-            "stats_col": stats_col,
-            "columns": list(df.columns),
-            "entries": _commit_entries(
-                path, commit_rel, partition_col, stats_col
-            ),
-        },
-    )
+    manifest = {
+        **(meta or {}),
+        "version": 1,
+        "partition_col": partition_col,
+        "stats_col": stats_col,
+        "columns": list(df.columns),
+        "entries": _commit_entries(
+            path, commit_rel, partition_col, stats_col
+        ),
+    }
+    if bloom_col is not None:
+        if bloom_bits % 64:
+            raise ValueError("bloom_bits must be a multiple of 64")
+        manifest.update(
+            bloom_col=bloom_col,
+            bloom_bits=int(bloom_bits),
+            bloom_k=int(bloom_k),
+            bloom_type=dict(df.dtypes)[bloom_col],
+        )
+        _attach_blooms(spark, path, commit_rel, manifest)
+    _publish(path, manifest)
     return 1
 
 
@@ -256,6 +275,18 @@ def snap_read(
             for e in entries
             if "stats" not in e or not (e["stats"][0] > hi or e["stats"][1] < lo)
         ]
+    if not entries:
+        return snap_read(spark, path, version=v).limit(0)
+    return _read_entry_files(spark, path, entries, m)
+
+
+def _read_entry_files(
+    spark: SparkSession, path: str, entries: list[dict], manifest: dict
+) -> DataFrame:
+    """Manifest entries -> DataFrame: files grouped per commit dir so
+    partition-dir inference (basePath) re-attaches the partition
+    column; commits' scans are unioned by name with additive-schema
+    back-fill. Shared by snap_read and the bloom point-read path."""
     by_commit: dict[str, list[str]] = {}
     for e in entries:
         commit = e["path"].split(os.sep)[0]
@@ -264,14 +295,12 @@ def snap_read(
         spark.read.option("basePath", os.path.join(path, commit)).parquet(*files)
         for commit, files in sorted(by_commit.items())
     ]
-    if not parts:
-        return snap_read(spark, path, version=v).limit(0)
     out = parts[0]
     for p in parts[1:]:
         # commits written before a column was added surface NULL for it
         # (additive schema evolution, same back-fill as mergeSchema)
         out = out.unionByName(p, allowMissingColumns=True)
-    cols = m.get("columns")
+    cols = manifest.get("columns")
     if cols:
         for c in cols:  # a pre-evolution commit may miss new columns
             if c not in out.columns:
@@ -319,6 +348,7 @@ def snap_merge(
         target_rows_per_file=target_rows_per_file,
     )
     carried = [e for e in cur["entries"] if str(e["partition"]) not in touched]
+    _attach_blooms(spark, path, commit_rel, cur)
     _publish(
         path,
         {
@@ -458,6 +488,7 @@ def snap_merge_concurrent(
             target_rows_per_file=target_rows_per_file,
         )
         new_entries = _commit_entries(path, commit_rel, partition_col, stats_col)
+        _attach_blooms(spark, path, commit_rel, cur)
         if _before_publish is not None:
             hook, _before_publish = _before_publish, None
             hook()
@@ -573,6 +604,17 @@ def snap_vacuum(
             full = os.path.join(mdir, f)
             if f.endswith(".tmp") and now - os.path.getmtime(full) >= min_age_sec:
                 os.remove(full)
+    # bloom sidecars of commits no retained manifest references are
+    # debris too (age-guarded like the data files they described)
+    live_commits = {r.split(os.sep)[0] for r in referenced}
+    for d in os.listdir(path):
+        side = _bloom_sidecar_file(path, d)
+        if (
+            d not in live_commits
+            and os.path.isfile(side)
+            and now - os.path.getmtime(side) >= min_age_sec
+        ):
+            os.remove(side)
     # sweep now-empty partition/commit dirs so listings stay clean
     for dirpath, dirs, files in os.walk(path, topdown=False):
         if dirpath != path and not dirs and not files:
@@ -644,6 +686,7 @@ def snap_compact(
         target_rows_per_file=target_rows_per_file,
         n_partitions=max(1, math.ceil(rows / target_rows_per_file)),
     )
+    _attach_blooms(spark, path, commit_rel, cur)
     _publish(
         path,
         {
@@ -828,6 +871,7 @@ def snap_compact_partitions(
         n_partitions=max(1, math.ceil(rows / target_rows_per_file)),
     )
     carried = [e for e in cur["entries"] if str(e["partition"]) not in touched]
+    _attach_blooms(spark, path, commit_rel, cur)
     _publish(
         path,
         {
@@ -838,6 +882,219 @@ def snap_compact_partitions(
         },
     )
     return new_version
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom indexes: point-lookup file skipping that min/max
+# stats can't give (high-cardinality keys spread uniformly across
+# files have useless ranges but near-disjoint membership sets). The
+# same idea as Delta's bloom-filter index / Iceberg's bloom value
+# skipping, built on operators/bloom.py's pinned hash arithmetic.
+#
+# Layout: one sidecar `_blooms.json` per COMMIT DIR (immutable, like
+# the data files it describes) mapping each data file's rel path to
+# its bitmap words. The manifest carries only the table-level config
+# (bloom_col / bloom_bits / bloom_k / bloom_type), so manifests stay
+# O(files) no matter how many bits each file's bloom holds. The build
+# is DISTRIBUTED: one Spark pass over only the new commit's files,
+# per-file numpy OR-folds (the same _fold_hashes_into the contamination
+# screen uses) tree-reduced with bit_or; the driver collects
+# O(files x words) — the sidecar it must write anyway. Probes hash the
+# lookup values with Spark's own xxhash64 (one tiny job), so build and
+# probe arithmetic cannot drift. Files from commits written before the
+# index existed simply have no sidecar entry and are conservatively
+# kept — no false negatives, ever.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SIDECAR = "_blooms.json"
+
+
+def _bloom_sidecar_file(path: str, commit_rel: str) -> str:
+    return os.path.join(path, commit_rel, _BLOOM_SIDECAR)
+
+
+def _file_blooms(
+    spark: SparkSession, path: str, commit_rel: str, column: str,
+    m_bits: int, k: int,
+) -> dict[str, list[int]]:
+    """Per-file bloom bitmaps for every data file under one commit dir,
+    built WITHOUT collecting keys: mapInPandas folds each Arrow batch's
+    xxhash64(column) into a per-file numpy bitmap, emits only the
+    nonzero words, and a bit_or aggregation merges partials across
+    batches/partitions. Driver holds O(files x m_bits/64) longs."""
+    import numpy as np
+
+    from docker_based_real_time_etl_project_spark.operators.bloom import (
+        _fold_hashes_into,
+    )
+
+    base = os.path.join(path, commit_rel)
+    n_words = m_bits // 64
+    has_data = any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for _, _, files in os.walk(base)
+        for f in files
+    )
+    if not has_data:  # an empty merge commits only carried entries
+        return {}
+    src = spark.read.parquet(base).select(
+        F.input_file_name().alias("_f"),
+        F.xxhash64(F.col(column)).alias("_h"),
+    )
+
+    def fold(batches):
+        import pandas as pd
+
+        acc: dict[str, object] = {}
+        for pdf in batches:
+            for fname, grp in pdf.groupby("_f", sort=False):
+                words = acc.get(fname)
+                if words is None:
+                    words = acc[fname] = np.zeros(n_words, dtype=np.uint64)
+                _fold_hashes_into(
+                    words,
+                    grp["_h"].to_numpy(dtype=np.int64).view(np.uint64),
+                    m_bits, k,
+                )
+        for fname, words in acc.items():
+            signed = words.view(np.int64)
+            nz = np.nonzero(signed)[0]
+            yield pd.DataFrame(
+                {"f": fname, "idx": nz.astype(np.int64), "word": signed[nz]}
+            )
+
+    rows = (
+        src.mapInPandas(fold, "f string, idx long, word long")
+        .groupBy("f", "idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    from urllib.parse import urlparse
+
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        rel = os.path.relpath(unquote(urlparse(r["f"]).path), path)
+        out.setdefault(rel, [0] * n_words)[r["idx"]] = r["word"]
+    return out
+
+
+def _attach_blooms(spark: SparkSession, path: str, commit_rel: str, manifest: dict) -> None:
+    """Write the commit dir's bloom sidecar when the table has a bloom
+    index configured (manifest carries the config forward, so every
+    commit path — init, merge, concurrent merge, compaction — indexes
+    its new files with one call)."""
+    col = manifest.get("bloom_col")
+    if not col:
+        return
+    blooms = _file_blooms(
+        spark, path, commit_rel, col,
+        int(manifest["bloom_bits"]), int(manifest["bloom_k"]),
+    )
+    side = _bloom_sidecar_file(path, commit_rel)
+    tmp = side + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(blooms, fh)
+    os.replace(tmp, side)
+
+
+def _bloom_maybe(words: list[int], h: int, m_bits: int, k: int) -> bool:
+    """Driver-side membership probe — the Python twin of
+    bloom_might_contain's expression arithmetic (lockstep pinned via
+    operators/bloom._probe_params_py)."""
+    from docker_based_real_time_etl_project_spark.operators.bloom import (
+        _probe_params_py,
+    )
+
+    h1, h2 = _probe_params_py(h, m_bits)
+    for i in range(k):
+        pos = (h1 + i * h2) % m_bits
+        if not (words[pos >> 6] >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def _value_hashes(spark: SparkSession, values: Sequence, col_type: str) -> list[int]:
+    """xxhash64 of the probe values, computed BY SPARK on the indexed
+    column's exact type — the only way to guarantee the probe hashes
+    what the build hashed (xxhash64 is type-sensitive)."""
+    hdf = spark.createDataFrame([(v,) for v in values], f"v {col_type}")
+    return [r[0] for r in hdf.select(F.xxhash64("v")).collect()]
+
+
+def _bloom_prune(
+    spark: SparkSession, path: str, entries: list[dict], manifest: dict,
+    values: Sequence,
+) -> list[dict]:
+    """Drop entries whose file bloom proves NONE of ``values`` can be
+    present. Entries from commits without a sidecar (pre-index
+    history) are kept — skipping is an optimization, never a filter."""
+    m_bits, k = int(manifest["bloom_bits"]), int(manifest["bloom_k"])
+    hashes = _value_hashes(spark, values, manifest["bloom_type"])
+    sidecars: dict[str, dict | None] = {}
+    kept = []
+    for e in entries:
+        commit = e["path"].split(os.sep)[0]
+        if commit not in sidecars:
+            side = _bloom_sidecar_file(path, commit)
+            if os.path.exists(side):
+                with open(side) as fh:
+                    sidecars[commit] = json.load(fh)
+            else:
+                sidecars[commit] = None
+        blooms = sidecars[commit]
+        words = None if blooms is None else blooms.get(e["path"])
+        if words is None or any(
+            _bloom_maybe(words, h, m_bits, k) for h in hashes
+        ):
+            kept.append(e)
+    return kept
+
+
+def _resolve_version(path: str, version: int | None) -> int:
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot version {v} not found at {path}")
+    return v
+
+
+def snap_point_files(
+    spark: SparkSession, path: str, values: Sequence, version: int | None = None
+) -> list[str]:
+    """The file list a :func:`snap_point_read` for ``values`` would
+    open — the bloom-skipping contract, metadata + sidecar reads only
+    (test/audit helper, twin of snap_files/snap_box_files)."""
+    v = _resolve_version(path, version)
+    m = _read_manifest(path, v)
+    if not m.get("bloom_col"):
+        raise ValueError(f"{path} has no bloom index configured")
+    return [e["path"] for e in _bloom_prune(spark, path, m["entries"], m, values)]
+
+
+def snap_point_read(
+    spark: SparkSession, path: str, values: Sequence, version: int | None = None
+) -> DataFrame:
+    """POINT LOOKUP over the bloom-indexed key: prune the version's
+    file set to files whose bloom might contain ANY of ``values``
+    (plus unindexed history, kept for safety), read only those, and
+    re-apply the exact IN predicate — the index can only change bytes
+    read, never results. At scale this is the Delta bloom-index /
+    Iceberg value-skipping read path: a needle-in-100-TB key probe
+    opens a handful of files instead of a full partition scan, because
+    a uniformly distributed key defeats min/max stats but not
+    membership bitmaps."""
+    v = _resolve_version(path, version)
+    m = _read_manifest(path, v)
+    if not m.get("bloom_col"):
+        raise ValueError(f"{path} has no bloom index configured")
+    kept = _bloom_prune(spark, path, m["entries"], m, values)
+    col = m["bloom_col"]
+    if not kept:
+        return snap_read(spark, path, v).filter(F.lit(False))
+    df = _read_entry_files(spark, path, kept, m)
+    return df.filter(F.col(col).isin(list(values)))
 
 
 def snap_maintain(

@@ -1243,3 +1243,86 @@ def q_zorder3_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_orderkey").alias("max_key"),
         )
     )
+
+
+def _orders_snap_bloom(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a BLOOM-INDEXED snapshot table: same two versions as
+    _orders_snap (pristine + the deterministic merge batch), but with
+    the per-file bloom index on o_orderkey, so point lookups exercise
+    sidecars from BOTH commit generations. Small files on purpose —
+    the skipping contract needs a multi-file table to be observable."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_bloom_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=5_000,
+            bloom_col="o_orderkey",
+            bloom_bits=131072,
+        )
+        snap_merge(
+            spark,
+            out,
+            _merge_updates(spark, sf_dir),
+            key_cols=("o_orderkey",),
+            delete_col="_delete",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=5_000,
+        )
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_bloom", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+_POINT_KEYS = (0, 5, 7, 97, 194, 1999999999, 2000000003)
+
+
+@register(
+    "q_lake_point_lookup",
+    oracle=f"""
+    WITH {_SNAP_MERGED_CTE}
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM merged
+    WHERE o_orderkey IN {_POINT_KEYS}
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT LOOKUP via the PER-FILE BLOOM INDEX (lakesnap sidecars —
+    the Delta bloom-filter-index / Iceberg value-skipping shape): the
+    probed keys' xxhash64 is tested against each manifest file's
+    bitmap, only might-contain files are opened, and the exact IN
+    predicate re-applies on the survivors — so the index changes bytes
+    read, never results. The key set walks every merge fate: 0/97/194
+    were upserted (+1000 price), 5 was deleted (absent), 2000000003
+    was re-inserted, 1999999999 never existed, 7 rode untouched. A
+    uniformly-spread key defeats min/max stats (every file's range
+    covers it) but not membership bitmaps — at 100 TB this is the
+    difference between opening ~4 files and scanning a partition.
+    Pruning contract pinned in tests/test_lakesnap.py; build is
+    distributed (per-file OR-folds tree-reduced, operators/bloom.py).
+    Reference parity: the reference serves point reads from row stores
+    (init-db.sql:3-49); this is the same primitive lake-side."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_point_read
+
+    path = _orders_snap_bloom(spark, sf_dir)
+    return snap_point_read(spark, path, list(_POINT_KEYS)).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )

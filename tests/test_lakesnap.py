@@ -719,3 +719,94 @@ def test_concurrent_merge_four_writer_contention(spark):
         )
     assert latest.exceptAll(truth).count() == 0
     assert truth.exceptAll(latest).count() == 0
+
+
+def test_bloom_point_lookup_prunes_files_and_matches(spark):
+    """Per-file bloom index: point lookups open a strict subset of the
+    version's files across MULTIPLE commits (init + merge), return
+    exactly the rows a full-scan filter returns (no false negatives),
+    and an absent key probes (near-)zero files."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_files,
+        snap_point_files,
+        snap_point_read,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapbloom_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(
+        spark, orders, path, "o_orderpriority",
+        sort_by=("o_orderkey",), target_rows_per_file=200,
+        bloom_col="o_orderkey", bloom_bits=8192,
+    )
+    part = "1-URGENT"
+    upd = (
+        orders.filter(
+            (F.col("o_orderpriority") == part) & (F.col("o_orderkey") % 7 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("_delete", F.lit(False))
+    )
+    snap_merge(
+        spark, path, upd, key_cols=("o_orderkey",), delete_col="_delete",
+        sort_by=("o_orderkey",), target_rows_per_file=200,
+    )
+    keys = [r[0] for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(3).collect()]
+    got = snap_point_read(spark, path, keys)
+    want = snap_read(spark, path).filter(F.col("o_orderkey").isin(keys))
+    assert sorted(got.collect()) == sorted(want.collect())
+    all_files = snap_files(path)
+    pt_files = snap_point_files(spark, path, keys)
+    assert set(pt_files) <= set(all_files)
+    assert len(pt_files) < len(all_files), (len(pt_files), len(all_files))
+    # a key no file holds: every file's bloom should reject it (FPR
+    # permitting — at 40+ bits/key a spurious keep is ~impossible)
+    assert snap_point_files(spark, path, [-123456789]) == []
+    assert snap_point_read(spark, path, [-123456789]).count() == 0
+
+
+def test_bloom_sidecar_written_by_every_commit_path(spark):
+    """Compaction and concurrent merges index their new files too (the
+    manifest carries the config), and vacuum reclaims sidecars of
+    expired commits."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _bloom_sidecar_file,
+        snap_compact,
+        snap_merge_concurrent,
+        snap_point_files,
+        snap_point_read,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapbloomc_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(
+        spark, orders, path, "o_orderpriority",
+        sort_by=("o_orderkey",), target_rows_per_file=200,
+        bloom_col="o_orderkey", bloom_bits=8192,
+    )
+    upd = (
+        orders.filter(F.col("o_orderkey") % 13 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    v2 = snap_merge_concurrent(
+        spark, path, upd, key_cols=("o_orderkey",),
+        sort_by=("o_orderkey",), target_rows_per_file=200, writer_id="w1",
+    )
+    assert v2 == 2
+    assert os.path.exists(_bloom_sidecar_file(path, "c000002ww1a0"))
+    v3 = snap_compact(spark, path, target_rows_per_file=5000)
+    assert os.path.exists(_bloom_sidecar_file(path, f"c{v3:06d}"))
+    keys = [r[0] for r in orders.select("o_orderkey").limit(2).collect()]
+    got = snap_point_read(spark, path, keys)
+    want = snap_read(spark, path).filter(F.col("o_orderkey").isin(keys))
+    assert sorted(got.collect()) == sorted(want.collect())
+    # post-compaction files are few and indexed: lookup opens a subset
+    assert len(snap_point_files(spark, path, keys)) <= len(
+        snap_point_files(spark, path, keys + [1, 2, 3, 4, 5, 6])
+    )
+    # vacuum past versions: expired commits' sidecars go with them
+    snap_vacuum(path, keep_last=1, min_age_sec=0.0)
+    assert not os.path.exists(_bloom_sidecar_file(path, "c000001"))
+    assert os.path.exists(_bloom_sidecar_file(path, f"c{v3:06d}"))
+    got2 = snap_point_read(spark, path, keys)
+    assert sorted(got2.collect()) == sorted(want.collect())
