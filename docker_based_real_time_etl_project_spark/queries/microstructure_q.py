@@ -570,3 +570,107 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(CAST(n*n*ss - n*s*s AS DECIMAL(38,0)), 0) AS BIGINT)"
         ).alias("acf_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown + realized volatility: the risk layer over the price path
+# ---------------------------------------------------------------------------
+
+_MDD_ORACLE = """
+    WITH o AS (
+      SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c,
+             MAX(CAST(ROUND(value*100) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(peak - c) AS BIGINT) AS max_dd_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents
+    FROM o GROUP BY event_type
+    """
+
+
+@register(
+    "q_max_drawdown",
+    oracle=_MDD_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per event_type — the canonical path-dependent
+    risk measure (largest peak-to-trough fall of the price path). The
+    naive definition nests two scans (for every t, the max over the
+    prefix); the closed form is ONE running max then one aggregate:
+    max_t(prefix_max_t − c_t). Everything is integer cents, so the
+    result is exact and hash-stable. Plan: the running max shares the
+    pack's single (event_type)-sort exchange; the final aggregate
+    reuses that partitioning — O(keys) output, no second shuffle. At
+    100 TB the key is the symbol and each symbol's path streams
+    through one window frame, never materialized."""
+    d = table(spark, sf_dir, "events")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = d.select(
+        "event_type",
+        _cents().alias("c"),
+        F.max(_cents()).over(wc).alias("peak"),
+    )
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.max(F.col("peak") - F.col("c")).cast("bigint").alias("max_dd_cents"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+    )
+
+
+_RV_ORACLE = """
+    WITH o AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(ROUND(value*100) AS BIGINT) AS c,
+             LAG(CAST(ROUND(value*100) AS BIGINT)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS cp
+      FROM events
+    )
+    SELECT event_type, day,
+           CAST(COUNT(cp) AS BIGINT) AS n_returns,
+           CAST(SUM(CAST((c - cp) * (c - cp) AS HUGEINT)) AS BIGINT) AS rv_cents2
+    FROM o WHERE cp IS NOT NULL
+    GROUP BY event_type, day
+    """
+
+
+@register(
+    "q_realized_vol",
+    oracle=_RV_ORACLE,
+    tags=("timeseries", "microstructure", "window"),
+)
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY REALIZED VOLATILITY (realized variance) per event_type:
+    the sum of squared intraday price increments — the
+    Andersen-Bollerslev high-frequency volatility estimator, and the
+    quantity the signature plot (q_autocorr's diagnostic) is built
+    from. Increments restart at day boundaries (the LAG partitions by
+    (key, day)), so overnight gaps never pollute intraday variance.
+    Integer cents in, each squared increment an int64, the day sum
+    accumulated in DECIMAL(38,0)/HUGEINT — exact at any grain, cast
+    back to bigint for the contract. Plan: one sort exchange on
+    (event_type, day) drives both the LAG and the map-side-combined
+    final aggregate; output is O(keys x days)."""
+    d = table(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    o = (
+        d.select(
+            "event_type", "ts", "event_id", day.alias("day"), _cents().alias("c")
+        )
+        .withColumn("cp", F.lag("c").over(w))
+        .filter(F.col("cp").isNotNull())
+    )
+    dy = F.col("c") - F.col("cp")
+    return o.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+        F.sum((dy * dy).cast("decimal(38,0)")).cast("bigint").alias("rv_cents2"),
+    )

@@ -672,6 +672,8 @@ def test_microstructure_single_exchange(spark, sf_dir):
         "q_roll_spread",
         "q_kyle_lambda",
         "q_autocorr",  # round 9: three LEADs share the one sort exchange
+        "q_max_drawdown",  # round 9: running max + agg on the window key
+        "q_realized_vol",  # round 9: per-(key,day) lag + same-key agg
     ):
         df = _q(name, spark, sf_dir)
         assert count_exchanges(df) == 1, name
