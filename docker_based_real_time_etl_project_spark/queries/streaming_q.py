@@ -2029,3 +2029,75 @@ def q_stream_autocorr_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(CAST(n*n*ss - n*s*s AS DECIMAL(38,0)), 0) AS BIGINT)"
         ).alias("acf_micro"),
     )
+
+
+def _mdd_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _MDD_ORACLE,
+    )
+
+    return _MDD_ORACLE
+
+
+@register(
+    "q_stream_max_drawdown",
+    oracle=_mdd_oracle(),
+    tags=("streaming", "stateful", "microstructure", "timeseries"),
+)
+def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN maintained ONLINE: the running peak is the entire
+    state (one long per key) — every row's drawdown is measured against
+    the carried prefix peak, so per-batch maxima are exact partials and
+    the post-drain combine is sum/max/max. Hash-matches the identical
+    batch q_max_drawdown oracle. In-order-per-key replay contract as
+    for q_stream_ewma; the OOO twin fronts the same fold with the
+    re-sort buffer (a drawdown depends on the peak of everything
+    before it)."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        mdd_stream,
+    )
+
+    st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    out = run_to_memory(
+        mdd_stream(st), output_mode="append", state_partitions=8
+    )
+    return out.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        F.max("dd").cast("bigint").alias("max_dd_cents"),
+        F.max("pk").cast("bigint").alias("peak_cents"),
+    )
+
+
+@register(
+    "q_stream_max_drawdown_ooo",
+    oracle=_mdd_oracle(),
+    tags=("streaming", "stateful", "microstructure", "out-of-order"),
+)
+def q_stream_max_drawdown_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming max drawdown over OUT-OF-ORDER arrival: a late row
+    folded early would be measured against a peak that postdates it
+    (and its own price could inflate later rows' drawdowns), so the
+    watermark-delayed re-sort buffer fronts the SAME shared _mdd_fold
+    as the in-order twin — adjacent replay slices arrive swapped, the
+    released sequences are identical, and the result hash-matches the
+    identical batch q_max_drawdown oracle. State = one long + the rows
+    inside the delay window."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        mdd_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        mdd_stream_ooo(
+            st.select("event_type", "ts", "event_id", "value"),
+            watermark=delay,
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+    out = out.filter(F.col("event_type") != "__sentinel__")
+    return out.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        F.max("dd").cast("bigint").alias("max_dd_cents"),
+        F.max("pk").cast("bigint").alias("peak_cents"),
+    )

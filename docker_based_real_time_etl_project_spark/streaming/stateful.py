@@ -2015,3 +2015,131 @@ def acf_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming max drawdown: the path-dependent risk fold as one long of state
+# ---------------------------------------------------------------------------
+
+_MDD_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("dd", T.LongType()),
+        T.StructField("pk", T.LongType()),
+    ]
+)
+
+_MDD_STATE = T.StructType([T.StructField("peak", T.LongType())])
+
+
+def _mdd_fold(peak: int | None, v: "np.ndarray"):
+    """One batch of ordered cents into the drawdown partial: the
+    running peak is the ONLY carried state (drawdowns computed against
+    the carried peak are exact, so per-batch maxima combine with a
+    plain max post-drain). Returns (new peak, partial dict). Shared by
+    the in-order and OOO folds."""
+    import numpy as np
+
+    if peak is not None:
+        pk = np.maximum.accumulate(
+            np.concatenate([np.asarray([peak], np.int64), v])
+        )[1:]
+    else:
+        pk = np.maximum.accumulate(v)
+    dd = pk - v
+    return int(pk[-1]), {
+        "n": len(v),
+        "dd": int(dd.max()),
+        "pk": int(pk[-1]),
+    }
+
+
+def _update_mdd(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Online maximum drawdown: state is ONE long per key (the running
+    peak — max is associative, and every drawdown is measured against
+    the prefix peak, which the fold carries). Each batch emits one
+    int64 partial (rows, batch max drawdown, peak); the final combine
+    is sum/max/max — exactly q_max_drawdown's closed form, so the
+    stream hash-matches the batch oracle."""
+    peak = state.get[0] if state.exists else None
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        if peak is not None:
+            state.update((peak,))
+        return
+    v = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    peak, row = _mdd_fold(peak, v)
+    state.update((peak,))
+    yield pd.DataFrame([{"event_type": key[0], **row}])
+
+
+def mdd_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming max-drawdown partials; in-order-per-key
+    replay contract as for ewma_stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_mdd,
+            outputStructType=_MDD_OUT,
+            stateStructType=_MDD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_MDD_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def _update_mdd_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bc, peak = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bc, np.int64),
+        )
+    else:
+        buf = (np.empty(0, np.int64),) * 3
+        peak = None
+    new = None if state.hasTimedOut else _new_rows(pdfs, "int64")
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        peak, row = _mdd_fold(peak, released[2])
+        yield pd.DataFrame([{"event_type": key[0], **row}])
+    _rearm_or_clear(
+        state, kept[0],
+        (kept[0].tolist(), kept[1].tolist(), kept[2].tolist(), peak),
+    )
+
+
+def mdd_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """Max-drawdown partials over an OUT-OF-ORDER stream: the drawdown
+    of a row depends on the peak of everything BEFORE it, so the
+    watermark-delayed re-sort fronts the same shared _mdd_fold —
+    shuffled arrival hash-matches the in-order run and the batch
+    oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_mdd_ooo,
+            outputStructType=_MDD_OUT,
+            stateStructType=_MDD_OOO_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
