@@ -884,6 +884,68 @@ def snap_compact_partitions(
     return new_version
 
 
+def snap_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> int | None:
+    """DELETE WHERE as a copy-on-write commit (Delta/Iceberg row-level
+    delete, CoW mode): rows where ``predicate`` (a SQL boolean
+    expression) is TRUE are removed; rows where it is NULL are KEPT —
+    ANSI DELETE semantics, not filter semantics. Only partitions that
+    actually contain matching rows are rewritten; every other
+    partition's manifest rows are carried forward verbatim (zero data
+    I/O). Returns the new version, or None when nothing matched (the
+    idempotent steady state — no empty commits). At 100 TB the scan
+    that finds touched partitions is predicate-pushed and
+    column-pruned (it reads only the partition column past the
+    filter); the rewrite cost is proportional to the data that keeps
+    living next to deleted rows — the CoW tax a merge-on-read format
+    trades for read-side merge cost."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_delete_where on uninitialized table {path}")
+    base_v = versions[-1]
+    cur = _read_manifest(path, base_v)
+    partition_col = cur["partition_col"]
+    cond = F.expr(predicate)
+    base = snap_read(spark, path, base_v)
+    touched = {
+        str(r[0])
+        for r in base.filter(cond).select(partition_col).distinct().collect()
+    }
+    if not touched:
+        return None
+    keep = snap_read(spark, path, base_v, partitions=sorted(touched)).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    new_version = base_v + 1
+    commit_rel = f"c{new_version:06d}"
+    write_clustered(
+        keep,
+        os.path.join(path, commit_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    carried = [e for e in cur["entries"] if str(e["partition"]) not in touched]
+    _attach_blooms(spark, path, commit_rel, cur)
+    _publish(
+        path,
+        {
+            **{k: v for k, v in cur.items() if k != "entries"},
+            "version": new_version,
+            "entries": carried
+            + _commit_entries(
+                path, commit_rel, partition_col, cur.get("stats_col")
+            ),
+        },
+    )
+    return new_version
+
+
 # ---------------------------------------------------------------------------
 # Per-file Bloom indexes: point-lookup file skipping that min/max
 # stats can't give (high-cardinality keys spread uniformly across

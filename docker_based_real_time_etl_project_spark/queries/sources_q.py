@@ -1326,3 +1326,74 @@ def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
     )
+
+
+_DELETE_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0"
+
+
+def _orders_snap_del(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot with a DELETE WHERE commit on top: v1 pristine,
+    v2 = urgent orders above the price threshold removed — only the
+    1-URGENT partition is rewritten, the other four ride the manifest."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+        snap_init,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_del_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        v = snap_delete_where(spark, out, _DELETE_PRED, sort_by=("o_orderkey",))
+        assert v == 2
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_del", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+@register(
+    "q_lake_delete_where",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE NOT ({_DELETE_PRED})
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETE on the snapshot lake (DELETE WHERE as a CoW
+    commit — the DML verb that completes MERGE/upsert + tombstones):
+    urgent orders above a price threshold are deleted; ONLY the
+    1-URGENT partition is rewritten (the touched-partition discovery
+    is a predicate-pushed scan of the partition column), the other
+    partitions' manifest rows carry forward with zero data I/O, and
+    v1 remains exactly readable (time travel) until vacuumed. The
+    aggregate over the post-delete state hash-matches the oracle's
+    relational restatement (WHERE NOT pred). ANSI NULL semantics
+    (predicate-NULL rows are KEPT, not dropped) pinned in
+    tests/test_lakesnap.py."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_del(spark, sf_dir)
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -810,3 +810,51 @@ def test_bloom_sidecar_written_by_every_commit_path(spark):
     assert os.path.exists(_bloom_sidecar_file(path, f"c{v3:06d}"))
     got2 = snap_point_read(spark, path, keys)
     assert sorted(got2.collect()) == sorted(want.collect())
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark):
+    """DELETE WHERE: matched rows gone, v1 intact, untouched
+    partitions' manifest entries carried forward byte-identical, a
+    no-match delete is a no-op (None, no new version), and ANSI NULL
+    semantics — predicate-NULL rows are kept."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_delete_where,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapdel_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    pred = "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    v = snap_delete_where(spark, path, pred, sort_by=("o_orderkey",))
+    assert v == 2
+    got = snap_read(spark, path)
+    want = orders.filter(~F.expr(pred))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert snap_read(spark, path, 1).count() == orders.count()
+    m1 = {e["path"] for e in _read_manifest(path, 1)["entries"]}
+    m2 = {e["path"] for e in _read_manifest(path, 2)["entries"]}
+    carried = {p for p in m2 if p.startswith("c000001")}
+    assert carried == {p for p in m1 if "1-URGENT" not in p}
+    # no-op delete: nothing matches, no commit published
+    assert snap_delete_where(spark, path, "o_orderkey < 0") is None
+    assert snap_versions(path) == [1, 2]
+
+
+def test_delete_where_keeps_predicate_null_rows(spark):
+    """ANSI DELETE: a NULL predicate row is NOT deleted (unlike a
+    filter, which would drop it)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapdelnull_")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "a", 3), (4, "b", None)],
+        "id int, part string, v int",
+    )
+    snap_init(spark, df, path, "part")
+    snap_delete_where(spark, path, "v > 5")
+    got = sorted(r["id"] for r in snap_read(spark, path).collect())
+    assert got == [2, 3, 4]  # id=1 deleted; NULL-v rows kept
