@@ -418,3 +418,49 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") - F.col("n_toks") < F.col("budget"))
         .select("doc_id", "n_toks", "cum_tokens")
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             {_sql_ticket('doc_id')} AS ticket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN n_chars >= 400 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(1000000 * 400 // n_chars AS BIGINT) END AS inv_p_micro
+    FROM t
+    WHERE ticket * 400 < n_chars * 10000
+    """,
+    tags=("sampling", "llm"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (importance) sampling, Poisson/Bernoulli form: each
+    document is kept with probability min(1, n_chars/400) —
+    length-proportional inclusion, the standard size-biased corpus
+    sample — and carries its inverse-inclusion-probability correction
+    (micro-units, ONE truncating integer division) so downstream
+    aggregates stay unbiased (Horvitz-Thompson). Like every sampler
+    here the coin is the md5 ticket, never an RNG: the comparison
+    `ticket * W < w * buckets` is pure int64 arithmetic, so the sample
+    is a deterministic per-row FILTER — scan-only, pushdown-friendly,
+    zero shuffles, identical membership at any parallelism or engine,
+    and any re-run or sibling table keyed by doc_id selects the exact
+    same rows. The reservoir alternative (Efraimidis-Spirakis u^(1/w)
+    top-k) needs a float pow whose last-ulp placement differs across
+    engines; the Poisson form keeps weighted sampling inside the
+    integer-exact discipline."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+    )
+    return t.filter(F.col("ticket") * 400 < F.col("n_chars") * 10000).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(F.col("n_chars") >= 400, F.lit(1000000))
+        .otherwise(F.expr("1000000 * 400 div n_chars"))
+        .cast("bigint")
+        .alias("inv_p_micro"),
+    )

@@ -2101,3 +2101,36 @@ def q_stream_max_drawdown_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dd").cast("bigint").alias("max_dd_cents"),
         F.max("pk").cast("bigint").alias("peak_cents"),
     )
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE streaming dedup — dropDuplicatesWithinWatermark —
+    as the stock-operator complement to the custom admission gates
+    (q_stream_dedup_content/latest): exactly ONE row per user_id is
+    admitted across 8 replayed micro-batches, state is evicted once
+    the watermark passes a key's first-seen time plus the delay, and
+    (unlike plain dropDuplicates on a stream) state is therefore
+    BOUNDED — the operator a production ingest uses when duplicates
+    arrive within a bounded lateness window. The delay here (90 days)
+    exceeds the fixture's 30-day horizon, so no key's state expires
+    mid-replay and the admitted KEY SET is exactly DISTINCT user_id —
+    which is what the oracle pins (the surviving row among same-key
+    same-batch arrivals is implementation-chosen, so only the key is
+    emitted; the custom gates pin min-doc_id instead, which is why
+    both exist). At 100 TB state is O(live keys within the lateness
+    window), the same budget as any watermarked stateful op."""
+    st = _stream(spark, sf_dir).select("user_id", "ts")
+    dedup = st.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    out = run_to_memory(
+        dedup.select("user_id"), output_mode="append", state_partitions=8
+    )
+    return out.select("user_id")
