@@ -2134,3 +2134,81 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.select("user_id"), output_mode="append", state_partitions=8
     )
     return out.select("user_id")
+
+
+def _rv_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.microstructure_q import (
+        _RV_ORACLE,
+    )
+
+    return _RV_ORACLE
+
+
+def _rv_finalize(out: DataFrame) -> DataFrame:
+    """Partials -> the batch contract: sum per (key, day) in
+    DECIMAL(38,0), day ordinal back to the date string."""
+    day = F.date_format(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_ord").cast("int")),
+        "yyyy-MM-dd",
+    )
+    return (
+        out.groupBy("event_type", day.alias("day"))
+        .agg(
+            F.sum(F.col("n").cast("decimal(38,0)")).cast("bigint").alias("n_returns"),
+            F.sum(F.col("rv").cast("decimal(38,0)")).cast("bigint").alias("rv_cents2"),
+        )
+    )
+
+
+@register(
+    "q_stream_realized_vol",
+    oracle=_rv_oracle(),
+    tags=("streaming", "stateful", "microstructure", "timeseries"),
+)
+def q_stream_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY REALIZED VARIANCE maintained ONLINE: an intraday squared
+    increment needs only the previous tick of the same day, so state is
+    TWO longs per key (last day ordinal, last cents); each batch emits
+    one int64 partial per touched day and the post-drain combine sums
+    per (key, day) in DECIMAL(38,0). Hash-matches the identical batch
+    q_realized_vol oracle — day boundaries restart the increment series
+    exactly as the batch LAG partitioned by (key, day) does, including
+    across micro-batch boundaries. In-order-per-key replay contract as
+    for q_stream_ewma."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        rv_stream,
+    )
+
+    st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    out = run_to_memory(rv_stream(st), output_mode="append", state_partitions=8)
+    return _rv_finalize(out)
+
+
+@register(
+    "q_stream_realized_vol_ooo",
+    oracle=_rv_oracle(),
+    tags=("streaming", "stateful", "microstructure", "out-of-order"),
+)
+def q_stream_realized_vol_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming realized variance over OUT-OF-ORDER arrival: increment
+    pairing is order-defined within each day (one early-folded late row
+    pairs two wrong ticks and double-counts the gap), so the
+    watermark-delayed re-sort buffer fronts the SAME shared _rv_fold as
+    the in-order twin — adjacent replay slices arrive swapped, the
+    released sequences are identical, and the result hash-matches the
+    identical batch q_realized_vol oracle. State = two longs + the rows
+    inside the delay window."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        rv_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        rv_stream_ooo(
+            st.select("event_type", "ts", "event_id", "value"),
+            watermark=delay,
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return _rv_finalize(out.filter(F.col("event_type") != "__sentinel__"))

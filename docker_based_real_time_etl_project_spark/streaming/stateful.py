@@ -2143,3 +2143,152 @@ def mdd_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming realized volatility: per-(key, day) squared increments,
+# two longs of carried state
+# ---------------------------------------------------------------------------
+
+_RV_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day_ord", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("rv", T.LongType()),
+    ]
+)
+
+_RV_STATE = T.StructType(
+    [
+        T.StructField("last_day", T.LongType()),
+        T.StructField("last_c", T.LongType()),
+    ]
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _rv_fold(last_day: int | None, last_c: int, days: "np.ndarray", v: "np.ndarray"):
+    """One batch of ordered (day ordinal, cents) into per-day realized
+    variance partials. An increment exists only between consecutive
+    ticks of the SAME day (day boundaries restart the series — the
+    overnight gap is not intraday variance), so the carried state is
+    just the last (day, cents). Returns (new last_day, new last_c,
+    list of partial dicts). Shared by the in-order and OOO folds."""
+    import numpy as np
+
+    sentinel = np.int64(-(1 << 62))
+    prev_day = np.concatenate(
+        [np.asarray([last_day if last_day is not None else sentinel], np.int64),
+         days[:-1]]
+    )
+    prev_c = np.concatenate([np.asarray([last_c], np.int64), v[:-1]])
+    valid = prev_day == days
+    dy = np.where(valid, v - prev_c, 0)
+    uniq, inv = np.unique(days, return_inverse=True)
+    rv = np.zeros(len(uniq), np.int64)
+    n = np.zeros(len(uniq), np.int64)
+    np.add.at(rv, inv, dy * dy)  # pure int64 accumulation — exact
+    np.add.at(n, inv, valid.astype(np.int64))
+    rows = [
+        {"day_ord": int(d), "n": int(cn), "rv": int(cr)}
+        for d, cn, cr in zip(uniq, n, rv)
+        if cn > 0
+    ]
+    return int(days[-1]), int(v[-1]), rows
+
+
+def _update_rv(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Online daily realized variance: squared same-day increments are
+    associative once the boundary tick is carried, so state is two
+    longs per key (last day ordinal, last cents) and each batch emits
+    one int64 partial per day it touched; the final combine sums
+    per (key, day) in DECIMAL(38,0), so the whole path is integer-
+    exact end to end."""
+    last_day, last_c = state.get if state.exists else (None, 0)
+    pdf = _concat_sorted(pdfs)
+    if not len(pdf):
+        if last_day is not None:
+            state.update((last_day, last_c))
+        return
+    days = _ts_us(pdf["ts"]) // _US_PER_DAY
+    v = pdf["value"].mul(100).round().astype("int64").to_numpy()
+    last_day, last_c, rows = _rv_fold(last_day, last_c, days, v)
+    state.update((last_day, last_c))
+    if rows:
+        yield pd.DataFrame([{"event_type": key[0], **r} for r in rows])
+
+
+def rv_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Per-event_type streaming realized-variance partials;
+    in-order-per-key replay contract as for ewma_stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_rv,
+            outputStructType=_RV_OUT,
+            stateStructType=_RV_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_RV_OOO_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+        T.StructField("last_day", T.LongType()),
+        T.StructField("last_c", T.LongType()),
+    ]
+)
+
+
+def _update_rv_ooo(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        bts, beid, bc, last_day, last_c = state.get
+        buf = (
+            np.asarray(bts, np.int64),
+            np.asarray(beid, np.int64),
+            np.asarray(bc, np.int64),
+        )
+    else:
+        buf = (np.empty(0, np.int64),) * 3
+        last_day, last_c = None, 0
+    new = None if state.hasTimedOut else _new_rows(pdfs, "int64")
+    released, kept = _buffer_release(state, buf, new)
+    if len(released[0]):
+        days = released[0] // _US_PER_DAY
+        last_day, last_c, rows = _rv_fold(last_day, last_c, days, released[2])
+        if rows:
+            yield pd.DataFrame([{"event_type": key[0], **r} for r in rows])
+    _rearm_or_clear(
+        state, kept[0],
+        (kept[0].tolist(), kept[1].tolist(), kept[2].tolist(), last_day, last_c),
+    )
+
+
+def rv_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
+    """Realized-variance partials over an OUT-OF-ORDER stream: the
+    increment pairing is order-defined within each day, so the
+    watermark-delayed re-sort fronts the same shared _rv_fold —
+    shuffled arrival hash-matches the in-order run and the batch
+    oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_rv_ooo,
+            outputStructType=_RV_OUT,
+            stateStructType=_RV_OOO_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
