@@ -946,6 +946,80 @@ def snap_delete_where(
     return new_version
 
 
+def snap_update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> int | None:
+    """UPDATE ... SET ... WHERE as a copy-on-write commit — with
+    :func:`snap_merge` (MERGE/upsert + tombstones) and
+    :func:`snap_delete_where` this completes the DML verb set.
+    ``assignments`` maps column -> SQL expression, evaluated against
+    the pre-update row (standard UPDATE semantics: all SET expressions
+    see the old values). Rows where ``predicate`` is NULL are not
+    updated (ANSI). The partition column is immutable, as everywhere
+    in this lake (an update that moves rows across partitions is a
+    delete + insert — do it as a merge). Same touched-partition I/O
+    contract as delete: only partitions containing matching rows are
+    rewritten; returns None when nothing matched."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_update_where on uninitialized table {path}")
+    base_v = versions[-1]
+    cur = _read_manifest(path, base_v)
+    partition_col = cur["partition_col"]
+    if partition_col in assignments:
+        raise ValueError(
+            f"partition column {partition_col!r} is immutable; use a merge"
+        )
+    unknown = [c for c in assignments if c not in cur["columns"]]
+    if unknown:
+        raise ValueError(f"SET targets not in table schema: {unknown}")
+    cond = F.expr(predicate)
+    base = snap_read(spark, path, base_v)
+    touched = {
+        str(r[0])
+        for r in base.filter(cond).select(partition_col).distinct().collect()
+    }
+    if not touched:
+        return None
+    hit = F.coalesce(cond, F.lit(False))
+    updated = snap_read(spark, path, base_v, partitions=sorted(touched)).select(
+        *[
+            F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in cur["columns"]
+        ]
+    )
+    new_version = base_v + 1
+    commit_rel = f"c{new_version:06d}"
+    write_clustered(
+        updated,
+        os.path.join(path, commit_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    carried = [e for e in cur["entries"] if str(e["partition"]) not in touched]
+    _attach_blooms(spark, path, commit_rel, cur)
+    _publish(
+        path,
+        {
+            **{k: v for k, v in cur.items() if k != "entries"},
+            "version": new_version,
+            "entries": carried
+            + _commit_entries(
+                path, commit_rel, partition_col, cur.get("stats_col")
+            ),
+        },
+    )
+    return new_version
+
+
 # ---------------------------------------------------------------------------
 # Per-file Bloom indexes: point-lookup file skipping that min/max
 # stats can't give (high-cardinality keys spread uniformly across

@@ -1397,3 +1397,81 @@ def q_lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("total_price"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_UPDATE_PRED = "o_orderpriority = '2-HIGH' AND o_totalprice < 50000.0"
+
+
+def _orders_snap_upd(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot with an UPDATE WHERE commit on top: cheap
+    2-HIGH orders get a +500.00 price adjustment — only that partition
+    is rewritten."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_update_where,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_upd_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        v = snap_update_where(
+            spark, out, _UPDATE_PRED,
+            {"o_totalprice": "o_totalprice + 500.0"},
+            sort_by=("o_orderkey",),
+        )
+        assert v == 2
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_upd", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+@register(
+    "q_lake_update_where",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN {_UPDATE_PRED} THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM u GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL UPDATE on the snapshot lake (UPDATE ... SET ... WHERE
+    as a CoW commit — the last DML verb after MERGE and DELETE): cheap
+    2-HIGH orders get a price adjustment; ONLY that partition is
+    rewritten (predicate-pushed touched-partition discovery), every
+    other partition's manifest rows carry forward with zero data I/O,
+    and v1 stays readable. SET expressions evaluate against the OLD
+    row (ANSI UPDATE; the swap-assignment pin lives in
+    tests/test_lakesnap.py), predicate-NULL rows are untouched. The
+    aggregate over the post-update state hash-matches the oracle's
+    CASE restatement."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_upd(spark, sf_dir)
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -858,3 +858,34 @@ def test_delete_where_keeps_predicate_null_rows(spark):
     snap_delete_where(spark, path, "v > 5")
     got = sorted(r["id"] for r in snap_read(spark, path).collect())
     assert got == [2, 3, 4]  # id=1 deleted; NULL-v rows kept
+
+
+def test_update_where_sees_old_values_and_prunes(spark):
+    """UPDATE: all SET expressions evaluate against the PRE-update row
+    (the swap test), only touched partitions rewrite, the partition
+    column is immutable, and unknown SET targets error."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_update_where,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapupd_")
+    df = spark.createDataFrame(
+        [(1, "p1", 10, 100), (2, "p1", 20, 200), (3, "p2", 30, 300)],
+        "id int, part string, a int, b int",
+    )
+    snap_init(spark, df, path, "part")
+    v = snap_update_where(
+        spark, path, "id = 1", {"a": "b", "b": "a"}
+    )
+    assert v == 2
+    rows = {r["id"]: (r["a"], r["b"]) for r in snap_read(spark, path).collect()}
+    assert rows == {1: (100, 10), 2: (20, 200), 3: (30, 300)}  # swapped, not chained
+    m2 = _read_manifest(path, 2)["entries"]
+    carried = {e["path"] for e in m2 if str(e["partition"]) == "p2"}
+    assert all(p.startswith("c000001") for p in carried)  # p2 untouched
+    with pytest.raises(ValueError):
+        snap_update_where(spark, path, "id = 1", {"part": "'p9'"})
+    with pytest.raises(ValueError):
+        snap_update_where(spark, path, "id = 1", {"nope": "1"})
+    assert snap_update_where(spark, path, "id = 99", {"a": "0"}) is None
