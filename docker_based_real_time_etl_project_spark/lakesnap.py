@@ -1054,10 +1054,17 @@ def _file_blooms(
     m_bits: int, k: int,
 ) -> dict[str, list[int]]:
     """Per-file bloom bitmaps for every data file under one commit dir,
-    built WITHOUT collecting keys: mapInPandas folds each Arrow batch's
-    xxhash64(column) into a per-file numpy bitmap, emits only the
-    nonzero words, and a bit_or aggregation merges partials across
-    batches/partitions. Driver holds O(files x m_bits/64) longs."""
+    built WITHOUT collecting keys: mapInPandas folds each task's
+    xxhash64(column) stream into per-file numpy bitmaps (one partial
+    PER FILE PER TASK — and a small file's rows land in one task, so
+    partial count ~= file count) and emits whole bitmaps as
+    array<long> rows; the driver ORs the few per-file partials in
+    numpy. The driver holds O(new_files x m_bits/64) longs — exactly
+    the sidecar it must write anyway. No per-word shuffle: the first
+    wiring aggregated (file, word_idx) rows with bit_or and paid a
+    657k-row exchange for a 321-file commit (measured 15 s at sf1 vs
+    ~4 s for scan+fold); whole-array partials make the build
+    scan-bound."""
     import numpy as np
 
     from docker_based_real_time_etl_project_spark.operators.bloom import (
@@ -1092,26 +1099,23 @@ def _file_blooms(
                     grp["_h"].to_numpy(dtype=np.int64).view(np.uint64),
                     m_bits, k,
                 )
-        for fname, words in acc.items():
-            signed = words.view(np.int64)
-            nz = np.nonzero(signed)[0]
+        if acc:
             yield pd.DataFrame(
-                {"f": fname, "idx": nz.astype(np.int64), "word": signed[nz]}
+                {
+                    "f": list(acc),
+                    "words": [w.view(np.int64).tolist() for w in acc.values()],
+                }
             )
 
-    rows = (
-        src.mapInPandas(fold, "f string, idx long, word long")
-        .groupBy("f", "idx")
-        .agg(F.bit_or("word").alias("word"))
-        .collect()
-    )
+    rows = src.mapInPandas(fold, "f string, words array<long>").collect()
     from urllib.parse import urlparse
 
-    out: dict[str, list[int]] = {}
+    acc: dict[str, object] = {}
     for r in rows:
         rel = os.path.relpath(unquote(urlparse(r["f"]).path), path)
-        out.setdefault(rel, [0] * n_words)[r["idx"]] = r["word"]
-    return out
+        w = np.asarray(r["words"], dtype=np.int64)
+        acc[rel] = w if rel not in acc else (acc[rel] | w)
+    return {rel: [int(x) for x in w] for rel, w in acc.items()}
 
 
 def _attach_blooms(spark: SparkSession, path: str, commit_rel: str, manifest: dict) -> None:
