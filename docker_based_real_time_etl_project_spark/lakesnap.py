@@ -61,6 +61,14 @@ def _manifest_file(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
 
 
+def _entry_commit_root(path: str, rel: str) -> str:
+    """Absolute commit directory of one manifest entry: two levels
+    above the data file (<commit>/<partition>=<value>/file.parquet).
+    Works for table-relative entry paths and for a shallow clone's
+    absolute borrowed paths alike."""
+    return os.path.dirname(os.path.dirname(os.path.join(path, rel)))
+
+
 def snap_versions(path: str) -> list[int]:
     """Committed versions, ascending. A crashed writer leaves at most
     a ``.tmp`` file, never a half-visible version."""
@@ -77,6 +85,28 @@ def snap_versions(path: str) -> list[int]:
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_file(path, version)) as fh:
         return json.load(fh)
+
+
+class CheckConstraintError(ValueError):
+    """A write contained rows violating the table's CHECK constraint."""
+
+
+def _enforce_check(df: DataFrame, manifest: dict, what: str) -> None:
+    """Reject a write whose rows violate the manifest's CHECK
+    constraint (Delta `ALTER TABLE ADD CONSTRAINT CHECK` semantics:
+    NULL predicate = violation, like Delta and unlike DELETE). Cost is
+    one extra aggregation pass over the rows being written — the same
+    price Delta pays; the table's existing rows are never re-checked
+    (they passed at their own commit time)."""
+    expr = manifest.get("check_expr")
+    if not expr:
+        return
+    bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+    if bad:
+        raise CheckConstraintError(
+            f"{what} violates CHECK ({expr}): {bad} row(s) rejected; "
+            "no commit was published"
+        )
 
 
 class SnapshotConflictError(RuntimeError):
@@ -190,6 +220,7 @@ def snap_init(
     bloom_col: str | None = None,
     bloom_bits: int = 131072,
     bloom_k: int = 4,
+    check: str | None = None,
 ) -> int:
     """Create version 1 of a snapshot table from ``df``. The data
     write reuses the clustered layout contract (partition dirs +
@@ -203,7 +234,14 @@ def snap_init(
     new files, and :func:`snap_point_read` prunes point lookups to the
     files whose bitmaps might hold the probed values. Size
     ``bloom_bits`` at ~16x the rows per file (default 128 Ki bits =
-    16 KiB/file for ~8k-row files, FPR ~0.24% at k=4)."""
+    16 KiB/file for ~8k-row files, FPR ~0.24% at k=4).
+
+    ``check`` installs a CHECK CONSTRAINT (a SQL boolean expression)
+    recorded in the manifest and enforced on THIS write and every
+    later merge/update (Delta ADD CONSTRAINT semantics: a NULL
+    predicate is a violation; a violating batch publishes nothing)."""
+    if check is not None:
+        _enforce_check(df, {"check_expr": check}, "snap_init")
     commit_rel = "c000001"
     write_clustered(
         df,
@@ -217,6 +255,7 @@ def snap_init(
         "version": 1,
         "partition_col": partition_col,
         "stats_col": stats_col,
+        "check_expr": check,
         "columns": list(df.columns),
         "entries": _commit_entries(
             path, commit_rel, partition_col, stats_col
@@ -286,13 +325,18 @@ def _read_entry_files(
     """Manifest entries -> DataFrame: files grouped per commit dir so
     partition-dir inference (basePath) re-attaches the partition
     column; commits' scans are unioned by name with additive-schema
-    back-fill. Shared by snap_read and the bloom point-read path."""
+    back-fill. Shared by snap_read and the bloom point-read path.
+
+    The commit root is derived STRUCTURALLY (two levels above the data
+    file: <commit>/<partition>=<value>/file.parquet), not from the
+    path's first segment — entry paths may be table-relative (normal
+    commits) or absolute into another table (shallow clones)."""
     by_commit: dict[str, list[str]] = {}
     for e in entries:
-        commit = e["path"].split(os.sep)[0]
-        by_commit.setdefault(commit, []).append(os.path.join(path, e["path"]))
+        full = os.path.join(path, e["path"])
+        by_commit.setdefault(_entry_commit_root(path, e["path"]), []).append(full)
     parts = [
-        spark.read.option("basePath", os.path.join(path, commit)).parquet(*files)
+        spark.read.option("basePath", commit).parquet(*files)
         for commit, files in sorted(by_commit.items())
     ]
     out = parts[0]
@@ -335,6 +379,11 @@ def snap_merge(
         raise FileNotFoundError(f"snap_merge on uninitialized table {path}")
     base_v = versions[-1]
     cur = _read_manifest(path, base_v)
+    _enforce_check(
+        updates if delete_col is None else updates.filter(~F.col(delete_col)),
+        cur,
+        "snap_merge batch",
+    )
     merged, touched = _plan_merge(
         spark, path, base_v, cur, updates, key_cols, delete_col
     )
@@ -470,6 +519,11 @@ def snap_merge_concurrent(
     token = writer_id or uuid.uuid4().hex[:8]
     if not snap_versions(path):
         raise FileNotFoundError(f"snap_merge_concurrent on uninitialized table {path}")
+    _enforce_check(
+        updates if delete_col is None else updates.filter(~F.col(delete_col)),
+        _read_manifest(path, snap_versions(path)[-1]),
+        "snap_merge_concurrent batch",
+    )
     for attempt in range(max_attempts):
         versions = snap_versions(path)
         base_v = versions[-1]
@@ -714,6 +768,7 @@ def snap_init_zorder(
     bits: int = 3,
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
+    **init_kwargs,
 ) -> int:
     """Create version 1 CLUSTERED ON THE MORTON CURVE of (col1, col2):
     the z-bucket ``zb`` becomes the snapshot partition key, and the
@@ -721,7 +776,9 @@ def snap_init_zorder(
     and compaction), so any later reader can box-prune without
     side-channel state. Merges work unchanged — updates just need the
     same ``zb`` column, which :func:`snap_zvalue` derives from the
-    stored grid."""
+    stored grid. Extra keyword arguments (bloom index config, CHECK
+    constraints) pass through to :func:`snap_init`, so a z-ordered
+    table composes box pruning with point-lookup bloom skipping."""
     from docker_based_real_time_etl_project_spark.operators.zorder import (
         fit_grid,
         zvalue_expr,
@@ -743,6 +800,7 @@ def snap_init_zorder(
                 "bits": grid.bits,
             }
         },
+        **init_kwargs,
     )
 
 
@@ -946,6 +1004,54 @@ def snap_delete_where(
     return new_version
 
 
+def snap_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta CLONE): create a new snapshot table whose
+    version 1 manifest references the SOURCE's data files — zero bytes
+    copied, instant fork of a possibly-100TB table for experiments or
+    backfills. Later commits to the clone write into the clone's own
+    directory and never touch the source; the source evolves
+    independently. Entry paths in the clone's manifest are absolute
+    into the source (clone-local paths stay relative), so both
+    directories keep their own lifecycle.
+
+    The Delta/Iceberg caveat applies here exactly as there: a shallow
+    clone BORROWS the source's files, and vacuuming the SOURCE can
+    reclaim files an old clone version still names (each table's
+    vacuum sees only its own manifests). Production systems either
+    track cross-table references or deep-clone before source
+    retention; this module documents the hazard rather than hiding it
+    (pinned in tests/test_lakesnap.py)."""
+    versions = snap_versions(src)
+    if not versions:
+        raise FileNotFoundError(f"snap_clone from uninitialized table {src}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not present under {src}")
+    if snap_versions(dst):
+        raise FileExistsError(f"clone target {dst} already has commits")
+    m = _read_manifest(src, v)
+    entries = [
+        {**e, "path": os.path.join(os.path.abspath(src), e["path"])}
+        for e in m["entries"]
+    ]
+    os.makedirs(dst, exist_ok=True)
+    _publish(
+        dst,
+        {
+            **{k: val for k, val in m.items() if k not in ("entries", "version")},
+            "version": 1,
+            "cloned_from": {"path": os.path.abspath(src), "version": v},
+            "entries": entries,
+        },
+    )
+    return 1
+
+
 def snap_update_where(
     spark: SparkSession,
     path: str,
@@ -987,6 +1093,13 @@ def snap_update_where(
     if not touched:
         return None
     hit = F.coalesce(cond, F.lit(False))
+    changed = base.filter(hit).select(
+        *[
+            F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+            for c in cur["columns"]
+        ]
+    )
+    _enforce_check(changed, cur, "snap_update_where result")
     updated = snap_read(spark, path, base_v, partitions=sorted(touched)).select(
         *[
             F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
@@ -1173,16 +1286,18 @@ def _bloom_prune(
     sidecars: dict[str, dict | None] = {}
     kept = []
     for e in entries:
-        commit = e["path"].split(os.sep)[0]
-        if commit not in sidecars:
-            side = _bloom_sidecar_file(path, commit)
+        root = _entry_commit_root(path, e["path"])
+        if root not in sidecars:
+            side = os.path.join(root, _BLOOM_SIDECAR)
             if os.path.exists(side):
                 with open(side) as fh:
-                    sidecars[commit] = json.load(fh)
+                    sidecars[root] = json.load(fh)
             else:
-                sidecars[commit] = None
-        blooms = sidecars[commit]
-        words = None if blooms is None else blooms.get(e["path"])
+                sidecars[root] = None
+        blooms = sidecars[root]
+        # sidecar keys are commit-relative: <commit>/<part>/file.parquet
+        rel_in_commit = os.path.relpath(os.path.join(path, e["path"]), os.path.dirname(root))
+        words = None if blooms is None else blooms.get(rel_in_commit)
         if words is None or any(
             _bloom_maybe(words, h, m_bits, k) for h in hashes
         ):

@@ -889,3 +889,115 @@ def test_update_where_sees_old_values_and_prunes(spark):
     with pytest.raises(ValueError):
         snap_update_where(spark, path, "id = 1", {"nope": "1"})
     assert snap_update_where(spark, path, "id = 99", {"a": "0"}) is None
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark):
+    """snap_clone: the clone's v1 equals the source version byte-for-
+    free (manifest references the source's files — nothing copied), a
+    merge on the clone leaves the source untouched, the source keeps
+    evolving independently, and the documented Delta-style hazard
+    holds: vacuuming the SOURCE can reclaim files a clone still
+    borrows."""
+    import glob
+
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_clone
+
+    src = tempfile.mkdtemp(prefix="snapclone_src_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, src, "o_orderpriority", sort_by=("o_orderkey",))
+    dst = tempfile.mkdtemp(prefix="snapclone_dst_") + "/t"
+    assert snap_clone(spark, src, dst) == 1
+    # zero copy: no parquet under the clone dir
+    assert not glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+    got = snap_read(spark, dst).select(*orders.columns)
+    assert got.exceptAll(orders).count() == 0
+    assert orders.exceptAll(got).count() == 0
+    # diverge the clone; source unaffected
+    upd = orders.limit(0).withColumn("_delete", F.lit(False))
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 9.0
+    ).withColumn("_delete", F.lit(False))
+    v2 = snap_merge(
+        spark, dst, upd, key_cols=("o_orderkey",), delete_col="_delete",
+        sort_by=("o_orderkey",),
+    )
+    assert v2 == 2
+    src_after = snap_read(spark, src).select(*orders.columns)
+    assert src_after.exceptAll(orders).count() == 0
+    # the clone's merged partitions now live under the clone dir
+    assert glob.glob(os.path.join(dst, "c000002", "**", "*.parquet"), recursive=True)
+    # hazard pin: source vacuum doesn't know about the clone's refs
+    snap_merge(
+        spark, src, upd, key_cols=("o_orderkey",), delete_col="_delete",
+        sort_by=("o_orderkey",),
+    )
+    snap_vacuum(src, keep_last=1, min_age_sec=0.0)
+    with pytest.raises(Exception):
+        snap_read(spark, dst, 1).count()  # borrowed v1 files are gone
+
+
+def test_check_constraint_blocks_violating_writes(spark):
+    """CHECK constraints: a violating init/merge/update publishes
+    NOTHING (no new version), a clean write passes, and NULL predicate
+    counts as a violation (Delta semantics)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        CheckConstraintError,
+        snap_update_where,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcheck_")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id int, part string, v int"
+    )
+    with pytest.raises(CheckConstraintError):
+        snap_init(spark, df, tempfile.mkdtemp(prefix="snapcheck_bad_"),
+                  "part", check="v < 25")
+    snap_init(spark, df, path, "part", check="v > 0")
+    bad = spark.createDataFrame([(9, "a", -1)], "id int, part string, v int")
+    with pytest.raises(CheckConstraintError):
+        snap_merge(spark, path, bad, key_cols=("id",))
+    assert snap_versions(path) == [1]
+    nullv = spark.createDataFrame([(9, "a", None)], "id int, part string, v int")
+    with pytest.raises(CheckConstraintError):
+        snap_merge(spark, path, nullv, key_cols=("id",))
+    with pytest.raises(CheckConstraintError):
+        snap_update_where(spark, path, "id = 1", {"v": "-5"})
+    assert snap_versions(path) == [1]
+    ok = spark.createDataFrame([(9, "a", 99)], "id int, part string, v int")
+    assert snap_merge(spark, path, ok, key_cols=("id",)) == 2
+    assert snap_update_where(spark, path, "id = 9", {"v": "v + 1"}) == 3
+    got = {r["id"]: r["v"] for r in snap_read(spark, path).collect()}
+    assert got[9] == 100
+
+
+def test_zorder_table_composes_bloom_point_lookup(spark):
+    """A z-ordered snapshot table with a bloom index serves BOTH access
+    paths: 2-D box reads prune buckets from the manifest grid, and
+    point lookups prune files from the bloom sidecars."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_box_read,
+        snap_init_zorder,
+        snap_point_files,
+        snap_point_read,
+        snap_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapzb_")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    snap_init_zorder(
+        spark, li, path, "l_partkey", "l_suppkey", bits=2,
+        target_rows_per_file=500, bloom_col="l_orderkey", bloom_bits=16384,
+    )
+    keys = [r[0] for r in li.select("l_orderkey").limit(2).collect()]
+    got = snap_point_read(spark, path, keys)
+    want = snap_read(spark, path).filter(F.col("l_orderkey").isin(keys))
+    assert sorted(got.drop("zb").collect()) == sorted(want.drop("zb").collect())
+    assert len(snap_point_files(spark, path, keys)) < len(snap_files(path))
+    box = snap_box_read(spark, path, 0, 50, 0, 5)
+    truth = li.filter(
+        F.col("l_partkey").between(0, 50) & F.col("l_suppkey").between(0, 5)
+    )
+    assert box.select(*li.columns).exceptAll(truth).count() == 0
+    assert truth.exceptAll(box.select(*li.columns)).count() == 0
