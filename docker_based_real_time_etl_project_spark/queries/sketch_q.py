@@ -88,3 +88,52 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "q_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+               AS user_days,
+           TRUE AS within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch", "scale"),
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE DISTINCT-COUNT ROLLUP (Apache DataSketches HLL via
+    Spark's hll_sketch_agg / hll_union_agg): daily per-key sketches
+    are built ONCE, then the monthly distinct-user estimate is
+    assembled purely by UNIONING the daily sketches — the raw table is
+    never rescanned. This is the capability exact COUNT(DISTINCT)
+    fundamentally lacks (distinct counts don't add across days:
+    sum(user_days) >= exact_users, also emitted to show the gap), and
+    the reason a 100 TB continuous aggregate keeps a sketch tier: the
+    merge tree moves O(days x 2^lgK) bytes instead of O(users).
+    Sketch bytes are engine-internal, so the driver-visible contract
+    follows the recall-query pattern: exact truth columns plus a
+    relative-error bound gate the oracle pins TRUE (lgConfigK=14 ->
+    ~0.8% standard error; the 5% gate is >6 sigma)."""
+    d = table(spark, sf_dir, "events")
+    daily = d.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("day_users"),
+    )
+    monthly = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("day_users").cast("bigint").alias("user_days"),
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    j = monthly.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
+    )
+    return j.select(
+        "event_type", "exact_users", "user_days", ok.alias("within_bounds")
+    )
