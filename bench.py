@@ -83,6 +83,10 @@ HEADLINE = [
     "q_volume_bars",         # OHLCV on a volume clock
     "q_cusum",               # CUSUM change-point alarms, closed form
     "q_kyle_lambda",         # OLS price impact, decimal cross terms
+    "q_max_drawdown",        # path-dependent risk, closed form
+    "q_realized_vol",        # daily realized variance, integer-exact
+    "q_hll_rollup",          # mergeable HLL daily->monthly distinct rollup
+    "q_sample_weighted",     # hash-ticket weighted Poisson sampling
     "q_embed_gram",          # distributed Gramian, row-side pair expansion
     # round 9 additions
     "q_lake_concurrent_merge",  # optimistic-CAS two-writer merge + rebase
