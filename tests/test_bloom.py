@@ -100,3 +100,37 @@ def test_distributed_build_bit_identical(spark):
     empty = spark.createDataFrame([], "gh long")
     zeros = build_bloom_words_distributed(empty, "gh", m_bits, k=4)
     assert zeros == [0] * (m_bits // 64)
+
+
+def test_driver_probe_lockstep_with_expression_probe(spark):
+    """lakesnap's driver-side membership probe (_bloom_maybe, used for
+    sidecar file skipping) must agree with the expression probe
+    bit-for-bit on the SAME bitmap — inserted keys always maybe=True
+    (no false negatives), and arbitrary probes get identical verdicts
+    from both implementations (so file skipping can never disagree
+    with an in-plan prefilter)."""
+    import random
+
+    from docker_based_real_time_etl_project_spark.lakesnap import _bloom_maybe
+
+    rng = random.Random(7)
+    members = [rng.randint(-(2**63), 2**63 - 1) for _ in range(500)]
+    m_bits = bloom_size_bits(len(members))
+    words = build_bloom_words(members, m_bits, k=4)
+    probes = members[:100] + [rng.randint(-(2**63), 2**63 - 1) for _ in range(400)]
+    df = spark.createDataFrame([(h,) for h in probes], "gh long")
+    expr_verdicts = [
+        r["maybe"]
+        for r in with_bloom_words(df, spark, words)
+        .withColumn(
+            "maybe",
+            bloom_might_contain(F.col("gh"), F.col("_bloom_words"), m_bits, k=4),
+        )
+        .orderBy("gh")
+        .collect()
+    ]
+    py_verdicts = [
+        _bloom_maybe(words, h, m_bits, 4) for h in sorted(probes)
+    ]
+    assert expr_verdicts == py_verdicts
+    assert all(_bloom_maybe(words, h, m_bits, 4) for h in members)
