@@ -1004,6 +1004,34 @@ def snap_delete_where(
     return new_version
 
 
+def snap_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF (Delta RESTORE): publish a NEW
+    version whose file set is exactly an old version's manifest
+    entries — zero data copied or rewritten, history preserved (the
+    bad versions stay readable until retention), and the restore
+    itself is just one more atomic manifest CAS. The old version's
+    table-level metadata (columns, z-grid, bloom/check config) comes
+    back with it, so a restore also undoes a schema evolution."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_restore on uninitialized table {path}")
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present under {path} (have {versions})"
+        )
+    old = _read_manifest(path, version)
+    new_version = versions[-1] + 1
+    _publish(
+        path,
+        {
+            **{k: v for k, v in old.items() if k != "version"},
+            "version": new_version,
+            "restored_from": version,
+        },
+    )
+    return new_version
+
+
 def snap_clone(
     spark: SparkSession,
     src: str,

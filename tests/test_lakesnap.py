@@ -1001,3 +1001,35 @@ def test_zorder_table_composes_bloom_point_lookup(spark):
     )
     assert box.select(*li.columns).exceptAll(truth).count() == 0
     assert truth.exceptAll(box.select(*li.columns)).count() == 0
+
+
+def test_restore_republishes_old_file_set(spark):
+    """RESTORE: v3 = v1's exact rows (and files — zero copy), history
+    [1,2,3] all readable, and a later merge builds on the restored
+    state."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_restore,
+    )
+
+    path = tempfile.mkdtemp(prefix="snaprestore_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    upd = orders.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.0
+    )
+    snap_merge(spark, path, upd, key_cols=("o_orderkey",), sort_by=("o_orderkey",))
+    v3 = snap_restore(spark, path, 1)
+    assert v3 == 3
+    assert snap_versions(path) == [1, 2, 3]
+    got = snap_read(spark, path).select(*orders.columns)
+    assert got.exceptAll(orders).count() == 0
+    assert orders.exceptAll(got).count() == 0
+    m1 = {e["path"] for e in _read_manifest(path, 1)["entries"]}
+    m3 = {e["path"] for e in _read_manifest(path, 3)["entries"]}
+    assert m1 == m3  # same files, zero copy
+    assert _read_manifest(path, 3)["restored_from"] == 1
+    # v2 still time-travel readable until retention
+    assert snap_read(spark, path, 2).count() == orders.count()
+    with pytest.raises(FileNotFoundError):
+        snap_restore(spark, path, 99)
