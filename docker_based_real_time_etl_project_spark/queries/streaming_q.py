@@ -2212,3 +2212,47 @@ def q_stream_realized_vol_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     return _rv_finalize(out.filter(F.col("event_type") != "__sentinel__"))
+
+
+@register(
+    "q_stream_hll_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "approx", "sketch"),
+)
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE DISTINCT USERS MAINTAINED LIVE: exact streaming
+    COUNT(DISTINCT) is unsupported/unbounded (state would be every key
+    ever seen), but the DataSketches HLL aggregate runs fine in
+    complete mode with O(keys x 2^lgK bytes) of state — ~16 KiB per
+    event_type at lgK=14, FOREVER, regardless of user cardinality.
+    This is the standard production answer to live distinct counts
+    (the streaming face of q_hll_rollup's mergeable tier). Contract as
+    there: sketch bytes are engine-internal, so the query emits exact
+    truth (recomputed batch-side) plus the 5%-bound verdict the oracle
+    pins TRUE (>6 sigma at lgK=14's ~0.8% standard error)."""
+    from docker_based_real_time_etl_project_spark.queries.registry import (
+        table,
+    )
+
+    st = _stream(spark, sf_dir).select("event_type", "user_id")
+    agg = st.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
+    )
+    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    j = out.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
+    )
+    return j.select("event_type", "exact_users", ok.alias("within_bounds"))
