@@ -1475,3 +1475,82 @@ def q_lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("total_price"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _orders_snap_restored(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot: v1 pristine -> v2 merge batch -> v3 RESTORE to
+    v1. Latest must read exactly like the pristine table again."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+        snap_restore,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_rst_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        snap_merge(
+            spark,
+            out,
+            _merge_updates(spark, sf_dir),
+            key_cols=("o_orderkey",),
+            delete_col="_delete",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        v = snap_restore(spark, out, 1)
+        assert v == 3
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_rst", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+@register(
+    "q_lake_restore",
+    oracle=f"""
+    WITH {_SNAP_MERGED_CTE}
+    SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price, MAX(o_orderkey) AS max_key
+    FROM merged
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*), {sql_dsum('o_totalprice')},
+           MAX(o_orderkey)
+    FROM orders
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION as a driver-visible contract: after a merge
+    (v2) the table is restored to v1 — v3's aggregate must equal the
+    PRISTINE table exactly (the oracle recomputes it from the original
+    parquet) while v2 stays readable and equals the merged
+    restatement. The restore itself is one manifest CAS referencing
+    v1's files — zero data moved at any table size (file-set identity
+    pinned in tests/test_lakesnap.py)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_restored(spark, sf_dir)
+    outs = []
+    for v in (2, 3):
+        outs.append(
+            snap_read(spark, path, v).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("o_totalprice").alias("total_price"),
+                F.max("o_orderkey").alias("max_key"),
+            ).select(F.lit(v).cast("bigint").alias("version"), "*")
+        )
+    return outs[0].unionByName(outs[1])
