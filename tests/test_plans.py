@@ -678,3 +678,13 @@ def test_microstructure_single_exchange(spark, sf_dir):
         df = _q(name, spark, sf_dir)
         assert count_exchanges(df) == 1, name
         assert "SinglePartition" not in formatted_plan(df), name
+
+
+def test_weighted_sample_is_pure_filter(spark, sf_dir):
+    """q_sample_weighted must stay a per-row scan-side FILTER: zero
+    exchanges, zero UDFs — the whole point of hash-ticket sampling is
+    that membership costs nothing but the scan."""
+    df = _q("q_sample_weighted", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    p = formatted_plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
