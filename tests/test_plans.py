@@ -688,3 +688,17 @@ def test_weighted_sample_is_pure_filter(spark, sf_dir):
     assert count_exchanges(df) == 0
     p = formatted_plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bloom_point_lookup_pushes_in_filter(spark, sf_dir):
+    """q_lake_point_lookup's scan must compose the full skipping stack:
+    the manifest+bloom already pruned FILES, and the residual IN
+    predicate still reaches the parquet scan (row-group skipping inside
+    kept files) with columns pruned to exactly the projection."""
+    df = _q("q_lake_point_lookup", spark, sf_dir)
+    scans = scan_infos(df)
+    assert scans, "expected a parquet scan"
+    allf = " ".join(" ".join(s.pushed_filters) for s in scans)
+    assert "In(o_orderkey" in allf
+    for s in scans:
+        assert sorted(s.read_columns) == ["o_orderkey", "o_totalprice"]
