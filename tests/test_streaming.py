@@ -660,3 +660,68 @@ def test_reorder_buffer_restart_from_checkpoint(spark, sf_dir):
     assert emitted.agg(F.sum("n_events")).first()[0] > partial
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_rv_reorder_buffer_restart_from_checkpoint(spark, sf_dir):
+    """Kill-and-restart for the round-9 realized-variance reorder
+    buffer: half the OOO slices stream, the query stops with rows
+    still buffered AND a (last_day, last_c) boundary tick carried,
+    then the rest arrive from the SAME checkpoint — recovered buffer +
+    fold state must reproduce the batch q_realized_vol exactly (a lost
+    boundary tick would shift one increment in every restart day)."""
+    import shutil
+    import subprocess
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.streaming_q import (
+        _ooo_slices,
+        _rv_finalize,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        rv_stream_ooo,
+    )
+
+    master = _ooo_slices(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="rv_restart_src_")
+    subprocess.run(["cp", "-a", f"{master}/.", src], check=True)
+    with open(os.path.join(src, "_ooo_meta.txt")) as fh:
+        delay = int(fh.read())
+    held = ["slice=004", "slice=005", "slice=006", "slice=007", "sentinel_1"]
+    hold = tempfile.mkdtemp(prefix="rv_restart_hold_")
+    for h in held:
+        shutil.move(os.path.join(src, h), os.path.join(hold, h))
+
+    sink = tempfile.mkdtemp(prefix="rv_restart_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="rv_restart_ckpt_")
+
+    def run_once():
+        q = (
+            rv_stream_ooo(
+                replay_table(spark, src, "events"), watermark=f"{delay} seconds"
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    partial = spark.read.parquet(sink).agg(F.sum("n")).first()[0]
+    for h in held:
+        shutil.move(os.path.join(hold, h), os.path.join(src, h))
+    run_once()
+
+    emitted = spark.read.parquet(sink).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    got = _rv_finalize(emitted)
+    truth = REGISTRY["q_realized_vol"].fn(spark, sf_dir)
+    assert partial is not None
+    assert emitted.agg(F.sum("n")).first()[0] > partial
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
