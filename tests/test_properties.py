@@ -635,3 +635,91 @@ def test_train_gram_artifact_shared(spark, sf_dir):
     REGISTRY["q_contamination_span"].fn(spark, sf_dir).count()
     REGISTRY["q_stream_contamination"].fn(spark, sf_dir).count()
     assert BUILD_COUNTS[key] == 1
+
+
+@given(
+    vals=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=60),
+    cut=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_mdd_fold_batch_split_invariance(vals, cut):
+    """The streaming max-drawdown twin's correctness rests on ONE
+    algebraic fact: folding a sequence in any batch split (carrying
+    the running peak) and combining per-batch partials with
+    sum/max/max equals the one-shot fold. Hypothesis cuts the
+    sequence at arbitrary points."""
+    import numpy as np
+
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        _mdd_fold,
+    )
+
+    arr = np.asarray(vals, np.int64)
+    _, whole = _mdd_fold(None, arr)
+    n_cuts = cut.draw(st.integers(0, min(4, len(vals) - 1)))
+    cuts = sorted(
+        cut.draw(
+            st.lists(
+                st.integers(1, len(vals) - 1) if len(vals) > 1 else st.nothing(),
+                min_size=n_cuts, max_size=n_cuts,
+            )
+        )
+    ) if len(vals) > 1 else []
+    parts, peak = [], None
+    for seg in np.split(arr, cuts):
+        if len(seg):
+            peak, row = _mdd_fold(peak, seg)
+            parts.append(row)
+    assert sum(p["n"] for p in parts) == whole["n"]
+    assert max(p["dd"] for p in parts) == whole["dd"]
+    assert max(p["pk"] for p in parts) == whole["pk"]
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-10**4, 10**4)),
+        min_size=1, max_size=60,
+    ),
+    cut=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_rv_fold_batch_split_invariance(ticks, cut):
+    """Same invariance for the realized-variance fold: per-(day)
+    partials under any batch split (carrying the last (day, cents)
+    boundary tick) sum to the one-shot per-day totals. Days arrive
+    sorted, as the re-sort buffer guarantees."""
+    import numpy as np
+
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        _rv_fold,
+    )
+
+    ticks = sorted(ticks, key=lambda t: t[0])
+    days = np.asarray([t[0] for t in ticks], np.int64)
+    vals = np.asarray([t[1] for t in ticks], np.int64)
+
+    def combine(rows):
+        out = {}
+        for r in rows:
+            n, rv = out.get(r["day_ord"], (0, 0))
+            out[r["day_ord"]] = (n + r["n"], rv + r["rv"])
+        return {d: nr for d, nr in out.items() if nr[0] > 0}
+
+    _, _, whole = _rv_fold(None, 0, days, vals)
+    n_cuts = cut.draw(st.integers(0, min(4, len(ticks) - 1)))
+    cuts = sorted(
+        cut.draw(
+            st.lists(
+                st.integers(1, len(ticks) - 1) if len(ticks) > 1 else st.nothing(),
+                min_size=n_cuts, max_size=n_cuts,
+            )
+        )
+    ) if len(ticks) > 1 else []
+    rows, last_day, last_c = [], None, 0
+    for seg in np.split(np.arange(len(ticks)), cuts):
+        if len(seg):
+            last_day, last_c, part = _rv_fold(
+                last_day, last_c, days[seg], vals[seg]
+            )
+            rows.extend(part)
+    assert combine(rows) == combine(whole)
