@@ -2256,3 +2256,69 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
     )
     return j.select("event_type", "exact_users", ok.alias("within_bounds"))
+
+
+@register(
+    "q_stream_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.5)
+                AS BIGINT) AS exact_p50,
+           CAST(quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.9)
+                AS BIGINT) AS exact_p90,
+           TRUE AS within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "approx", "sketch"),
+)
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE QUANTILES over an unbounded stream: exact percentiles
+    would buffer every value ever seen, so the streaming answer is the
+    mergeable quantile sketch (percentile_approx's GK/KLL-style
+    summary) in complete mode — bounded state per group at any input
+    cardinality, the same trade as q_stream_hll_users for distinct
+    counts. Contract as there: the stream emits the sketch estimates,
+    the query re-derives exact cents-domain percentiles batch-side,
+    and the oracle pins the accuracy-bound verdict TRUE (accuracy
+    10000 -> rank error ~ n/10000, far inside the +-2-cent gate on
+    this fixture's price scale). Exact truth is the DISCRETE quantile
+    (the element at 1-based rank ceil(q*n)) — DuckDB's quantile_disc,
+    restated in Spark as row_number == the same INTEGER index
+    ((q*10*n + 9) div 10), so no float quantile definition or ulp can
+    disagree between engines."""
+    from pyspark.sql import Window
+
+    from docker_based_real_time_etl_project_spark.queries.registry import (
+        table,
+    )
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    st = _stream(spark, sf_dir).select("event_type", cents.alias("c"))
+    agg = st.groupBy("event_type").agg(
+        F.percentile_approx("c", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("c", F.lit(0.9), F.lit(10000)).alias("a90"),
+    )
+    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    w = Window.partitionBy("event_type").orderBy("c")
+    ranked = (
+        table(spark, sf_dir, "events")
+        .select("event_type", cents.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(5*n + 9) div 10"), F.col("c"))
+        ).alias("exact_p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9*n + 9) div 10"), F.col("c"))
+        ).alias("exact_p90"),
+    )
+    j = out.join(exact, "event_type")
+    ok = (F.abs(F.col("a50") - F.col("exact_p50")) <= 2) & (
+        F.abs(F.col("a90") - F.col("exact_p90")) <= 2
+    )
+    return j.select(
+        "event_type", "exact_p50", "exact_p90", ok.alias("within_bounds")
+    )

@@ -1033,3 +1033,31 @@ def test_restore_republishes_old_file_set(spark):
     assert snap_read(spark, path, 2).count() == orders.count()
     with pytest.raises(FileNotFoundError):
         snap_restore(spark, path, 99)
+
+
+def test_bloom_index_on_string_key(spark):
+    """The bloom index types through the manifest: a STRING key column
+    hashes with xxhash64-of-string at build and probe alike (bloom_type
+    rides the manifest, probes cast to it), so point lookups on
+    high-cardinality string ids — the common real case — prune files
+    exactly like bigint keys."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_point_files,
+        snap_point_read,
+        snap_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapbloomstr_")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "key", F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    snap_init(
+        spark, docs, path, "lang", sort_by=("doc_id",),
+        target_rows_per_file=60, bloom_col="key", bloom_bits=8192,
+    )
+    keys = [r[0] for r in docs.select("key").limit(2).collect()]
+    got = snap_point_read(spark, path, keys)
+    want = snap_read(spark, path).filter(F.col("key").isin(keys))
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert 0 < len(snap_point_files(spark, path, keys)) < len(snap_files(path))
+    assert snap_point_files(spark, path, ["doc-none-such"]) == []
