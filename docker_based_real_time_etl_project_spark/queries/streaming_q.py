@@ -2280,13 +2280,16 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, the same trade as q_stream_hll_users for distinct
     counts. Contract as there: the stream emits the sketch estimates,
     the query re-derives exact cents-domain percentiles batch-side,
-    and the oracle pins the accuracy-bound verdict TRUE (accuracy
-    10000 -> rank error ~ n/10000, far inside the +-2-cent gate on
-    this fixture's price scale). Exact truth is the DISCRETE quantile
-    (the element at 1-based rank ceil(q*n)) — DuckDB's quantile_disc,
-    restated in Spark as row_number == the same INTEGER index
-    ((q*10*n + 9) div 10), so no float quantile definition or ulp can
-    disagree between engines."""
+    and the oracle pins the accuracy-bound verdict TRUE. The gate is
+    the sketch's ACTUAL guarantee — RANK error <= n/accuracy (+1
+    slack), not value error (a 4-rank miss on a sparse price domain
+    can be many cents; a value gate would be pretending the sketch
+    promises something it doesn't): the target rank ceil(q*n) must
+    fall inside the approx value's duplicate-rank range widened by the
+    slack. Exact truth is the DISCRETE quantile (element at 1-based
+    rank ceil(q*n)) — DuckDB's quantile_disc, restated in Spark as
+    row_number == the INTEGER index ((q*10*n + 9) div 10), so no float
+    quantile definition or ulp can disagree between engines."""
     from pyspark.sql import Window
 
     from docker_based_real_time_etl_project_spark.queries.registry import (
@@ -2306,19 +2309,27 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", cents.alias("c"))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .join(F.broadcast(out), "event_type")
     )
-    exact = ranked.groupBy("event_type").agg(
+    g = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
         F.max(
             F.when(F.col("rn") == F.expr("(5*n + 9) div 10"), F.col("c"))
         ).alias("exact_p50"),
         F.max(
             F.when(F.col("rn") == F.expr("(9*n + 9) div 10"), F.col("c"))
         ).alias("exact_p90"),
+        F.sum((F.col("c") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("c") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("c") < F.col("a90")).cast("long")).alias("lt90"),
+        F.sum((F.col("c") <= F.col("a90")).cast("long")).alias("le90"),
     )
-    j = out.join(exact, "event_type")
-    ok = (F.abs(F.col("a50") - F.col("exact_p50")) <= 2) & (
-        F.abs(F.col("a90") - F.col("exact_p90")) <= 2
+    slack = F.expr("n div 10000") + 1
+    t50, t90 = F.expr("(5*n + 9) div 10"), F.expr("(9*n + 9) div 10")
+    ok = (
+        (t50 >= F.col("lt50") + 1 - slack) & (t50 <= F.col("le50") + slack)
+        & (t90 >= F.col("lt90") + 1 - slack) & (t90 <= F.col("le90") + slack)
     )
-    return j.select(
+    return g.select(
         "event_type", "exact_p50", "exact_p90", ok.alias("within_bounds")
     )
