@@ -435,7 +435,7 @@ def q_stream_cdc_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def make_cdc_snap_sink(lake: str):
+def make_cdc_snap_sink(lake: str, bloom_col: str | None = None):
     """foreachBatch sink committing each CDC micro-batch as ONE
     snapshot-lake version, idempotent under restart: the committed
     batch_id rides in every manifest (snap_merge meta overlay), and a
@@ -478,9 +478,11 @@ def make_cdc_snap_sink(lake: str):
             F.col("_w.deleted").alias("deleted"),
         )
         if not snap_versions(lake):
+            kw = {} if bloom_col is None else {"bloom_col": bloom_col,
+                                               "bloom_bits": 8192}
             snap_init(
                 s, batch_latest, lake, "bucket", sort_by=("user_id",),
-                meta={"batch_id": batch_id},
+                meta={"batch_id": batch_id}, **kw,
             )
             return
         touched = [

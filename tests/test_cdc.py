@@ -275,3 +275,66 @@ def test_cdc_snap_restart_no_double_commit(spark):
     truth = REGISTRY["q_cdc_materialize"].fn(spark, SF_SMOKE)
     assert final.exceptAll(truth).count() == 0
     assert truth.exceptAll(final).count() == 0
+
+
+def test_cdc_snap_sink_maintains_bloom_index(spark):
+    """A bloom-indexed CDC-synced snapshot table: the config rides the
+    first commit's manifest, so EVERY streaming micro-batch commit
+    indexes its new files without sink cooperation — and point lookups
+    on the synced key prune files at any point in the history."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from docker_based_real_time_etl_project_spark.cdc import decode_envelope
+    from docker_based_real_time_etl_project_spark.queries.cdc_q import (
+        ROW_SCHEMA,
+        _changelog,
+        make_cdc_snap_sink,
+    )
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _bloom_sidecar_file,
+        snap_point_read,
+        snap_read,
+        snap_versions,
+    )
+    from pyspark.sql import Window
+    from tests.conftest import SF_SMOKE
+
+    envelopes = _changelog(spark, SF_SMOKE)
+    src = tempfile.mkdtemp(prefix="cdc_bloom_src_")
+    envelopes.withColumn(
+        "_bucket", F.ntile(4).over(Window.orderBy("value"))
+    ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
+    lake = tempfile.mkdtemp(prefix="cdc_bloom_lake_")
+    sink = make_cdc_snap_sink(lake, bloom_col="user_id")
+    stream = (
+        spark.readStream.schema(
+            T.StructType([T.StructField("value", T.StringType())])
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = (
+        decode_envelope(stream, ROW_SCHEMA)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(lake, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    versions = snap_versions(lake)
+    assert len(versions) >= 3
+    # every commit dir that exists has its sidecar
+    commits = [d for d in os.listdir(lake) if d.startswith("c")]
+    assert commits
+    for c in commits:
+        assert os.path.exists(_bloom_sidecar_file(lake, c)), c
+    keys = [r[0] for r in snap_read(spark, lake).select("user_id").limit(2).collect()]
+    got = snap_point_read(spark, lake, keys)
+    want = snap_read(spark, lake).filter(F.col("user_id").isin(keys))
+    assert sorted(got.collect()) == sorted(want.collect())
