@@ -61,6 +61,21 @@ def _manifest_file(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
 
 
+def _empty_version(spark: SparkSession, path: str, v: int, m: dict) -> DataFrame:
+    """A version with no entries (a DELETE matched everything) served
+    as an empty DataFrame with the manifest-recorded schema, in the
+    recorded column order — so downstream merges/updates/reads keep
+    working against an empty table instead of a bricked one."""
+    from pyspark.sql import types as T
+
+    sj = m.get("schema_json")
+    if sj is None:  # pre-schema-recording manifest: the old contract
+        raise ValueError(f"version {v} of {path} is empty — no schema to serve")
+    df = spark.createDataFrame([], T.StructType.fromJson(json.loads(sj)))
+    cols = m.get("columns")
+    return df.select(*cols) if cols else df
+
+
 def _entry_commit_root(path: str, rel: str) -> str:
     """Absolute commit directory of one manifest entry: two levels
     above the data file (<commit>/<partition>=<value>/file.parquet).
@@ -240,6 +255,18 @@ def snap_init(
     recorded in the manifest and enforced on THIS write and every
     later merge/update (Delta ADD CONSTRAINT semantics: a NULL
     predicate is a violation; a violating batch publishes nothing)."""
+    if bloom_col is not None:
+        # pure config validation — BEFORE the (possibly TB-sized) write
+        if bloom_bits % 64:
+            raise ValueError("bloom_bits must be a multiple of 64")
+        if bloom_col == partition_col:
+            raise ValueError(
+                "bloom_col must not be the partition column: the manifest "
+                "already prunes partitions exactly, and partition-dir type "
+                "inference would desync the build hash from the probe hash"
+            )
+        if bloom_col not in df.columns:
+            raise ValueError(f"bloom_col {bloom_col!r} not in {df.columns}")
     if check is not None:
         _enforce_check(df, {"check_expr": check}, "snap_init")
     commit_rel = "c000001"
@@ -257,13 +284,12 @@ def snap_init(
         "stats_col": stats_col,
         "check_expr": check,
         "columns": list(df.columns),
+        "schema_json": df.schema.json(),
         "entries": _commit_entries(
             path, commit_rel, partition_col, stats_col
         ),
     }
     if bloom_col is not None:
-        if bloom_bits % 64:
-            raise ValueError("bloom_bits must be a multiple of 64")
         manifest.update(
             bloom_col=bloom_col,
             bloom_bits=int(bloom_bits),
@@ -287,19 +313,14 @@ def snap_read(
     directory listing, no footer reads for pruned files. Files are
     grouped per commit dir so partition-dir inference (basePath) can
     re-attach the partition column; commits' scans are unioned by
-    name."""
-    versions = snap_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed versions under {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise FileNotFoundError(
-            f"version {v} not present under {path} (have {versions})"
-        )
+    name. An EMPTY version (e.g. a DELETE that matched every row)
+    reads as an empty DataFrame with the manifest-recorded schema —
+    the table stays fully usable, it just has no rows."""
+    v = _resolve_version(path, version)
     m = _read_manifest(path, v)
     entries = m["entries"]
     if not entries:
-        raise ValueError(f"version {v} of {path} is empty — no schema to serve")
+        return _empty_version(spark, path, v, m)
     if partitions is not None:
         want = {str(p) for p in partitions}
         entries = [e for e in entries if str(e["partition"]) in want]
@@ -405,6 +426,7 @@ def snap_merge(
             **(meta or {}),
             "version": new_version,
             "columns": list(merged.columns),
+            "schema_json": merged.schema.json(),
             "entries": carried
             + _commit_entries(
                 path, commit_rel, cur["partition_col"], cur.get("stats_col")
@@ -560,6 +582,7 @@ def snap_merge_concurrent(
                     **{k: v for k, v in cur.items() if k != "entries"},
                     "version": target_v,
                     "columns": list(merged.columns),
+                    "schema_json": merged.schema.json(),
                     "entries": carried + new_entries,
                 },
             )
@@ -659,12 +682,15 @@ def snap_vacuum(
             if f.endswith(".tmp") and now - os.path.getmtime(full) >= min_age_sec:
                 os.remove(full)
     # bloom sidecars of commits no retained manifest references are
-    # debris too (age-guarded like the data files they described)
-    live_commits = {r.split(os.sep)[0] for r in referenced}
+    # debris too (age-guarded like the data files they described).
+    # Liveness uses the same STRUCTURAL commit-root derivation as the
+    # read path, so clone-borrowed absolute entries (whose roots live
+    # outside this table) can never alias a local commit dir name.
+    live_roots = {_entry_commit_root(path, r) for r in referenced}
     for d in os.listdir(path):
         side = _bloom_sidecar_file(path, d)
         if (
-            d not in live_commits
+            os.path.join(path, d) not in live_roots
             and os.path.isfile(side)
             and now - os.path.getmtime(side) >= min_age_sec
         ):
@@ -686,12 +712,7 @@ def snap_files(
     would open — metadata-only (audit/test helper for the pruning
     contracts). Mirrors snap_read's error contract: FileNotFoundError
     on an uninitialized table or an absent version."""
-    versions = snap_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise FileNotFoundError(f"snapshot version {v} not found at {path}")
+    v = _resolve_version(path, version)
     entries = _read_manifest(path, v)["entries"]
     if partitions is not None:
         want = {str(p) for p in partitions}
@@ -860,12 +881,7 @@ def snap_meta(path: str, version: int | None = None) -> dict:
     """Table-level manifest metadata of a version (everything but the
     file entries) — e.g. the z-order grid, or a streaming sink's
     committed batch_id. Same error contract as snap_read/snap_files."""
-    versions = snap_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise FileNotFoundError(f"snapshot version {v} not found at {path}")
+    v = _resolve_version(path, version)
     return {k: val for k, val in _read_manifest(path, v).items() if k != "entries"}
 
 
@@ -1121,14 +1137,15 @@ def snap_update_where(
     if not touched:
         return None
     hit = F.coalesce(cond, F.lit(False))
-    changed = base.filter(hit).select(
+    scoped = snap_read(spark, path, base_v, partitions=sorted(touched))
+    changed = scoped.filter(hit).select(
         *[
             F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
             for c in cur["columns"]
         ]
     )
     _enforce_check(changed, cur, "snap_update_where result")
-    updated = snap_read(spark, path, base_v, partitions=sorted(touched)).select(
+    updated = scoped.select(
         *[
             F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
             if c in assignments

@@ -2187,10 +2187,28 @@ def _rv_fold(last_day: int | None, last_c: int, days: "np.ndarray", v: "np.ndarr
     valid = prev_day == days
     dy = np.where(valid, v - prev_c, 0)
     uniq, inv = np.unique(days, return_inverse=True)
-    rv = np.zeros(len(uniq), np.int64)
     n = np.zeros(len(uniq), np.int64)
-    np.add.at(rv, inv, dy * dy)  # pure int64 accumulation — exact
     np.add.at(n, inv, valid.astype(np.int64))
+    amax = float(np.abs(dy).max()) if len(dy) else 0.0
+    if amax * amax * len(dy) < float(1 << 62):
+        # int64 accumulation provably cannot wrap for this batch
+        rv = np.zeros(len(uniq), np.int64)
+        np.add.at(rv, inv, dy * dy)
+        rv = [int(x) for x in rv]
+    else:
+        # arbitrary-precision fallback: numpy int64 wraps SILENTLY on
+        # overflow; Python ints cannot. A batch-day partial that still
+        # exceeds int64 can't ride the LongType output schema — fail
+        # LOUDLY (the cure is smaller micro-batches or sub-day keys),
+        # never emit a wrapped value.
+        rv = [0] * len(uniq)
+        for i, d in zip(inv.tolist(), dy.tolist()):
+            rv[i] += d * d
+        if any(x >= (1 << 63) for x in rv):
+            raise OverflowError(
+                "realized-variance batch partial exceeds int64 — reduce "
+                "micro-batch size; the cross-batch combine is DECIMAL(38,0)"
+            )
     rows = [
         {"day_ord": int(d), "n": int(cn), "rv": int(cr)}
         for d, cn, cr in zip(uniq, n, rv)

@@ -913,7 +913,6 @@ def test_shallow_clone_zero_copy_and_divergence(spark):
     assert got.exceptAll(orders).count() == 0
     assert orders.exceptAll(got).count() == 0
     # diverge the clone; source unaffected
-    upd = orders.limit(0).withColumn("_delete", F.lit(False))
     upd = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") + 9.0
     ).withColumn("_delete", F.lit(False))
@@ -1061,3 +1060,43 @@ def test_bloom_index_on_string_key(spark):
     assert sorted(got.collect()) == sorted(want.collect())
     assert 0 < len(snap_point_files(spark, path, keys)) < len(snap_files(path))
     assert snap_point_files(spark, path, ["doc-none-such"]) == []
+
+
+def test_delete_all_rows_leaves_usable_empty_table(spark):
+    """A DELETE that matches EVERY row must not brick the table: the
+    empty version reads as zero rows with the manifest-recorded
+    schema, and later merges repopulate it."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapdelall_")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id int, part string, v int"
+    )
+    snap_init(spark, df, path, "part")
+    assert snap_delete_where(spark, path, "v > 0") == 2
+    got = snap_read(spark, path)
+    assert got.count() == 0
+    assert got.columns == df.columns  # schema served from the manifest
+    # the empty table accepts new data again
+    more = spark.createDataFrame([(3, "a", 30)], "id int, part string, v int")
+    assert snap_merge(spark, path, more, key_cols=("id",)) == 3
+    assert [r["id"] for r in snap_read(spark, path).collect()] == [3]
+
+
+def test_bloom_on_partition_col_is_rejected_before_write(spark, tmp_path):
+    """Config errors (bloom on the partition key, bad bits, unknown
+    column) must fail BEFORE any data is written."""
+    import glob
+
+    df = spark.createDataFrame([(1, "a")], "id int, part string")
+    for kw in (
+        {"bloom_col": "part"},
+        {"bloom_col": "id", "bloom_bits": 100},
+        {"bloom_col": "nope"},
+    ):
+        d = str(tmp_path / f"t{len(glob.glob(str(tmp_path / '*')))}")
+        with pytest.raises(ValueError):
+            snap_init(spark, df, d, "part", **kw)
+        assert not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
