@@ -1100,3 +1100,42 @@ def test_bloom_on_partition_col_is_rejected_before_write(spark, tmp_path):
         with pytest.raises(ValueError):
             snap_init(spark, df, d, "part", **kw)
         assert not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+
+
+def test_file_blooms_merge_partials_across_tasks(spark):
+    """When one data file spans MULTIPLE scan tasks (big files under a
+    small maxPartitionBytes), each task emits its own bitmap partial
+    for the file and the driver must OR them — a broken merge would
+    produce false negatives, i.e. silently wrong point reads. Pin:
+    bitmaps built under a 16 KiB split size are bit-identical to the
+    single-task build."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _file_blooms,
+    )
+
+    import pyarrow.parquet as pq
+
+    path = tempfile.mkdtemp(prefix="snapbloomsplit_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    # tiny row groups so a 16 KiB split size yields >1 task per FILE
+    (
+        orders.coalesce(1)
+        .write.option("parquet.block.size", "8192")
+        .option("parquet.page.size", "1024")
+        .parquet(os.path.join(path, "c000001"))
+    )
+    a_file = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(path, "c000001"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert pq.ParquetFile(a_file).metadata.num_row_groups > 1
+    whole = _file_blooms(spark, path, "c000001", "o_orderkey", 8192, 4)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        split = _file_blooms(spark, path, "c000001", "o_orderkey", 8192, 4)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert split == whole
