@@ -1020,6 +1020,65 @@ def snap_delete_where(
     return new_version
 
 
+def snap_repartition(
+    spark: SparkSession,
+    path: str,
+    new_partition_col: str,
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+) -> int:
+    """PARTITION LAYOUT MIGRATION as a commit: rewrite the latest
+    version under a NEW partition column and publish it as version
+    N+1. Honest cost statement: unlike Iceberg's partition-spec
+    evolution (metadata-only, applies to NEW data), this rewrites the
+    whole table ONCE — in exchange every version has one uniform
+    layout, so reads never union two pruning schemes. History is
+    untouched (old versions keep the old layout until vacuumed). A
+    z-order grid bound to the old layout is dropped from the manifest
+    (box pruning is a property of the zb partitioning); bloom/check
+    config carries forward and the new files are re-indexed."""
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_repartition on uninitialized table {path}")
+    cur = _read_manifest(path, versions[-1])
+    df = snap_read(spark, path, versions[-1])
+    if new_partition_col not in df.columns:
+        raise ValueError(
+            f"new partition column {new_partition_col!r} not in {df.columns}"
+        )
+    if cur.get("bloom_col") == new_partition_col:
+        raise ValueError(
+            "cannot repartition onto the bloom-indexed column — drop the "
+            "index first (partition pruning would make it redundant anyway)"
+        )
+    new_version = versions[-1] + 1
+    commit_rel = f"c{new_version:06d}"
+    write_clustered(
+        df,
+        os.path.join(path, commit_rel),
+        partition_by=(new_partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    _attach_blooms(spark, path, commit_rel, cur)
+    _publish(
+        path,
+        {
+            **{
+                k: v
+                for k, v in cur.items()
+                if k not in ("entries", "zorder")
+            },
+            "version": new_version,
+            "partition_col": new_partition_col,
+            "entries": _commit_entries(
+                path, commit_rel, new_partition_col, cur.get("stats_col")
+            ),
+        },
+    )
+    return new_version
+
+
 def snap_restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE TO VERSION AS OF (Delta RESTORE): publish a NEW
     version whose file set is exactly an old version's manifest

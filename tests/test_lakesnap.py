@@ -1139,3 +1139,40 @@ def test_file_blooms_merge_partials_across_tasks(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert split == whole
+
+
+def test_repartition_migrates_layout_as_a_commit(spark):
+    """Partition migration: v2 is the same rows under a new partition
+    key, pruning works on the NEW key from the manifest alone, old
+    versions keep the old layout, and a later merge uses the new
+    partition column."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_files,
+        snap_repartition,
+    )
+
+    path = tempfile.mkdtemp(prefix="snaprepart_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    v2 = snap_repartition(spark, path, "o_orderstatus", sort_by=("o_orderkey",))
+    assert v2 == 2
+    got = snap_read(spark, path).select(*orders.columns)
+    assert got.exceptAll(orders).count() == 0
+    assert orders.exceptAll(got).count() == 0
+    assert _read_manifest(path, 2)["partition_col"] == "o_orderstatus"
+    # pruning on the NEW key
+    some = snap_files(path, partitions=["F"])
+    assert 0 < len(some) < len(snap_files(path))
+    pruned = snap_read(spark, path, partitions=["F"])
+    truth = orders.filter(F.col("o_orderstatus") == "F")
+    assert pruned.select(*orders.columns).exceptAll(truth).count() == 0
+    assert truth.exceptAll(pruned.select(*orders.columns)).count() == 0
+    # old layout still served for v1
+    assert _read_manifest(path, 1)["partition_col"] == "o_orderpriority"
+    assert snap_read(spark, path, 1).count() == orders.count()
+    # merges now key on the new partition column
+    upd = orders.filter(F.col("o_orderkey") % 9 == 2).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 3.0
+    )
+    assert snap_merge(spark, path, upd, key_cols=("o_orderkey",)) == 3
