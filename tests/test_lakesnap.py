@@ -1176,3 +1176,70 @@ def test_repartition_migrates_layout_as_a_commit(spark):
         "o_totalprice", F.col("o_totalprice") + 3.0
     )
     assert snap_merge(spark, path, upd, key_cols=("o_orderkey",)) == 3
+
+
+def test_concurrent_merge_eight_writer_overlap_storm(spark):
+    """Eight writers, five partitions — overlap is GUARANTEED, so the
+    protocol's expensive path (discard + re-merge against the winner)
+    runs under a true thread race, not just the deterministic seam.
+    Writers touching the same partition update DISJOINT key sets, so
+    the serial-equivalent final state applies all eight deltas; every
+    commit lands within the retry budget and versions stay contiguous."""
+    import threading
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_merge_concurrent,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcas8_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+    parts = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    errs = []
+
+    def writer(i):
+        part = parts[i % len(parts)]
+        upd = (
+            orders.filter(
+                (F.col("o_orderpriority") == part)
+                & (F.col("o_orderkey") % 23 == i)
+            ).withColumn("o_totalprice", F.col("o_totalprice") + float(i + 1))
+        )
+        try:
+            snap_merge_concurrent(
+                spark, path, upd, key_cols=("o_orderkey",),
+                writer_id=f"w{i}", max_attempts=16,
+            )
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert snap_versions(path) == list(range(1, 10))
+    # overlap really happened: some committed dir carries attempt > 0
+    attempts = {
+        e["path"].split(os.sep)[0]
+        for v in range(2, 10)
+        for e in _read_manifest(path, v)["entries"]
+        if not e["path"].startswith("c000001")
+    }
+    assert any("a0" not in d for d in attempts) or len(attempts) >= 8
+    latest = snap_read(spark, path).select(*orders.columns)
+    truth = orders
+    for i in range(8):
+        part = parts[i % len(parts)]
+        truth = truth.withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderpriority") == part)
+                & (F.col("o_orderkey") % 23 == i),
+                F.col("o_totalprice") + float(i + 1),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    assert latest.exceptAll(truth).count() == 0
+    assert truth.exceptAll(latest).count() == 0
