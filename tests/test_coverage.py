@@ -129,8 +129,14 @@ def test_driver_window_matches_policy():
     # (pinned in driver_window.EVIDENCE_FILES), so a new driver artifact
     # landing mid-round doesn't redden the suite; the pin still catches
     # registry drift and hand-edits.
-    computed = gen.compute_window(repo, list(REGISTRY), dw.EVIDENCE_FILES)
+    oracled = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    computed = gen.compute_window(
+        repo, list(REGISTRY), dw.EVIDENCE_FILES, oracled
+    )
     assert dw.DRIVER_WINDOW == computed
+    # rows-only queries never enter the window: the driver can only
+    # record err:no_oracle for them (round-9 verdict "What's wrong" #1)
+    assert not [n for n in dw.DRIVER_WINDOW if n not in oracled]
     # and the recorded evidence set must be real files (no stale pins)
     assert all(
         os.path.exists(os.path.join(repo, f)) for f in dw.EVIDENCE_FILES
