@@ -477,14 +477,38 @@ def _plan_merge(
     return merged, touched
 
 
-def _touched_partitions(path: str, version: int) -> set[str]:
+def _manifest_meta_fp(m: dict) -> dict:
+    """Table-level metadata fingerprint used for commit-conflict
+    detection: every manifest key except the per-commit ones
+    (version/entries), with the schema normalized to (name, type)
+    pairs — unionByName merges flip nullability without changing the
+    logical schema, and that must NOT read as a metadata conflict."""
+    fp = {
+        k: v
+        for k, v in m.items()
+        if k not in ("version", "entries", "committed_at", "schema_json")
+    }
+    sj = m.get("schema_json")
+    if sj:
+        fp["_schema"] = [
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in json.loads(sj).get("fields", [])
+        ]
+    return fp
+
+
+def _touched_partitions(path: str, version: int) -> set[str] | None:
     """Partitions whose file set changed between ``version - 1`` and
     ``version`` — the conflict footprint of one commit. If the
-    predecessor manifest was vacuumed, the commit conservatively
-    counts as touching everything it contains."""
+    predecessor manifest was vacuumed the footprint is UNKNOWABLE:
+    a commit that deleted a partition's every row carries no entry
+    for it, so "partitions in the commit" would under-count and a
+    concurrent rebase could resurrect the deleted rows. Return
+    ``None`` (= touches everything) and let the caller force a
+    re-merge instead."""
     cur = _read_manifest(path, version)
     if version - 1 not in snap_versions(path):
-        return {str(e["partition"]) for e in cur["entries"]}
+        return None
     prev = _read_manifest(path, version - 1)
 
     def by_part(entries):
@@ -541,15 +565,18 @@ def snap_merge_concurrent(
     token = writer_id or uuid.uuid4().hex[:8]
     if not snap_versions(path):
         raise FileNotFoundError(f"snap_merge_concurrent on uninitialized table {path}")
-    _enforce_check(
-        updates if delete_col is None else updates.filter(~F.col(delete_col)),
-        _read_manifest(path, snap_versions(path)[-1]),
-        "snap_merge_concurrent batch",
-    )
     for attempt in range(max_attempts):
         versions = snap_versions(path)
         base_v = versions[-1]
         cur = _read_manifest(path, base_v)
+        # enforced per attempt, against the PINNED base manifest: a
+        # re-execution after a metadata conflict must honor the check
+        # constraint the intervening commit may have introduced
+        _enforce_check(
+            updates if delete_col is None else updates.filter(~F.col(delete_col)),
+            cur,
+            "snap_merge_concurrent batch",
+        )
         partition_col = cur["partition_col"]
         stats_col = cur.get("stats_col")
         merged, touched = _plan_merge(
@@ -589,15 +616,32 @@ def snap_merge_concurrent(
             if ok:
                 return target_v
             latest_v = snap_versions(path)[-1]
-            overlap = set()
+            latest_m = _read_manifest(path, latest_v)
+            conflict = False
             for v in range(target_v, latest_v + 1):
-                overlap |= _touched_partitions(path, v) & touched
-            if overlap:
-                # our merged files no longer reflect the base rows of
-                # these partitions — first committer wins, we redo
+                tp = _touched_partitions(path, v)
+                if tp is None or tp & touched:
+                    conflict = True
+                    break
+            # Metadata changes are commit conflicts too (Delta/Iceberg
+            # semantics): a rebase republishes the BASE manifest's
+            # table-level metadata, so an intervening commit that
+            # evolved the schema, altered the CHECK constraint, or
+            # retuned bloom/zorder/partition config would be silently
+            # reverted — e.g. an additively-added column's data would
+            # vanish from reads even though its files are carried.
+            # Re-execute against the new base instead, which picks the
+            # evolved metadata up through _plan_merge/snap_read.
+            if not conflict and _manifest_meta_fp(cur) != _manifest_meta_fp(
+                latest_m
+            ):
+                conflict = True
+            if conflict:
+                # our merged files (or carried metadata) no longer
+                # reflect the new base — first committer wins, we redo
                 stale = True
                 break
-            carried_from = _read_manifest(path, latest_v)["entries"]
+            carried_from = latest_m["entries"]
             target_v = latest_v + 1
         if stale:
             shutil.rmtree(os.path.join(path, commit_rel), ignore_errors=True)

@@ -1161,17 +1161,23 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Z3_CACHE: dict[str, tuple[str, object]] = {}
+_Z3_CACHE: dict[tuple, tuple[str, object]] = {}
 
 
 def _zordered3_lineitem(spark: SparkSession, sf_dir: str):
     """lineitem clustered once per session on the 3-D
     (l_partkey, l_suppkey, l_quantity) Morton grid via
     write_clustered(layout='zorder') — bits=2, 64 buckets, the same
-    partition budget as the 2-D default."""
+    partition budget as the 2-D default. Keyed on (sf_dir, table
+    fingerprint) like the sibling caches, so a regenerated dataset
+    never serves stale clustered data."""
     from docker_based_real_time_etl_project_spark.lakewrite import write_clustered
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        table_fingerprint,
+    )
 
-    if sf_dir not in _Z3_CACHE:
+    key = (sf_dir, table_fingerprint(sf_dir, "lineitem"))
+    if key not in _Z3_CACHE:
         li = table(spark, sf_dir, "lineitem").withColumn(
             "l_qty_i", F.col("l_quantity").cast("bigint")
         )
@@ -1180,8 +1186,8 @@ def _zordered3_lineitem(spark: SparkSession, sf_dir: str):
             li, out, layout="zorder",
             zorder_by=("l_partkey", "l_suppkey", "l_qty_i"), zorder_bits=2,
         )
-        _Z3_CACHE[sf_dir] = (out, grid)
-    out, grid = _Z3_CACHE[sf_dir]
+        _Z3_CACHE[key] = (out, grid)
+    out, grid = _Z3_CACHE[key]
     return spark.read.parquet(out), grid
 
 

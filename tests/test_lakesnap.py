@@ -1243,3 +1243,140 @@ def test_concurrent_merge_eight_writer_overlap_storm(spark):
         )
     assert latest.exceptAll(truth).count() == 0
     assert truth.exceptAll(latest).count() == 0
+
+
+def test_concurrent_merge_metadata_change_forces_reexecute(spark):
+    """Rebase must treat table-level METADATA changes as commit
+    conflicts (Delta/Iceberg semantics; round-9 advice): an intervening
+    disjoint-partition commit that alters manifest metadata (here the
+    CHECK constraint via snap_merge's meta overlay) would be silently
+    reverted by a zero-I/O rebase, which republishes the stale base's
+    metadata. The loser must RE-EXECUTE against the new base instead,
+    carrying the new metadata forward."""
+    import json as _json
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_merge_concurrent,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcasmeta_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+
+    upd_b = _priced(orders, "2-HIGH", 3, 11.0)
+
+    def competing_commit():
+        v = snap_merge(
+            spark, path, upd_b, key_cols=("o_orderkey",),
+            meta={"check_expr": "o_totalprice >= 0"},
+        )
+        assert v == 2
+
+    upd_a = _priced(orders, "1-URGENT", 3, 7.0)
+    v = snap_merge_concurrent(
+        spark, path, upd_a, key_cols=("o_orderkey",),
+        writer_id="wA", _before_publish=competing_commit,
+    )
+    assert v == 3
+    m3 = _json.load(open(os.path.join(path, "_manifests", "v000003.json")))
+    # the intervening commit's metadata survives the loser's commit
+    assert m3.get("check_expr") == "o_totalprice >= 0"
+    # and the loser RE-EXECUTED (attempt > 0 files), no zero-I/O rebase
+    a_files = [e["path"] for e in m3["entries"] if "wwA" in e["path"]]
+    assert a_files and all(p.startswith("c000003wwAa1") for p in a_files)
+    assert not os.path.exists(os.path.join(path, "c000002wwAa0"))
+    # both writers' row edits visible
+    latest = snap_read(spark, path)
+    for part, mod, delta in (("2-HIGH", 3, 11.0), ("1-URGENT", 3, 7.0)):
+        truth = _priced(orders, part, mod, delta).select(*orders.columns)
+        got = latest.filter(
+            (F.col("o_orderpriority") == part) & (F.col("o_orderkey") % 17 == mod)
+        ).select(*orders.columns)
+        assert got.exceptAll(truth).count() == 0
+        assert truth.exceptAll(got).count() == 0
+
+
+def test_concurrent_merge_schema_evolution_conflict_is_serial_equivalent(spark):
+    """An intervening commit additively evolved the schema; the racing
+    writer's updates do not carry the new column. Serial execution
+    (evolve, then merge) raises the full-row contract error — so the
+    concurrent path must raise the SAME error after re-executing, and
+    must NOT corrupt the table: the evolved column's data stays
+    readable at the latest version (a rebase would have silently
+    dropped it from `columns`)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_merge_concurrent,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcasevo_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+
+    upd_b = _priced(orders, "2-HIGH", 3, 11.0).withColumn(
+        "o_risk_tier", F.lit("HIGH")
+    )
+
+    def competing_commit():
+        assert snap_merge(spark, path, upd_b, key_cols=("o_orderkey",)) == 2
+
+    upd_a = _priced(orders, "1-URGENT", 3, 7.0)
+    with pytest.raises(ValueError, match="missing base columns"):
+        snap_merge_concurrent(
+            spark, path, upd_a, key_cols=("o_orderkey",),
+            writer_id="wA", _before_publish=competing_commit,
+        )
+    # table intact: the evolved column and its data are still readable
+    assert snap_versions(path)[-1] == 2
+    latest = snap_read(spark, path)
+    assert "o_risk_tier" in latest.columns
+    n_hi = latest.filter(F.col("o_risk_tier") == "HIGH").count()
+    assert n_hi == upd_b.count() and n_hi > 0
+
+
+def test_touched_partitions_vacuumed_predecessor_is_conflict(spark):
+    """When a commit's predecessor manifest was vacuumed, its conflict
+    footprint is unknowable (a partition fully emptied by the commit is
+    absent from its own manifest) — _touched_partitions returns the
+    'touches everything' sentinel and the CAS loop re-executes rather
+    than rebasing over it (round-9 advice)."""
+    import json as _json
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _touched_partitions,
+        snap_merge_concurrent,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapcasvac_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, path, "o_orderpriority", sort_by=("o_orderkey",))
+
+    upd_b = _priced(orders, "2-HIGH", 3, 11.0)
+
+    def competing_commit():
+        assert (
+            snap_merge(spark, path, upd_b, key_cols=("o_orderkey",)) == 2
+        )
+        # simulate vacuum dropping the predecessor manifest
+        os.remove(os.path.join(path, "_manifests", "v000001.json"))
+        assert _touched_partitions(path, 2) is None
+
+    upd_a = _priced(orders, "1-URGENT", 3, 7.0)
+    v = snap_merge_concurrent(
+        spark, path, upd_a, key_cols=("o_orderkey",),
+        writer_id="wA", _before_publish=competing_commit,
+    )
+    assert v == 3
+    m3 = _json.load(
+        open(os.path.join(path, "_manifests", "v000003.json"))
+    )
+    # forced RE-EXECUTION: attempt-1 files, attempt-0 dir discarded
+    a_files = [e["path"] for e in m3["entries"] if "wwA" in e["path"]]
+    assert a_files and all(p.startswith("c000003wwAa1") for p in a_files)
+    latest = snap_read(spark, path)
+    for part, mod, delta in (("2-HIGH", 3, 11.0), ("1-URGENT", 3, 7.0)):
+        truth = _priced(orders, part, mod, delta).select(*orders.columns)
+        got = latest.filter(
+            (F.col("o_orderpriority") == part) & (F.col("o_orderkey") % 17 == mod)
+        ).select(*orders.columns)
+        assert got.exceptAll(truth).count() == 0
+        assert truth.exceptAll(got).count() == 0
