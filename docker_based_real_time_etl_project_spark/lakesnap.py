@@ -337,7 +337,9 @@ def snap_read(
         ]
     if not entries:
         return snap_read(spark, path, version=v).limit(0)
-    return _read_entry_files(spark, path, entries, m)
+    return _apply_deletes(
+        spark, path, _read_entry_files(spark, path, entries, m), m, entries
+    )
 
 
 def _read_entry_files(
@@ -372,6 +374,97 @@ def _read_entry_files(
                 out = out.withColumn(c, F.lit(None))
         out = out.select(*cols)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MERGE-ON-READ deletes (Iceberg v2 equality-delete files / Delta
+# deletion-vector shape): a MoR DELETE commit writes the MATCHED ROWS
+# into per-partition "delete files" recorded under the manifest's
+# ``delete_entries`` key and carries every data entry forward VERBATIM —
+# I/O is O(deleted rows), not O(partition rewrite). Readers anti-join
+# the delete files against only the partitions they reference
+# (null-safe on all columns, so a delete recorded before an additive
+# schema evolution still cancels its rows through the NULL back-fill).
+#
+# ORDERING INVARIANT (what Iceberg solves with sequence numbers): within
+# a partition, every pending delete file is NEWER than every data file
+# of that partition — any commit that rewrites a partition (merge,
+# update, CoW delete, compaction, layout migration) first reads through
+# the deletes and then DROPS that partition's delete entries, so a row
+# inserted after a delete can never be cancelled by it. snap_compact /
+# snap_compact_partitions are therefore also the MoR "promotion" path:
+# compacting a partition materializes its anti-join and retires its
+# delete debris as a normal versioned commit.
+# ---------------------------------------------------------------------------
+
+
+def _parquet_rows(full: str) -> int:
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(full).metadata.num_rows)
+
+
+def _delete_commit_entries(
+    path: str, commit_rel: str, partition_col: str
+) -> list[dict]:
+    """Manifest delete-entries for one MoR delete commit: data-file
+    entries plus the footer row count (drives the reader's broadcast
+    decision without opening files at plan time)."""
+    out = []
+    for e in _commit_entries(path, commit_rel, partition_col):
+        out.append({**e, "rows": _parquet_rows(os.path.join(path, e["path"]))})
+    return out
+
+
+def _carried_deletes(m: dict, rewritten_partitions: set[str] | None) -> list[dict]:
+    """Delete entries that survive a commit: drop the ones for
+    partitions the commit rewrites (their effect is materialized into
+    the new files — keeping them would cancel rows re-inserted later,
+    breaking the ordering invariant above). ``None`` = full-table
+    rewrite, drop everything."""
+    dels = m.get("delete_entries") or []
+    if rewritten_partitions is None:
+        return []
+    return [d for d in dels if str(d["partition"]) not in rewritten_partitions]
+
+
+_BROADCAST_DELETE_ROWS = 2_000_000
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    manifest: dict,
+    entries: list[dict],
+) -> DataFrame:
+    """Read-side merge: anti-join pending delete files against ``df``
+    (the rows of ``entries``), null-safe on every table column. Only
+    delete files referencing the partitions actually being read are
+    opened — a point read of one partition pays for that partition's
+    deletes, never the table's. Small delete sets broadcast (the
+    common case: a GDPR point delete is a handful of rows against a
+    100 TB scan); large ones fall back to a shuffled hash join."""
+    dels = manifest.get("delete_entries") or []
+    if not dels:
+        return df
+    read_parts = {str(e["partition"]) for e in entries}
+    dels = [d for d in dels if str(d["partition"]) in read_parts]
+    if not dels:
+        return df
+    cols = list(df.columns)
+    del_df = _read_entry_files(spark, path, dels, manifest).select(*cols)
+    if sum(int(d.get("rows", _BROADCAST_DELETE_ROWS)) for d in dels) < (
+        _BROADCAST_DELETE_ROWS
+    ):
+        del_df = F.broadcast(del_df)
+    d = del_df.alias("_del")
+    s = df.alias("_dat")
+    cond = None
+    for c in cols:
+        eq = F.col(f"_dat.{c}").eqNullSafe(F.col(f"_del.{c}"))
+        cond = eq if cond is None else cond & eq
+    return s.join(d, on=cond, how="left_anti").select(*cols)
 
 
 def snap_merge(
@@ -431,6 +524,7 @@ def snap_merge(
             + _commit_entries(
                 path, commit_rel, cur["partition_col"], cur.get("stats_col")
             ),
+            "delete_entries": _carried_deletes(cur, touched),
         },
     )
     return new_version
@@ -486,7 +580,14 @@ def _manifest_meta_fp(m: dict) -> dict:
     fp = {
         k: v
         for k, v in m.items()
-        if k not in ("version", "entries", "committed_at", "schema_json")
+        if k
+        not in (
+            "version",
+            "entries",
+            "delete_entries",  # per-commit state, footprinted separately
+            "committed_at",
+            "schema_json",
+        )
     }
     sj = m.get("schema_json")
     if sj:
@@ -511,13 +612,15 @@ def _touched_partitions(path: str, version: int) -> set[str] | None:
         return None
     prev = _read_manifest(path, version - 1)
 
-    def by_part(entries):
+    def by_part(m):
         out: dict[str, set[str]] = {}
-        for e in entries:
+        # delete files are part of the footprint: a MoR delete commit
+        # changes a partition's visible rows without touching entries
+        for e in m["entries"] + (m.get("delete_entries") or []):
             out.setdefault(str(e["partition"]), set()).add(e["path"])
         return out
 
-    a, b = by_part(prev["entries"]), by_part(cur["entries"])
+    a, b = by_part(prev), by_part(cur)
     return {p for p in set(a) | set(b) if a.get(p) != b.get(p)}
 
 
@@ -596,12 +699,14 @@ def snap_merge_concurrent(
             hook, _before_publish = _before_publish, None
             hook()
         # CAS loop: rebase over disjoint commits without rewriting data
-        carried_from = cur["entries"]
+        carried_manifest = cur
         target_v = base_v + 1
         stale = False
         while True:
             carried = [
-                e for e in carried_from if str(e["partition"]) not in touched
+                e
+                for e in carried_manifest["entries"]
+                if str(e["partition"]) not in touched
             ]
             ok = _try_publish(
                 path,
@@ -611,6 +716,12 @@ def snap_merge_concurrent(
                     "columns": list(merged.columns),
                     "schema_json": merged.schema.json(),
                     "entries": carried + new_entries,
+                    # deletes re-derived from the manifest whose entries
+                    # we carry (the rebase base), minus our rewritten
+                    # partitions — read-through already materialized them
+                    "delete_entries": _carried_deletes(
+                        carried_manifest, touched
+                    ),
                 },
             )
             if ok:
@@ -641,7 +752,7 @@ def snap_merge_concurrent(
                 # reflect the new base — first committer wins, we redo
                 stale = True
                 break
-            carried_from = latest_m["entries"]
+            carried_manifest = latest_m
             target_v = latest_v + 1
         if stale:
             shutil.rmtree(os.path.join(path, commit_rel), ignore_errors=True)
@@ -698,7 +809,11 @@ def snap_vacuum(
     retained = versions[-max(1, keep_last):]
     referenced = set()
     for v in retained:
-        referenced.update(e["path"] for e in _read_manifest(path, v)["entries"])
+        m = _read_manifest(path, v)
+        referenced.update(e["path"] for e in m["entries"])
+        # pending MoR delete files are live data: reclaiming one would
+        # resurrect its deleted rows
+        referenced.update(d["path"] for d in m.get("delete_entries") or [])
     now = time.time()
     removed_files = removed_manifests = 0
     for dirpath, _, files in os.walk(path):
@@ -757,7 +872,8 @@ def snap_files(
     contracts). Mirrors snap_read's error contract: FileNotFoundError
     on an uninitialized table or an absent version."""
     v = _resolve_version(path, version)
-    entries = _read_manifest(path, v)["entries"]
+    m = _read_manifest(path, v)
+    entries = m["entries"]
     if partitions is not None:
         want = {str(p) for p in partitions}
         entries = [e for e in entries if str(e["partition"]) in want]
@@ -768,7 +884,15 @@ def snap_files(
             for e in entries
             if "stats" not in e or not (e["stats"][0] > hi or e["stats"][1] < lo)
         ]
-    return [e["path"] for e in entries]
+    # a MoR table's read also opens the delete files of the partitions
+    # it scans — listing them keeps the O(deletes) I/O contract auditable
+    read_parts = {str(e["partition"]) for e in entries}
+    dels = [
+        d
+        for d in m.get("delete_entries") or []
+        if str(d["partition"]) in read_parts
+    ]
+    return [e["path"] for e in entries] + [d["path"] for d in dels]
 
 
 def snap_compact(
@@ -812,6 +936,8 @@ def snap_compact(
             **{k: v for k, v in cur.items() if k != "entries"},
             "version": new_version,
             "entries": _commit_entries(path, commit_rel, partition_col, stats_col),
+            # full rewrite read through every delete — MoR debris retired
+            "delete_entries": _carried_deletes(cur, None),
         },
     )
     return new_version
@@ -997,6 +1123,9 @@ def snap_compact_partitions(
             "version": new_version,
             "entries": carried
             + _commit_entries(path, commit_rel, partition_col, stats_col),
+            # compaction materializes the anti-join for these partitions
+            # — this is the MoR promotion path (Iceberg rewrite_data_files)
+            "delete_entries": _carried_deletes(cur, touched),
         },
     )
     return new_version
@@ -1008,20 +1137,36 @@ def snap_delete_where(
     predicate: str,
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
+    mode: str = "cow",
 ) -> int | None:
-    """DELETE WHERE as a copy-on-write commit (Delta/Iceberg row-level
-    delete, CoW mode): rows where ``predicate`` (a SQL boolean
-    expression) is TRUE are removed; rows where it is NULL are KEPT —
-    ANSI DELETE semantics, not filter semantics. Only partitions that
-    actually contain matching rows are rewritten; every other
-    partition's manifest rows are carried forward verbatim (zero data
-    I/O). Returns the new version, or None when nothing matched (the
-    idempotent steady state — no empty commits). At 100 TB the scan
-    that finds touched partitions is predicate-pushed and
-    column-pruned (it reads only the partition column past the
-    filter); the rewrite cost is proportional to the data that keeps
-    living next to deleted rows — the CoW tax a merge-on-read format
-    trades for read-side merge cost."""
+    """DELETE WHERE as a commit. Rows where ``predicate`` (a SQL
+    boolean expression) is TRUE are removed; rows where it is NULL are
+    KEPT — ANSI DELETE semantics, not filter semantics. Returns the
+    new version, or None when nothing matched (the idempotent steady
+    state — no empty commits).
+
+    ``mode="cow"`` (copy-on-write, Delta/Iceberg v1 row-level delete):
+    only partitions that actually contain matching rows are rewritten;
+    every other partition's manifest rows are carried forward verbatim
+    (zero data I/O). The rewrite cost is proportional to the data that
+    keeps living next to deleted rows.
+
+    ``mode="mor"`` (merge-on-read, Iceberg v2 equality-delete files /
+    Delta deletion-vector shape): the MATCHED ROWS are written into
+    per-partition DELETE FILES and every data entry is carried forward
+    verbatim — write I/O is O(deleted rows), so a point delete on a
+    wide partition costs the delete, not the partition. Readers
+    anti-join the delete files against only the partitions they
+    reference; :func:`snap_compact` / :func:`snap_compact_partitions`
+    promote the debris back to plain files as a normal versioned
+    commit. Time travel, snap_diff, bloom point reads, and the
+    optimistic-merge conflict footprint all see through delete files.
+    At 100 TB the scan that finds matching rows is predicate-pushed
+    and column-pruned either way; MoR shifts the rewrite tax to an
+    anti-join on the read side (reference trade: Iceberg v2 spec
+    "position & equality deletes"; Delta deletion vectors)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     versions = snap_versions(path)
     if not versions:
         raise FileNotFoundError(f"snap_delete_where on uninitialized table {path}")
@@ -1036,10 +1181,35 @@ def snap_delete_where(
     }
     if not touched:
         return None
+    new_version = base_v + 1
+    if mode == "mor":
+        # write ONLY the matched rows as delete files — data entries
+        # (and their per-file blooms) carry forward untouched
+        matched = snap_read(
+            spark, path, base_v, partitions=sorted(touched)
+        ).filter(F.coalesce(cond, F.lit(False)))
+        commit_rel = f"c{new_version:06d}"
+        write_clustered(
+            matched,
+            os.path.join(path, commit_rel),
+            partition_by=(partition_col,),
+            sort_by=tuple(sort_by),
+            target_rows_per_file=target_rows_per_file,
+        )
+        _publish(
+            path,
+            {
+                **{k: v for k, v in cur.items() if k != "entries"},
+                "version": new_version,
+                "entries": cur["entries"],
+                "delete_entries": (cur.get("delete_entries") or [])
+                + _delete_commit_entries(path, commit_rel, partition_col),
+            },
+        )
+        return new_version
     keep = snap_read(spark, path, base_v, partitions=sorted(touched)).filter(
         ~F.coalesce(cond, F.lit(False))
     )
-    new_version = base_v + 1
     commit_rel = f"c{new_version:06d}"
     write_clustered(
         keep,
@@ -1059,6 +1229,7 @@ def snap_delete_where(
             + _commit_entries(
                 path, commit_rel, partition_col, cur.get("stats_col")
             ),
+            "delete_entries": _carried_deletes(cur, touched),
         },
     )
     return new_version
@@ -1118,6 +1289,7 @@ def snap_repartition(
             "entries": _commit_entries(
                 path, commit_rel, new_partition_col, cur.get("stats_col")
             ),
+            "delete_entries": _carried_deletes(cur, None),
         },
     )
     return new_version
@@ -1182,10 +1354,13 @@ def snap_clone(
     if snap_versions(dst):
         raise FileExistsError(f"clone target {dst} already has commits")
     m = _read_manifest(src, v)
-    entries = [
-        {**e, "path": os.path.join(os.path.abspath(src), e["path"])}
-        for e in m["entries"]
-    ]
+
+    def borrow(es):
+        return [
+            {**e, "path": os.path.join(os.path.abspath(src), e["path"])}
+            for e in es
+        ]
+
     os.makedirs(dst, exist_ok=True)
     _publish(
         dst,
@@ -1193,7 +1368,10 @@ def snap_clone(
             **{k: val for k, val in m.items() if k not in ("entries", "version")},
             "version": 1,
             "cloned_from": {"path": os.path.abspath(src), "version": v},
-            "entries": entries,
+            "entries": borrow(m["entries"]),
+            # pending delete files are borrowed too — the clone must see
+            # the same merged rows as the source version it forked
+            "delete_entries": borrow(m.get("delete_entries") or []),
         },
     )
     return 1
@@ -1276,6 +1454,7 @@ def snap_update_where(
             + _commit_entries(
                 path, commit_rel, partition_col, cur.get("stats_col")
             ),
+            "delete_entries": _carried_deletes(cur, touched),
         },
     )
     return new_version
@@ -1496,7 +1675,9 @@ def snap_point_read(
     col = m["bloom_col"]
     if not kept:
         return snap_read(spark, path, v).filter(F.lit(False))
-    df = _read_entry_files(spark, path, kept, m)
+    df = _apply_deletes(
+        spark, path, _read_entry_files(spark, path, kept, m), m, kept
+    )
     return df.filter(F.col(col).isin(list(values)))
 
 

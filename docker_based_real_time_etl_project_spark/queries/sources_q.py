@@ -1483,6 +1483,106 @@ def q_lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOR_PRED2 = "o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0"
+
+
+def _orders_snap_mor_del(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot with TWO merge-on-read DELETE commits on top:
+    v2 deletes expensive urgent orders, v3 deletes every 7th medium
+    order — both as DELETE FILES (Iceberg v2 equality-delete shape),
+    with every data entry carried verbatim. The build asserts the MoR
+    I/O contract: zero data files rewritten, bytes written bounded by
+    the deleted rows, far below the partitions a CoW delete would
+    rewrite."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_delete_where,
+        snap_init,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_mor_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        v2 = snap_delete_where(
+            spark, out, _DELETE_PRED, sort_by=("o_orderkey",), mode="mor"
+        )
+        v3 = snap_delete_where(
+            spark, out, _MOR_PRED2, sort_by=("o_orderkey",), mode="mor"
+        )
+        assert (v2, v3) == (2, 3)
+        m1, m3 = _read_manifest(out, 1), _read_manifest(out, 3)
+        # the MoR contract: data entries carried VERBATIM, and the
+        # write I/O is the delete files alone — O(deleted rows)
+        assert m3["entries"] == m1["entries"]
+        del_bytes = sum(
+            os.path.getsize(os.path.join(out, d["path"]))
+            for d in m3["delete_entries"]
+        )
+        touched_bytes = sum(
+            os.path.getsize(os.path.join(out, e["path"]))
+            for e in m1["entries"]
+            if e["partition"] in ("1-URGENT", "3-MEDIUM")
+        )
+        # at smoke scale parquet footer overhead dominates file size, so
+        # the ratio is only meaningful once the partitions carry real data
+        if touched_bytes > 256_000:
+            assert del_bytes < touched_bytes / 2, (del_bytes, touched_bytes)
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_mor", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+@register(
+    "q_lake_mor_delete",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE NOT ({_DELETE_PRED}) AND NOT ({_MOR_PRED2})
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level delete (Iceberg v2 equality-delete files
+    / Delta deletion vectors — the read-side half of the DML trade the
+    CoW twin q_lake_delete_where pays at write time): two DELETE WHERE
+    commits land as per-partition delete files with ZERO data files
+    rewritten (pinned in the fixture: bytes written O(deleted rows),
+    data entries carried verbatim), and the read anti-joins the delete
+    files against only the partitions it scans — broadcast when small.
+    The aggregate over the post-delete state hash-matches the same
+    relational restatement the CoW twin matches, so both DML modes are
+    held to the identical final state. Promotion back to plain files is
+    snap_compact_partitions (tests/test_lakesnap.py pins promotion,
+    time travel, bloom point reads, vacuum liveness, and the
+    insert-after-delete ordering invariant through delete files)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_mor_del(spark, sf_dir)
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 def _orders_snap_restored(spark: SparkSession, sf_dir: str) -> str:
     """orders snapshot: v1 pristine -> v2 merge batch -> v3 RESTORE to
     v1. Latest must read exactly like the pristine table again."""

@@ -1380,3 +1380,199 @@ def test_touched_partitions_vacuumed_predecessor_is_conflict(spark):
         ).select(*orders.columns)
         assert got.exceptAll(truth).count() == 0
         assert truth.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (Iceberg v2 equality-delete files shape)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_matches_cow_final_state(spark):
+    """The two DML modes are held to the identical final state: a MoR
+    delete's read equals a CoW delete's read, row for row — but the MoR
+    commit rewrites ZERO data files (entries carried verbatim) while
+    the CoW commit rewrites the touched partition."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_delete_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    pred = "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    paths = {}
+    for mode in ("cow", "mor"):
+        p = tempfile.mkdtemp(prefix=f"mor_vs_cow_{mode}_")
+        snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+        assert snap_delete_where(spark, p, pred, mode=mode) == 2
+        paths[mode] = p
+    a = snap_read(spark, paths["cow"]).select(*orders.columns)
+    b = snap_read(spark, paths["mor"]).select(*orders.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    m_mor = _read_manifest(paths["mor"], 2)
+    assert m_mor["entries"] == _read_manifest(paths["mor"], 1)["entries"]
+    assert m_mor["delete_entries"] and all(
+        d["partition"] == "1-URGENT" for d in m_mor["delete_entries"]
+    )
+    m_cow = _read_manifest(paths["cow"], 2)
+    assert not m_cow.get("delete_entries")
+
+
+def test_mor_delete_null_predicate_rows_kept(spark):
+    """ANSI DELETE: rows where the predicate evaluates NULL are KEPT.
+    Same pin as the CoW path, through the delete-file machinery."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    with_null = orders.withColumn(
+        "o_score",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice")),
+    )
+    p = tempfile.mkdtemp(prefix="mor_null_")
+    snap_init(spark, with_null, p, "o_orderpriority", sort_by=("o_orderkey",))
+    assert snap_delete_where(spark, p, "o_score > 0.0", mode="mor") == 2
+    left = snap_read(spark, p)
+    # only the NULL-score rows survive (score > 0 deleted, NULL kept)
+    assert left.count() == with_null.filter(F.col("o_score").isNull()).count()
+    assert left.filter(F.col("o_score").isNotNull()).count() == 0
+
+
+def test_mor_bloom_point_read_through_deletes(spark):
+    """A bloom point lookup must see through pending delete files: the
+    bitmap still names the file that HELD the deleted key (bitmaps are
+    immutable, false positives allowed), but the read-side anti-join
+    removes the row — deleted keys return nothing, live keys are exact."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+        snap_point_read,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="mor_bloom_")
+    snap_init(
+        spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",),
+        bloom_col="o_orderkey", bloom_bits=65536, bloom_k=4,
+    )
+    dead, alive = [
+        int(r[0])
+        for r in orders.filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey").orderBy("o_orderkey").limit(2).collect()
+    ]
+    assert (
+        snap_delete_where(spark, p, f"o_orderkey = {dead}", mode="mor") == 2
+    )
+    assert snap_point_read(spark, p, [dead]).count() == 0
+    got = snap_point_read(spark, p, [alive])
+    assert got.count() == orders.filter(F.col("o_orderkey") == alive).count()
+    # time travel: v1 still sees the deleted key
+    assert snap_point_read(spark, p, [dead], version=1).count() > 0
+
+
+def test_mor_vacuum_keeps_pending_delete_files(spark):
+    """Vacuum must treat pending delete files as live: reclaiming one
+    would resurrect its deleted rows in the retained versions."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_delete_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="mor_vac_")
+    snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+    pred = "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    assert snap_delete_where(spark, p, pred, mode="mor") == 2
+    # another commit so keep_last=1 retains only the MoR-bearing v3
+    assert snap_merge(
+        spark, p,
+        orders.filter("o_orderpriority = '2-HIGH'").limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0),
+        key_cols=("o_orderkey",),
+    ) == 3
+    expect = snap_read(spark, p).count()
+    snap_vacuum(p, keep_last=1, min_age_sec=0.0)
+    m3 = _read_manifest(p, 3)
+    assert m3["delete_entries"]
+    for d in m3["delete_entries"]:
+        assert os.path.exists(os.path.join(p, d["path"]))
+    assert snap_read(spark, p).count() == expect
+
+
+def test_mor_compaction_promotes_and_insert_after_delete_survives(spark):
+    """snap_compact_partitions is the MoR promotion path: it
+    materializes the anti-join and retires the partition's delete
+    entries. And the ordering invariant: a row inserted AFTER a MoR
+    delete (identical bytes to a deleted row) must survive, because
+    the rewrite that inserted it dropped the partition's deletes."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_compact_partitions,
+        snap_delete_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="mor_promo_")
+    snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+    pred = "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    assert snap_delete_where(spark, p, pred, mode="mor") == 2
+    after_delete = snap_read(spark, p).count()
+    # re-insert one deleted row VERBATIM via merge — the rewrite reads
+    # through the deletes and retires them for the touched partition
+    one = orders.filter(F.expr(pred)).orderBy("o_orderkey").limit(1)
+    assert snap_merge(spark, p, one, key_cols=("o_orderkey",)) == 3
+    m3 = _read_manifest(p, 3)
+    assert not m3.get("delete_entries")  # retired by the rewrite
+    assert snap_read(spark, p).count() == after_delete + 1
+    # promotion via compaction on a fresh MoR table
+    p2 = tempfile.mkdtemp(prefix="mor_promo2_")
+    snap_init(spark, orders, p2, "o_orderpriority", sort_by=("o_orderkey",))
+    assert snap_delete_where(spark, p2, pred, mode="mor") == 2
+    expect = snap_read(spark, p2).count()
+    v3 = snap_compact_partitions(
+        spark, p2, ["1-URGENT"], target_rows_per_file=100_000
+    )
+    m = _read_manifest(p2, v3)
+    assert not m.get("delete_entries")
+    assert snap_read(spark, p2).count() == expect
+
+
+def test_mor_delete_is_concurrent_merge_conflict_footprint(spark):
+    """An intervening MoR delete changes a partition's visible rows
+    without touching `entries` — the optimistic merge's conflict
+    footprint must still see it (delete files are footprinted), so a
+    racing writer on the SAME partition re-executes instead of
+    publishing rows it read pre-delete."""
+    import json as _json
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+        snap_merge_concurrent,
+    )
+
+    p = tempfile.mkdtemp(prefix="mor_cas_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+    pred = "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+
+    def competing_commit():
+        assert snap_delete_where(spark, p, pred, mode="mor") == 2
+
+    upd = _priced(orders, "1-URGENT", 5, 7.0)
+    v = snap_merge_concurrent(
+        spark, p, upd, key_cols=("o_orderkey",),
+        writer_id="wA", _before_publish=competing_commit,
+    )
+    assert v == 3
+    m3 = _json.load(open(os.path.join(p, "_manifests", "v000003.json")))
+    a_files = [e["path"] for e in m3["entries"] if "wwA" in e["path"]]
+    assert a_files and all(x.startswith("c000003wwAa1") for x in a_files)
+    # serial truth: delete, then merge (the merge re-upserts its keys)
+    truth = (
+        orders.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+        .filter(~((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 17 == 5)))
+        .unionByName(upd)
+    )
+    got = snap_read(spark, p).select(*orders.columns)
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
