@@ -840,19 +840,25 @@ def snap_vacuum(
             full = os.path.join(mdir, f)
             if f.endswith(".tmp") and now - os.path.getmtime(full) >= min_age_sec:
                 os.remove(full)
-    # bloom sidecars of commits no retained manifest references are
-    # debris too (age-guarded like the data files they described).
-    # Liveness uses the same STRUCTURAL commit-root derivation as the
-    # read path, so clone-borrowed absolute entries (whose roots live
-    # outside this table) can never alias a local commit dir name.
+    # bloom sidecars no retained manifest's files need are debris too
+    # (age-guarded like the data files they described). A per-partition
+    # sidecar (sharded layout) is live while any referenced file shares
+    # its directory; a legacy commit-level sidecar is live while its
+    # commit root is. Liveness uses the same STRUCTURAL commit-root
+    # derivation as the read path, so clone-borrowed absolute entries
+    # (whose roots live outside this table) can never alias a local
+    # commit dir name.
     live_roots = {_entry_commit_root(path, r) for r in referenced}
-    for d in os.listdir(path):
-        side = _bloom_sidecar_file(path, d)
-        if (
-            os.path.join(path, d) not in live_roots
-            and os.path.isfile(side)
-            and now - os.path.getmtime(side) >= min_age_sec
-        ):
+    live_dirs = {os.path.dirname(os.path.join(path, r)) for r in referenced}
+    for dirpath, _, files in os.walk(path):
+        if _BLOOM_SIDECAR not in files:
+            continue
+        side = os.path.join(dirpath, _BLOOM_SIDECAR)
+        live = (
+            dirpath in live_dirs  # sharded: partition dir holds live data
+            or dirpath in live_roots  # legacy: commit root still live
+        )
+        if not live and now - os.path.getmtime(side) >= min_age_sec:
             os.remove(side)
     # sweep now-empty partition/commit dirs so listings stay clean
     for dirpath, dirs, files in os.walk(path, topdown=False):
@@ -1486,40 +1492,50 @@ _BLOOM_SIDECAR = "_blooms.json"
 
 
 def _bloom_sidecar_file(path: str, commit_rel: str) -> str:
+    """Legacy commit-level sidecar location (pre-round-10 layout; the
+    write path now shards per partition dir — see _attach_blooms)."""
     return os.path.join(path, commit_rel, _BLOOM_SIDECAR)
 
 
-def _file_blooms(
-    spark: SparkSession, path: str, commit_rel: str, column: str,
-    m_bits: int, k: int,
-) -> dict[str, list[int]]:
-    """Per-file bloom bitmaps for every data file under one commit dir,
-    built WITHOUT collecting keys: mapInPandas folds each task's
-    xxhash64(column) stream into per-file numpy bitmaps (one partial
-    PER FILE PER TASK — and a small file's rows land in one task, so
-    partial count ~= file count) and emits whole bitmaps as
-    array<long> rows; the driver ORs the few per-file partials in
-    numpy. The driver holds O(new_files x m_bits/64) longs — exactly
-    the sidecar it must write anyway. No per-word shuffle: the first
-    wiring aggregated (file, word_idx) rows with bit_or and paid a
-    657k-row exchange for a 321-file commit (measured 15 s at sf1 vs
-    ~4 s for scan+fold); whole-array partials make the build
-    scan-bound."""
+def _bloom_sidecar_files(path: str, commit_rel: str) -> list[str]:
+    """Every bloom sidecar under one commit dir, either layout
+    (audit/test helper)."""
+    root = os.path.join(path, commit_rel)
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _, files in os.walk(root)
+        for f in files
+        if f == _BLOOM_SIDECAR
+    )
+
+
+def _bloom_partials(
+    spark: SparkSession, base: str, column: str, m_bits: int, k: int
+) -> DataFrame | None:
+    """The distributed half of the bloom build: mapInPandas folds each
+    task's xxhash64(column) stream into per-file numpy bitmaps (one
+    partial PER FILE PER TASK — a small file's rows land in one task,
+    so partial count ~= file count) and emits whole bitmaps as
+    array<long> rows. No per-word shuffle: the first wiring aggregated
+    (file, word_idx) rows with bit_or and paid a 657k-row exchange for
+    a 321-file commit (measured 15 s at sf1 vs ~4 s for scan+fold);
+    whole-array partials make the build scan-bound. Returns None when
+    the commit dir holds no data files (an empty merge commits only
+    carried entries)."""
     import numpy as np
 
     from docker_based_real_time_etl_project_spark.operators.bloom import (
         _fold_hashes_into,
     )
 
-    base = os.path.join(path, commit_rel)
     n_words = m_bits // 64
     has_data = any(
         f.endswith(".parquet") and not f.startswith(("_", "."))
         for _, _, files in os.walk(base)
         for f in files
     )
-    if not has_data:  # an empty merge commits only carried entries
-        return {}
+    if not has_data:
+        return None
     src = spark.read.parquet(base).select(
         F.input_file_name().alias("_f"),
         F.xxhash64(F.col(column)).alias("_h"),
@@ -1547,34 +1563,120 @@ def _file_blooms(
                 }
             )
 
-    rows = src.mapInPandas(fold, "f string, words array<long>").collect()
+    return src.mapInPandas(fold, "f string, words array<long>")
+
+
+def _file_blooms(
+    spark: SparkSession, path: str, commit_rel: str, column: str,
+    m_bits: int, k: int,
+) -> dict[str, list[int]]:
+    """Per-file bloom bitmaps for every data file under one commit dir,
+    merged on the driver (collects O(commit_files x m_bits/64) longs —
+    the partial-merge pin and small audits use this; the sidecar WRITE
+    path streams per partition instead, see :func:`_attach_blooms`)."""
+    import numpy as np
+
     from urllib.parse import urlparse
 
+    src = _bloom_partials(
+        spark, os.path.join(path, commit_rel), column, m_bits, k
+    )
+    if src is None:
+        return {}
     acc: dict[str, object] = {}
-    for r in rows:
+    for r in src.collect():
         rel = os.path.relpath(unquote(urlparse(r["f"]).path), path)
         w = np.asarray(r["words"], dtype=np.int64)
         acc[rel] = w if rel not in acc else (acc[rel] | w)
     return {rel: [int(x) for x in w] for rel, w in acc.items()}
 
 
+# observability hook for the scale pin: max bitmaps the driver buffered
+# at once during the last _attach_blooms (tests assert it tracks the
+# largest PARTITION's file count, not the commit's)
+_LAST_MAX_BUFFERED_BITMAPS = 0
+
+
 def _attach_blooms(spark: SparkSession, path: str, commit_rel: str, manifest: dict) -> None:
-    """Write the commit dir's bloom sidecar when the table has a bloom
+    """Write the commit's bloom sidecars when the table has a bloom
     index configured (manifest carries the config forward, so every
     commit path — init, merge, concurrent merge, compaction — indexes
-    its new files with one call)."""
+    its new files with one call).
+
+    SHARDED PER PARTITION DIR (round-10): one `_blooms.json` inside
+    each `<commit>/<partition>=<value>/` dir, keyed by file basename.
+    The partials stream to the driver grouped by partition dir
+    (repartition on the dir + toLocalIterator, which yields one shuffle
+    partition at a time), and each group's sidecar is written and
+    RELEASED before the next arrives — the driver holds O(files of the
+    partitions hashed into one shuffle partition), not O(commit files),
+    so a 10^5-file commit builds its index flat. Readers fall back to
+    the legacy commit-level sidecar for commits written before the
+    shard (see :func:`_bloom_prune`)."""
+    global _LAST_MAX_BUFFERED_BITMAPS
+    import numpy as np
+    from urllib.parse import urlparse
+
     col = manifest.get("bloom_col")
     if not col:
         return
-    blooms = _file_blooms(
-        spark, path, commit_rel, col,
-        int(manifest["bloom_bits"]), int(manifest["bloom_k"]),
+    base = os.path.join(path, commit_rel)
+    src = _bloom_partials(
+        spark, base, col, int(manifest["bloom_bits"]), int(manifest["bloom_k"])
     )
-    side = _bloom_sidecar_file(path, commit_rel)
-    tmp = side + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(blooms, fh)
-    os.replace(tmp, side)
+    if src is None:
+        return
+    # one shuffle partition per partition dir (counted with a local
+    # listing of just this commit — cheap), EXPLICIT so AQE cannot
+    # coalesce the small groups back into one driver-side buffer; hash
+    # collisions can still co-locate a few dirs, which only widens the
+    # hold to those dirs' files, never to the whole commit
+    n_dirs = max(
+        1,
+        sum(
+            1
+            for _, _, files in os.walk(base)
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in files
+            )
+        ),
+    )
+    staged = (
+        src.withColumn("d", F.expr(r"regexp_replace(f, '/[^/]+$', '')"))
+        .repartition(n_dirs, "d")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def flush(buf: dict[str, dict[str, object]]) -> None:
+        for d, files in buf.items():
+            side = os.path.join(d, _BLOOM_SIDECAR)
+            payload = {
+                name: [int(x) for x in w] for name, w in sorted(files.items())
+            }
+            tmp = side + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, side)
+
+    buf: dict[str, dict[str, object]] = {}
+    max_buffered = 0
+    cur_pid = None
+    for r in staged.toLocalIterator():
+        if cur_pid is not None and r["pid"] != cur_pid:
+            # a shuffle partition is exhausted: all its dirs are
+            # complete (a dir's partials never span shuffle partitions)
+            flush(buf)
+            buf = {}
+        cur_pid = r["pid"]
+        d = unquote(urlparse(r["d"]).path)
+        name = os.path.basename(unquote(urlparse(r["f"]).path))
+        w = np.asarray(r["words"], dtype=np.int64)
+        files = buf.setdefault(d, {})
+        files[name] = w if name not in files else (files[name] | w)
+        max_buffered = max(max_buffered, sum(len(v) for v in buf.values()))
+    flush(buf)
+    _LAST_MAX_BUFFERED_BITMAPS = max_buffered
 
 
 def _bloom_maybe(words: list[int], h: int, m_bits: int, k: int) -> bool:
@@ -1607,24 +1709,40 @@ def _bloom_prune(
 ) -> list[dict]:
     """Drop entries whose file bloom proves NONE of ``values`` can be
     present. Entries from commits without a sidecar (pre-index
-    history) are kept — skipping is an optimization, never a filter."""
+    history) are kept — skipping is an optimization, never a filter.
+
+    Sidecar lookup is per PARTITION DIR (`<part>/_blooms.json` keyed by
+    file basename — the round-10 sharded layout, so a point read loads
+    only the probed partitions' bitmaps), with fallback to the legacy
+    commit-level sidecar keyed by commit-relative path."""
     m_bits, k = int(manifest["bloom_bits"]), int(manifest["bloom_k"])
     hashes = _value_hashes(spark, values, manifest["bloom_type"])
     sidecars: dict[str, dict | None] = {}
-    kept = []
-    for e in entries:
-        root = _entry_commit_root(path, e["path"])
-        if root not in sidecars:
-            side = os.path.join(root, _BLOOM_SIDECAR)
+
+    def load(side: str) -> dict | None:
+        if side not in sidecars:
             if os.path.exists(side):
                 with open(side) as fh:
-                    sidecars[root] = json.load(fh)
+                    sidecars[side] = json.load(fh)
             else:
-                sidecars[root] = None
-        blooms = sidecars[root]
-        # sidecar keys are commit-relative: <commit>/<part>/file.parquet
-        rel_in_commit = os.path.relpath(os.path.join(path, e["path"]), os.path.dirname(root))
-        words = None if blooms is None else blooms.get(rel_in_commit)
+                sidecars[side] = None
+        return sidecars[side]
+
+    kept = []
+    for e in entries:
+        full = os.path.join(path, e["path"])
+        words = None
+        part_blooms = load(os.path.join(os.path.dirname(full), _BLOOM_SIDECAR))
+        if part_blooms is not None:
+            words = part_blooms.get(os.path.basename(full))
+        if words is None:
+            root = _entry_commit_root(path, e["path"])
+            legacy = load(os.path.join(root, _BLOOM_SIDECAR))
+            if legacy is not None:
+                # legacy keys are commit-relative: <commit>/<part>/file
+                words = legacy.get(
+                    os.path.relpath(full, os.path.dirname(root))
+                )
         if words is None or any(
             _bloom_maybe(words, h, m_bits, k) for h in hashes
         ):

