@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.queries.registry import (
-    dround, register, sql_dround, table,
+    dround, dsum, register, sql_dround, sql_dsum, table,
 )
 
 
@@ -339,4 +339,156 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "step_1", "step_2", "step_3")
         .limit(10)
+    )
+
+
+@register(
+    "q_sessionize_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             FIRST_VALUE(event_type) OVER w AS ft,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (SELECT * FROM t WHERE event_type = 'purchase')
+    SELECT 'first_touch' AS model, ft AS touch,
+           {rev} AS revenue, COUNT(*) AS n_purchases
+    FROM p GROUP BY ft
+    UNION ALL
+    SELECT 'last_touch' AS model, COALESCE(lt, 'direct') AS touch,
+           {rev} AS revenue, COUNT(*) AS n_purchases
+    FROM p GROUP BY COALESCE(lt, 'direct')
+    """.format(rev=sql_dsum("value")),
+    tags=("analytics", "window"),
+)
+def q_sessionize_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH / LAST-TOUCH revenue attribution over the funnel
+    machinery (the marketing-analytics twin of q_funnel: which
+    interaction gets credit for each purchase's value). First-touch =
+    the type of the user's very first event; last-touch = the last
+    NON-purchase event strictly before the purchase (purchases with no
+    prior touch attribute to 'direct'). Revenue is decimal-summed so
+    the hash is aggregation-order-proof.
+
+    ONE window exchange on user_id computes both touch columns
+    (first_value + ignore-nulls last_value over the same ordering —
+    Catalyst stacks them in a single Window node), then two
+    constant-size aggregations over only the purchase rows. At 100 TB
+    the shuffle is |events| on the natural user key; nothing
+    self-joins. The deterministic (ts, event_id) ordering makes tied
+    timestamps reproducible in both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    p = (
+        e.withColumn("ft", F.first("event_type").over(w))
+        .withColumn(
+            "lt",
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(prev),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    # unpivot each purchase into its two (model, touch) credits so ONE
+    # scan + ONE aggregation serves both models — a union of two
+    # groupBys would window the event stream twice
+    pairs = p.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("ft").alias("touch"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("lt", F.lit("direct")).alias("touch"),
+                ),
+            )
+        ).alias("mt"),
+    ).select("mt.model", "mt.touch", "value")
+    return pairs.groupBy("model", "touch").agg(
+        dsum("value").alias("revenue"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+
+
+@register(
+    "q_retention_curve",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cd FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cd, CAST(e.ts AS DATE) AS ad
+      FROM events e JOIN f ON e.user_id = f.user_id
+    ),
+    per AS (
+      SELECT cd, date_diff('day', cd, ad) AS day_offset,
+             COUNT(*) AS n_active
+      FROM a GROUP BY cd, date_diff('day', cd, ad)
+    ),
+    sized AS (
+      SELECT cd, day_offset, n_active,
+             MAX(CASE WHEN day_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cd) AS n_cohort
+      FROM per
+    )
+    SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           n_active,
+           n_cohort,
+           CAST((n_active * 10000) // n_cohort AS BIGINT) AS retention_bp
+    FROM sized
+    """,
+    tags=("analytics",),
+)
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-N RETENTION CURVE from the cohort triangle (the daily,
+    normalized sibling of q_cohort_retention): users cohorted by the
+    DAY of their first event; for every later active day, the count of
+    returning users and the retention RATE in integer basis points
+    (n_active*10000 div cohort size — integer arithmetic, so both
+    engines agree bit-for-bit; a day-0 row always exists because every
+    user is active on their cohort day, making the window-derived
+    cohort size total).
+
+    Plan: one min-ts window on user_id, one distinct on (user, day),
+    one count agg, one constant-width window over cohort days — the
+    same two data-sized exchanges the weekly triangle pays, no join
+    for the denominator."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    wu = Window.partitionBy("user_id")
+    a = e.select(
+        "user_id",
+        F.to_date(F.min("ts").over(wu)).alias("cd"),
+        F.to_date("ts").alias("ad"),
+    ).distinct()
+    per = a.groupBy(
+        "cd", F.datediff("ad", "cd").cast("bigint").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sized = per.withColumn(
+        "n_cohort",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(
+            Window.partitionBy("cd")
+        ),
+    )
+    return sized.select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        ((F.col("n_active") * 10000) / F.col("n_cohort"))
+        .cast("bigint")
+        .alias("retention_bp"),
     )

@@ -702,3 +702,23 @@ def test_bloom_point_lookup_pushes_in_filter(spark, sf_dir):
     assert "In(o_orderkey" in allf
     for s in scans:
         assert sorted(s.read_columns) == ["o_orderkey", "o_totalprice"]
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Both attribution models ride ONE window exchange on user_id
+    (first_value + ignore-nulls last_value share the partitioning) and
+    ONE aggregation exchange — the explode-unpivot keeps it to a
+    single scan; a union of per-model groupBys would pay the window
+    twice."""
+    df = _q("q_sessionize_attribution", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == {}
+
+
+def test_retention_curve_no_denominator_join(spark, sf_dir):
+    """The cohort size comes from a window over the (tiny) per-cohort
+    aggregate, not a self-join: min-ts window + distinct + count agg +
+    constant-width window = 3 exchanges, zero joins."""
+    df = _q("q_retention_curve", spark, sf_dir)
+    assert count_exchanges(df) == 3
+    assert join_strategies(df) == {}
