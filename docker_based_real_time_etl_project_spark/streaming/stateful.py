@@ -2092,6 +2092,81 @@ def mdd_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
     )
 
 
+def tws_available() -> tuple[bool, str]:
+    """Capability probe for Spark 4's ``transformWithStateInPandas``
+    (the successor API to applyInPandasWithState: explicit
+    ValueState/ListState/MapState handles, event/processing-time
+    TIMERS, per-state TTL, schema evolution of state). The PLAN-side
+    API exists in this pyspark build, but the runtime protocol between
+    the JVM and the stateful-processor Python workers speaks protobuf
+    (`pyspark/sql/streaming/proto/StateMessage_pb2.py` imports
+    `google.protobuf`), and the `protobuf` package is not installed in
+    this environment — the TWS driver worker crashes in
+    validateAndMaybeEvolveStateSchema with
+    `ImportError: cannot import name 'descriptor' from 'google.protobuf'`
+    before the first micro-batch. Returns (usable, reason); the twin
+    query's test skips on the reason so the moment the environment
+    gains protobuf the hash-gate runs for real."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError as e:  # pragma: no cover - present in 4.1
+        return False, f"StatefulProcessor API missing: {e}"
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        return False, (
+            "transformWithState runtime needs the protobuf package "
+            f"(StateMessage_pb2): {e}"
+        )
+    return True, "ok"
+
+
+def mdd_stream_tws(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """The max-drawdown fold on ``transformWithStateInPandas`` — the
+    SAME ``_mdd_fold`` and the same one-long-per-key state, managed
+    through an explicit ValueState handle instead of the
+    applyInPandasWithState GroupState tuple, so the two APIs are
+    hash-comparable against the identical batch oracle. What the
+    migration buys at scale (once the runtime is usable, see
+    :func:`tws_available`): per-state TTL instead of hand-rolled
+    timeout folds, event-time TIMERS that would replace the OOO
+    variants' manual re-sort buffer re-arm logic, multiple independent
+    state variables per key (column families) instead of one packed
+    tuple, and in-place state schema evolution."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _MDDProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._peak = handle.getValueState("peak", _MDD_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._peak.get()
+            peak = cur[0] if cur is not None else None
+            pdf = _concat_sorted(rows)
+            if not len(pdf):
+                return
+            v = pdf["value"].mul(100).round().astype("int64").to_numpy()
+            peak, row = _mdd_fold(peak, v)
+            self._peak.update((peak,))
+            yield pd.DataFrame([{"event_type": key[0], **row}])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=_MDDProcessor(),
+            outputStructType=_MDD_OUT,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 _MDD_OOO_STATE = T.StructType(
     [
         T.StructField("buf_ts", T.ArrayType(T.LongType())),

@@ -725,3 +725,59 @@ def test_rv_reorder_buffer_restart_from_checkpoint(spark, sf_dir):
     assert emitted.agg(F.sum("n")).first()[0] > partial
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_mdd_transform_with_state_twin(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas twin of the drawdown fold:
+    same _mdd_fold, explicit ValueState handle. GATED on the runtime
+    capability probe — in this environment the TWS state-server
+    protocol needs the protobuf package (the driver worker crashes in
+    validateAndMaybeEvolveStateSchema importing google.protobuf), so
+    the test documents the blocker by skipping on the probe's reason;
+    where protobuf exists, the twin must hash-match the batch
+    q_max_drawdown truth exactly like the applyInPandasWithState
+    stream does."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.streaming_q import (
+        _stream,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+        run_to_memory,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        mdd_stream_tws,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    # plan-side construction must work regardless of the runtime gap
+    st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    sdf = mdd_stream_tws(st)
+    assert sdf.isStreaming and set(sdf.columns) == {"event_type", "n", "dd", "pk"}
+    if not ok:
+        pytest.skip(f"transformWithState runtime unusable here: {reason}")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(sdf, output_mode="append", state_partitions=8)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = out.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        F.max("dd").cast("bigint").alias("max_dd_cents"),
+        F.max("pk").cast("bigint").alias("peak_cents"),
+    )
+    truth = REGISTRY["q_max_drawdown"].fn(spark, sf_dir)
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
