@@ -453,3 +453,51 @@ def test_zorder3_layout_prunes_box_reads(spark, sf_dir, tmp_path):
     got = pruned.select(cols)
     assert got.exceptAll(truth.select(cols)).count() == 0
     assert truth.select(cols).exceptAll(got).count() == 0
+
+
+def test_ivf_persisted_index_reads_only_probed_cells(spark, sf_dir):
+    """The lake-persisted IVF index's search opens ONLY the probed
+    cells' files (manifest partition pruning — the real at-scale read
+    path), centroids ride the manifest, and the restored historical
+    version serves the full corpus again after the tombstone batch."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_files,
+        snap_meta,
+        snap_read,
+        snap_versions,
+    )
+    from docker_based_real_time_etl_project_spark.queries.similarity_q import (
+        _ivf_index_snap,
+        _ivf_topk_persisted,
+        _query_df,
+    )
+
+    path = _ivf_index_snap(spark, sf_dir)
+    assert snap_versions(path) == [1, 2, 3]
+    meta = snap_meta(path)
+    assert len(meta["ivf_centroids"]) == 8
+    # a 2-probe search must open a strict subset of the table's files
+    q = _query_df(spark, sf_dir, ids=(0, 25))
+    got = _ivf_topk_persisted(spark, path, q, n_probe=2, k=10)
+    assert got.count() == 20  # 2 queries x top-10
+    total = snap_files(path)
+    # the probed-cell file list: recompute the probes' cells directly
+    from docker_based_real_time_etl_project_spark.operators.similarity import (
+        nearest_centroids,
+    )
+
+    cells = {
+        str(r[0])
+        for r in q.select(
+            F.explode(
+                nearest_centroids(F.col("q_vec"), meta["ivf_centroids"], 2)
+            )
+        ).distinct().collect()
+    }
+    opened = snap_files(path, partitions=sorted(cells))
+    assert len(cells) < 8
+    assert 0 < len(opened) < len(total)
+    # time travel: v2 (the tombstone batch) really is smaller
+    assert (
+        snap_read(spark, path, 2).count() < snap_read(spark, path, 3).count()
+    )
