@@ -94,6 +94,11 @@ HEADLINE = [
     "q_lake_point_lookup",      # per-file bloom-index point read
     "q_dedup_span_corpus",      # corpus-wide maximal duplicated spans
     "q_contamination_bloom",    # distributed bitmap build + expression probes
+    # round 10 additions
+    "q_lake_mor_delete",        # merge-on-read delete files + read anti-join
+    "q_sessionize_attribution", # first/last-touch credit, one window pass
+    "q_retention_curve",        # day-N retention, windowed denominator
+    "q_ann_ivf_persisted",      # lake-persisted IVF index, probed-cell reads
 ]
 
 

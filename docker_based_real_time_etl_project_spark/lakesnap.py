@@ -337,9 +337,7 @@ def snap_read(
         ]
     if not entries:
         return snap_read(spark, path, version=v).limit(0)
-    return _apply_deletes(
-        spark, path, _read_entry_files(spark, path, entries, m), m, entries
-    )
+    return _read_with_deletes(spark, path, entries, m)
 
 
 def _read_entry_files(
@@ -405,14 +403,22 @@ def _parquet_rows(full: str) -> int:
 
 
 def _delete_commit_entries(
-    path: str, commit_rel: str, partition_col: str
+    path: str, commit_rel: str, partition_col: str, seq: int
 ) -> list[dict]:
     """Manifest delete-entries for one MoR delete commit: data-file
     entries plus the footer row count (drives the reader's broadcast
-    decision without opening files at plan time)."""
+    decision without opening files at plan time) and the commit's
+    SEQUENCE NUMBER (the delete applies only to data files with a
+    strictly lower seq — see :func:`_entry_seq`)."""
     out = []
     for e in _commit_entries(path, commit_rel, partition_col):
-        out.append({**e, "rows": _parquet_rows(os.path.join(path, e["path"]))})
+        out.append(
+            {
+                **e,
+                "rows": _parquet_rows(os.path.join(path, e["path"])),
+                "seq": int(seq),
+            }
+        )
     return out
 
 
@@ -431,40 +437,89 @@ def _carried_deletes(m: dict, rewritten_partitions: set[str] | None) -> list[dic
 _BROADCAST_DELETE_ROWS = 2_000_000
 
 
-def _apply_deletes(
-    spark: SparkSession,
-    path: str,
-    df: DataFrame,
-    manifest: dict,
-    entries: list[dict],
-) -> DataFrame:
-    """Read-side merge: anti-join pending delete files against ``df``
-    (the rows of ``entries``), null-safe on every table column. Only
-    delete files referencing the partitions actually being read are
-    opened — a point read of one partition pays for that partition's
-    deletes, never the table's. Small delete sets broadcast (the
-    common case: a GDPR point delete is a handful of rows against a
-    100 TB scan); large ones fall back to a shuffled hash join."""
-    dels = manifest.get("delete_entries") or []
-    if not dels:
-        return df
-    read_parts = {str(e["partition"]) for e in entries}
-    dels = [d for d in dels if str(d["partition"]) in read_parts]
-    if not dels:
-        return df
+def _anti_join_all_columns(df: DataFrame, del_df: DataFrame) -> DataFrame:
+    """left_anti of ``del_df`` against ``df``, null-safe on every
+    column (so deletes recorded before an additive schema evolution
+    still cancel through the NULL back-fill)."""
     cols = list(df.columns)
-    del_df = _read_entry_files(spark, path, dels, manifest).select(*cols)
-    if sum(int(d.get("rows", _BROADCAST_DELETE_ROWS)) for d in dels) < (
-        _BROADCAST_DELETE_ROWS
-    ):
-        del_df = F.broadcast(del_df)
-    d = del_df.alias("_del")
+    d = del_df.select(*cols).alias("_del")
     s = df.alias("_dat")
     cond = None
     for c in cols:
         eq = F.col(f"_dat.{c}").eqNullSafe(F.col(f"_del.{c}"))
         cond = eq if cond is None else cond & eq
     return s.join(d, on=cond, how="left_anti").select(*cols)
+
+
+def _commit_seq(m: dict, version: int) -> int:
+    """The sequence number a new commit of ``version`` stamps on its
+    delete files / same-commit data images. Normal tables: just the
+    version. Shallow clones: offset by ``seq_floor`` (the max sequence
+    number among the borrowed entries), so clone-local commits always
+    order AFTER everything borrowed — borrowed deletes keep their
+    original relative order against borrowed update images, and can
+    never cancel rows the clone writes later."""
+    return int(m.get("seq_floor", 0)) + int(version)
+
+
+def _entry_seq(e: dict) -> int:
+    """The data SEQUENCE NUMBER of a manifest entry — Iceberg v2's
+    ordering primitive: a delete file applies to a data file iff the
+    data file's seq is strictly lower. Entries without a recorded seq
+    are older than every delete by construction (the partition-rewrite
+    invariant: any commit that rewrites a partition retires its
+    pending deletes, so surviving deletes are always newer than
+    seq-less files). Only same-commit data files (MoR UPDATE's new
+    images) carry an explicit seq, which exempts them from their own
+    commit's delete files — the case the invariant alone cannot
+    order."""
+    return int(e.get("seq", -1))
+
+
+def _read_with_deletes(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    manifest: dict,
+) -> DataFrame:
+    """Manifest entries -> rows with pending MoR deletes MERGED IN:
+    anti-join each delete file against only the data files it may
+    apply to (same partition, lower sequence number). Only delete
+    files referencing the partitions actually being read are opened —
+    a point read of one partition pays for that partition's deletes,
+    never the table's. Small delete sets broadcast (the common case: a
+    GDPR point delete is a handful of rows against a 100 TB scan);
+    large ones fall back to a shuffled hash join."""
+    dels = manifest.get("delete_entries") or []
+    read_parts = {str(e["partition"]) for e in entries}
+    dels = [d for d in dels if str(d["partition"]) in read_parts]
+    if not dels:
+        return _read_entry_files(spark, path, entries, manifest)
+
+    def del_df(ds):
+        out = _read_entry_files(spark, path, ds, manifest)
+        if sum(int(d.get("rows", _BROADCAST_DELETE_ROWS)) for d in ds) < (
+            _BROADCAST_DELETE_ROWS
+        ):
+            out = F.broadcast(out)
+        return out
+
+    by_seq: dict[int, list[dict]] = {}
+    for e in entries:
+        by_seq.setdefault(_entry_seq(e), []).append(e)
+    parts = []
+    for data_seq, es in sorted(by_seq.items()):
+        sub = _read_entry_files(spark, path, es, manifest)
+        applicable = [
+            d for d in dels if int(d.get("seq", 2**62)) > data_seq
+        ]
+        if applicable:
+            sub = _anti_join_all_columns(sub, del_df(applicable))
+        parts.append(sub)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snap_merge(
@@ -1209,7 +1264,10 @@ def snap_delete_where(
                 "version": new_version,
                 "entries": cur["entries"],
                 "delete_entries": (cur.get("delete_entries") or [])
-                + _delete_commit_entries(path, commit_rel, partition_col),
+                + _delete_commit_entries(
+                    path, commit_rel, partition_col,
+                    _commit_seq(cur, new_version),
+                ),
             },
         )
         return new_version
@@ -1368,6 +1426,11 @@ def snap_clone(
         ]
 
     os.makedirs(dst, exist_ok=True)
+    borrowed_seqs = [
+        int(e["seq"])
+        for e in m["entries"] + (m.get("delete_entries") or [])
+        if "seq" in e
+    ]
     _publish(
         dst,
         {
@@ -1376,8 +1439,15 @@ def snap_clone(
             "cloned_from": {"path": os.path.abspath(src), "version": v},
             "entries": borrow(m["entries"]),
             # pending delete files are borrowed too — the clone must see
-            # the same merged rows as the source version it forked
+            # the same merged rows as the source version it forked.
+            # Sequence numbers are preserved (relative order between
+            # borrowed deletes and borrowed update images must hold)
+            # and seq_floor lifts every FUTURE clone-local commit above
+            # them (see _commit_seq).
             "delete_entries": borrow(m.get("delete_entries") or []),
+            "seq_floor": max(
+                [int(m.get("seq_floor", 0))] + borrowed_seqs
+            ),
         },
     )
     return 1
@@ -1390,18 +1460,31 @@ def snap_update_where(
     assignments: dict[str, str],
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
+    mode: str = "cow",
 ) -> int | None:
-    """UPDATE ... SET ... WHERE as a copy-on-write commit — with
-    :func:`snap_merge` (MERGE/upsert + tombstones) and
-    :func:`snap_delete_where` this completes the DML verb set.
-    ``assignments`` maps column -> SQL expression, evaluated against
-    the pre-update row (standard UPDATE semantics: all SET expressions
-    see the old values). Rows where ``predicate`` is NULL are not
-    updated (ANSI). The partition column is immutable, as everywhere
-    in this lake (an update that moves rows across partitions is a
-    delete + insert — do it as a merge). Same touched-partition I/O
-    contract as delete: only partitions containing matching rows are
-    rewritten; returns None when nothing matched."""
+    """UPDATE ... SET ... WHERE as a commit — with :func:`snap_merge`
+    (MERGE/upsert + tombstones) and :func:`snap_delete_where` this
+    completes the DML verb set. ``assignments`` maps column -> SQL
+    expression, evaluated against the pre-update row (standard UPDATE
+    semantics: all SET expressions see the old values). Rows where
+    ``predicate`` is NULL are not updated (ANSI). The partition column
+    is immutable, as everywhere in this lake (an update that moves
+    rows across partitions is a delete + insert — do it as a merge).
+    Returns None when nothing matched.
+
+    ``mode="cow"``: only partitions containing matching rows are
+    rewritten (same touched-partition I/O contract as delete).
+
+    ``mode="mor"`` (the Hudi merge-on-read UPSERT shape): the matched
+    rows' OLD images land in delete files and their NEW images in
+    ordinary data files appended to the same commit — write I/O is
+    O(matched rows), no partition rewritten. The new images carry the
+    commit's SEQUENCE NUMBER, which exempts them from the commit's own
+    delete files (Iceberg v2 sequence ordering — an identity update,
+    SET x = x, would otherwise delete its own output). Readers merge
+    exactly as for MoR deletes; compaction promotes."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     versions = snap_versions(path)
     if not versions:
         raise FileNotFoundError(f"snap_update_where on uninitialized table {path}")
@@ -1432,6 +1515,44 @@ def snap_update_where(
         ]
     )
     _enforce_check(changed, cur, "snap_update_where result")
+    if mode == "mor":
+        new_version = base_v + 1
+        seq = _commit_seq(cur, new_version)
+        old_images = scoped.filter(hit)
+        del_rel = f"c{new_version:06d}d"
+        write_clustered(
+            old_images,
+            os.path.join(path, del_rel),
+            partition_by=(partition_col,),
+            sort_by=tuple(sort_by),
+            target_rows_per_file=target_rows_per_file,
+        )
+        data_rel = f"c{new_version:06d}"
+        write_clustered(
+            changed,
+            os.path.join(path, data_rel),
+            partition_by=(partition_col,),
+            sort_by=tuple(sort_by),
+            target_rows_per_file=target_rows_per_file,
+        )
+        _attach_blooms(spark, path, data_rel, cur)
+        new_entries = [
+            {**e, "seq": seq}
+            for e in _commit_entries(
+                path, data_rel, partition_col, cur.get("stats_col")
+            )
+        ]
+        _publish(
+            path,
+            {
+                **{k: v for k, v in cur.items() if k != "entries"},
+                "version": new_version,
+                "entries": cur["entries"] + new_entries,
+                "delete_entries": (cur.get("delete_entries") or [])
+                + _delete_commit_entries(path, del_rel, partition_col, seq),
+            },
+        )
+        return new_version
     updated = scoped.select(
         *[
             F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
@@ -1793,9 +1914,7 @@ def snap_point_read(
     col = m["bloom_col"]
     if not kept:
         return snap_read(spark, path, v).filter(F.lit(False))
-    df = _apply_deletes(
-        spark, path, _read_entry_files(spark, path, kept, m), m, kept
-    )
+    df = _read_with_deletes(spark, path, kept, m)
     return df.filter(F.col(col).isin(list(values)))
 
 

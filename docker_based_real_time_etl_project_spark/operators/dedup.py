@@ -32,6 +32,34 @@ def tokens(text_col: str | Column, sep: str = " ") -> Column:
     return F.filter(F.split(c, sep), lambda w: w != "")
 
 
+def spread_compact(df: DataFrame, key: str, max_bytes: int = 4 << 30) -> DataFrame:
+    """Parallelism guard for CPU-heavy derivations (gram explode +
+    hash) off a COMPACT source: parquet only splits at row-group
+    boundaries, so a corpus packed into a handful of row groups runs
+    its whole explode on a handful of cores no matter how many tasks
+    the scan nominally has (measured: sf10 documents = one 70 MB file,
+    5 row groups -> the 25M-gram explode ran ~5-wide, 202 s; spread,
+    ~30 s). When the input is small enough that reshuffling it is
+    cheap (< ``max_bytes`` total) and too few files exist to split on,
+    hash-repartition by ``key`` to the session's parallelism BEFORE
+    the expensive derivation. At 100 TB the corpus is thousands of
+    files / row groups, the condition is false, and this is a no-op —
+    never a blanket shuffle of big text."""
+    spark = df.sparkSession
+    try:
+        from urllib.parse import unquote as _unq, urlparse as _up
+        import os as _os
+
+        files = df.inputFiles()
+        total = sum(_os.path.getsize(_unq(_up(f).path)) for f in files)
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if files and len(files) < cores and total < max_bytes:
+        return df.repartition(cores, key)
+    return df
+
+
 def shingles(text_col: str | Column, k: int = 3, sep: str = " ") -> Column:
     """k-token shingles as strings: sliding window over the token array
     via sequence + transform (pure expressions, no UDF)."""

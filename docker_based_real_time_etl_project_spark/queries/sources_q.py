@@ -1660,3 +1660,86 @@ def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(v).cast("bigint").alias("version"), "*")
         )
     return outs[0].unionByName(outs[1])
+
+
+def _orders_snap_mor_upd(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot with a merge-on-read UPDATE commit on top (the
+    Hudi upsert shape): v2 lands the matched rows' old images as
+    delete files and their new images as seq-stamped data files —
+    every base entry carried verbatim, no partition rewritten."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_init,
+        snap_update_where,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_morupd_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        v = snap_update_where(
+            spark, out, _UPDATE_PRED,
+            {"o_totalprice": "o_totalprice + 500.0"},
+            sort_by=("o_orderkey",), mode="mor",
+        )
+        assert v == 2
+        m1, m2 = _read_manifest(out, 1), _read_manifest(out, 2)
+        assert all(e in m2["entries"] for e in m1["entries"])
+        assert m2["delete_entries"]
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_morupd", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+@register(
+    "q_lake_mor_update",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN {_UPDATE_PRED} THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM u GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "scale", "lakesnap"),
+)
+def q_lake_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level UPDATE (Hudi upsert / Iceberg v2
+    sequence-ordered equality deletes): the same UPDATE the CoW twin
+    q_lake_update_where applies by rewriting the touched partition
+    lands here as old-image DELETE FILES plus new-image data files
+    stamped with the commit's SEQUENCE NUMBER — write I/O O(matched
+    rows), zero partitions rewritten, and the seq exempts the new
+    images from the same commit's deletes (an identity update would
+    otherwise cancel its own output; pinned in tests/test_lakesnap.py
+    along with delete-after-update ordering and clone seq_floor).
+    Readers merge the debris exactly as for MoR deletes; the aggregate
+    over the post-update state hash-matches the identical CASE
+    restatement the CoW twin matches, holding both DML modes to the
+    same final state."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_mor_upd(spark, sf_dir)
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -1639,3 +1639,109 @@ def test_bloom_sidecars_sharded_per_partition_dir(spark):
     want = snap_read(spark, path).filter(F.col("o_orderkey").isin(keys))
     assert sorted(got.collect()) == sorted(want.collect())
     assert len(snap_point_files(spark, path, keys)) < n_files
+
+
+def test_mor_update_matches_cow_and_writes_o_of_changes(spark):
+    """MoR UPDATE (the Hudi upsert shape): old images land in delete
+    files, new images in seq-stamped data files, no partition
+    rewritten — final state identical to the CoW twin, manifest
+    carries every base entry verbatim."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_update_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    pred = "o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0"
+    assignments = {"o_totalprice": "o_totalprice + 500.0"}
+    paths = {}
+    for mode in ("cow", "mor"):
+        p = tempfile.mkdtemp(prefix=f"morupd_{mode}_")
+        snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+        assert snap_update_where(spark, p, pred, assignments, mode=mode) == 2
+        paths[mode] = p
+    a = snap_read(spark, paths["cow"]).select(*orders.columns)
+    b = snap_read(spark, paths["mor"]).select(*orders.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    m1 = _read_manifest(paths["mor"], 1)
+    m2 = _read_manifest(paths["mor"], 2)
+    assert all(e in m2["entries"] for e in m1["entries"])  # carried verbatim
+    new = [e for e in m2["entries"] if e not in m1["entries"]]
+    assert new and all(e["seq"] == 2 for e in new)
+    assert m2["delete_entries"] and all(
+        d["seq"] == 2 for d in m2["delete_entries"]
+    )
+
+
+def test_mor_identity_update_preserves_rows(spark):
+    """SET x = x through MoR must not delete its own output: the new
+    images are byte-identical to the old images in the same commit's
+    delete files, and only the SEQUENCE NUMBER (delete applies to
+    seq < its own) keeps them alive — the exact hazard Iceberg v2
+    sequence ordering exists for."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_update_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="morident_")
+    snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+    assert snap_update_where(
+        spark, p, "o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice"},
+        mode="mor",
+    ) == 2
+    got = snap_read(spark, p).select(*orders.columns)
+    assert got.count() == orders.count()
+    assert got.exceptAll(orders).count() == 0
+    assert orders.exceptAll(got).count() == 0
+
+
+def test_mor_delete_after_update_cancels_new_images(spark):
+    """A later MoR delete (higher seq) must see the update's NEW
+    images, and a clone of a table with pending update debris keeps
+    the ordering: borrowed seqs preserved, seq_floor lifts clone-local
+    commits above them."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_clone,
+        snap_delete_where,
+        snap_update_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="morduafter_")
+    snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+    upd_pred = "o_orderpriority = '2-HIGH' AND o_totalprice < 50000.0"
+    assert snap_update_where(
+        spark, p, upd_pred, {"o_totalprice": "o_totalprice + 500.0"},
+        mode="mor",
+    ) == 2
+    truth2 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.expr(upd_pred), F.col("o_totalprice") + 500.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    # delete hits rows whose CURRENT (post-update) value matches
+    del_pred = "o_orderpriority = '2-HIGH' AND o_totalprice < 20000.0"
+    assert snap_delete_where(spark, p, del_pred, mode="mor") == 3
+    truth3 = truth2.filter(~F.coalesce(F.expr(del_pred), F.lit(False)))
+    got = snap_read(spark, p).select(*orders.columns)
+    assert got.count() == truth3.count()
+    assert got.exceptAll(truth3.select(*orders.columns)).count() == 0
+    # clone while debris is pending: state identical, seq_floor lifted
+    dst = tempfile.mkdtemp(prefix="morclone2_")
+    os.rmdir(dst)
+    snap_clone(spark, p, dst)
+    mc = _read_manifest(dst, 1)
+    assert mc["seq_floor"] == 3
+    gc = snap_read(spark, dst).select(*orders.columns)
+    assert gc.exceptAll(truth3.select(*orders.columns)).count() == 0
+    # clone-local MoR delete orders after everything borrowed
+    assert snap_delete_where(
+        spark, dst, "o_orderpriority = '2-HIGH'", mode="mor"
+    ) == 2
+    want = truth3.filter("o_orderpriority <> '2-HIGH'")
+    gd = snap_read(spark, dst).select(*orders.columns)
+    assert gd.count() == want.count()
+    assert gd.exceptAll(want.select(*orders.columns)).count() == 0

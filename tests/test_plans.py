@@ -722,3 +722,18 @@ def test_retention_curve_no_denominator_join(spark, sf_dir):
     df = _q("q_retention_curve", spark, sf_dir)
     assert count_exchanges(df) == 3
     assert join_strategies(df) == {}
+
+
+def test_span_corpus_single_explode(spark, sf_dir):
+    """The corpus-span dedup derives its gram explode ONCE (the
+    round-10 sf10 spot found the first wiring re-exploded in five
+    branches — 202 s at sf10, 57 s single-pass): one Generate node,
+    two semantic exchanges (gh count window + doc islands window —
+    both grouping levels reuse the doc partitioning; the
+    compact-source spread repartition is input plumbing)."""
+    df = _q("q_dedup_span_corpus", spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted mode shows each node twice (tree + detail header)
+    assert plan.count("Generate") == 2
+    assert count_exchanges(df) == 2
+    assert count_exchanges(df, include_repartition=True) == 3
