@@ -99,6 +99,7 @@ HEADLINE = [
     "q_sessionize_attribution", # first/last-touch credit, one window pass
     "q_retention_curve",        # day-N retention, windowed denominator
     "q_ann_ivf_persisted",      # lake-persisted IVF index, probed-cell reads
+    "q_lake_mor_merge",         # MoR upsert: O(changes) CDC-apply commit
 ]
 
 

@@ -531,18 +531,30 @@ def snap_merge(
     sort_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
     meta: dict | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Copy-on-write MERGE producing a NEW version: upsert on
-    ``key_cols``, optional boolean ``delete_col`` tombstones. Same
-    immutable-partition-key contract as ``lakewrite.merge_upsert``.
-
-    I/O: touched partitions' files are read, merged, and written into
-    a fresh commit dir; untouched partitions contribute nothing but
-    their manifest rows, copied forward verbatim. Old versions stay
-    readable — nothing is deleted here. ``meta`` keys overlay the
+    """MERGE producing a NEW version: upsert on ``key_cols``, optional
+    boolean ``delete_col`` tombstones. Same immutable-partition-key
+    contract as ``lakewrite.merge_upsert``. ``meta`` keys overlay the
     carried-forward manifest metadata (e.g. a streaming sink's
     batch_id — the idempotence ledger a restarted query consults to
-    skip replayed batches)."""
+    skip replayed batches).
+
+    ``mode="cow"`` (default): touched partitions' files are read,
+    merged, and written into a fresh commit dir; untouched partitions
+    contribute nothing but their manifest rows, copied forward
+    verbatim. Old versions stay readable — nothing is deleted here.
+
+    ``mode="mor"`` (Hudi merge-on-read upsert, Iceberg v2 sequence-
+    ordered): matched keys' OLD images land in delete files, the
+    incoming non-tombstone rows in seq-stamped data files — write I/O
+    is O(matched + incoming), NO partition rewritten. Tombstones write
+    only their old image; inserts only their new row. Readers merge
+    exactly as for MoR deletes/updates; snap_compact promotes. This is
+    what a high-rate CDC apply wants: per-batch write cost tracks the
+    changelog, not the partitions it touches."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     versions = snap_versions(path)
     if not versions:
         raise FileNotFoundError(f"snap_merge on uninitialized table {path}")
@@ -553,6 +565,11 @@ def snap_merge(
         cur,
         "snap_merge batch",
     )
+    if mode == "mor":
+        return _merge_mor(
+            spark, path, base_v, cur, updates, key_cols, delete_col,
+            sort_by, target_rows_per_file, meta,
+        )
     merged, touched = _plan_merge(
         spark, path, base_v, cur, updates, key_cols, delete_col
     )
@@ -580,6 +597,88 @@ def snap_merge(
                 path, commit_rel, cur["partition_col"], cur.get("stats_col")
             ),
             "delete_entries": _carried_deletes(cur, touched),
+        },
+    )
+    return new_version
+
+
+def _merge_mor(
+    spark: SparkSession,
+    path: str,
+    base_v: int,
+    cur: dict,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None,
+    sort_by: Sequence[str],
+    target_rows_per_file: int | None,
+    meta: dict | None,
+) -> int:
+    """The merge-on-read MERGE body (see snap_merge(mode='mor')):
+    old images of matched keys -> delete files in ``c{V}d``, incoming
+    non-tombstone rows -> seq-stamped data files in ``c{V}``, every
+    base entry carried verbatim. Shares _plan_merge's full-row /
+    additive-evolution contract checks so CoW and MoR cannot drift."""
+    partition_col = cur["partition_col"]
+    key_cols = list(key_cols)
+    touched = {
+        str(r[0]) for r in updates.select(partition_col).distinct().collect()
+    }
+    base = snap_read(spark, path, base_v, partitions=sorted(touched))
+    incoming_cols = [c for c in updates.columns if c != delete_col]
+    missing = [c for c in base.columns if c not in incoming_cols]
+    if missing:
+        raise ValueError(
+            f"merge updates must carry full rows; missing base columns {missing} "
+            "(schema evolution is additive-only)"
+        )
+    upd_keys = updates.select(*key_cols).distinct()
+    old_images = base.join(F.broadcast(upd_keys), on=key_cols, how="left_semi")
+    incoming = updates
+    if delete_col is not None:
+        incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
+    new_version = base_v + 1
+    seq = _commit_seq(cur, new_version)
+    del_rel = f"c{new_version:06d}d"
+    write_clustered(
+        old_images,
+        os.path.join(path, del_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    data_rel = f"c{new_version:06d}"
+    write_clustered(
+        incoming,
+        os.path.join(path, data_rel),
+        partition_by=(partition_col,),
+        sort_by=tuple(sort_by),
+        target_rows_per_file=target_rows_per_file,
+    )
+    _attach_blooms(spark, path, data_rel, cur)
+    new_cols = list(base.columns) + [
+        c for c in incoming_cols if c not in base.columns
+    ]
+    evolved = base.unionByName(incoming, allowMissingColumns=True).select(
+        *new_cols
+    )
+    new_entries = [
+        {**e, "seq": seq}
+        for e in _commit_entries(
+            path, data_rel, partition_col, cur.get("stats_col")
+        )
+    ]
+    _publish(
+        path,
+        {
+            **{k: v for k, v in cur.items() if k != "entries"},
+            **(meta or {}),
+            "version": new_version,
+            "columns": new_cols,
+            "schema_json": evolved.schema.json(),
+            "entries": cur["entries"] + new_entries,
+            "delete_entries": (cur.get("delete_entries") or [])
+            + _delete_commit_entries(path, del_rel, partition_col, seq),
         },
     )
     return new_version

@@ -1743,3 +1743,108 @@ def q_lake_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("total_price"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _orders_snap_mor_merge(spark: SparkSession, sf_dir: str) -> str:
+    """orders snapshot with the standard deterministic merge batch
+    applied as a MERGE-ON-READ commit (snap_merge(mode='mor')): old
+    images of the batch's keys -> delete files, its non-tombstone rows
+    -> seq-stamped data files, every base entry carried verbatim —
+    per-batch write cost tracks the changelog (the CDC-apply shape)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_init,
+        snap_merge,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="lake_snap_orders_mormrg_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders"),
+            out,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+            target_rows_per_file=20_000,
+        )
+        v = snap_merge(
+            spark,
+            out,
+            _merge_updates(spark, sf_dir),
+            key_cols=("o_orderkey",),
+            delete_col="_delete",
+            sort_by=("o_orderkey",),
+            mode="mor",
+        )
+        assert v == 2
+        m1, m2 = _read_manifest(out, 1), _read_manifest(out, 2)
+        assert all(e in m2["entries"] for e in m1["entries"])
+        assert m2["delete_entries"]
+        return out
+
+    return materialize_once(
+        ("lake_snap_orders_mormrg", sf_dir, table_fingerprint(sf_dir, "orders")),
+        build,
+    )
+
+
+@register(
+    "q_lake_mor_merge",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice,
+               FALSE AS del
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 103 = 5
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_orderpriority, o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 101 = 3
+    ), merged AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM upd WHERE NOT del
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           COUNT(*) FILTER (WHERE o_orderkey >= 2000000000) AS n_inserted
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "layout", "cdc", "scale", "lakesnap"),
+)
+def q_lake_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as a MERGE-ON-READ commit (Hudi MoR upsert / Iceberg v2
+    sequence-ordered equality deletes) — the exact batch q_lake_merge
+    applies copy-on-write lands here as old-image delete files plus
+    seq-stamped new images with every base entry carried verbatim:
+    write I/O O(matched + incoming), zero partitions rewritten. This
+    is the CDC-apply shape at scale — a minute of changelog costs a
+    minute of changelog, not the width of the partitions it grazes;
+    snap_compact promotes the debris on maintenance cadence (pinned in
+    tests/test_lakesnap.py along with the CoW-equality, tombstone /
+    insert / upsert fates, and additive evolution through MoR). The
+    aggregate over the post-merge state hash-matches the identical
+    relational restatement the CoW twin matches."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    path = _orders_snap_mor_merge(spark, sf_dir)
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum((F.col("o_orderkey") >= 2_000_000_000).cast("bigint")).alias(
+            "n_inserted"
+        ),
+    )

@@ -1745,3 +1745,91 @@ def test_mor_delete_after_update_cancels_new_images(spark):
     gd = snap_read(spark, dst).select(*orders.columns)
     assert gd.count() == want.count()
     assert gd.exceptAll(want.select(*orders.columns)).count() == 0
+
+
+def test_mor_merge_matches_cow_all_fates(spark):
+    """snap_merge(mode='mor') — the Hudi MoR upsert: upsert/delete/
+    insert fates all land as delete files + seq-stamped new images,
+    base entries carried verbatim, final state identical to the CoW
+    merge of the same batch; compaction promotes the debris."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_compact,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+    def updates():
+        ups = (
+            orders.filter(
+                (F.col("o_orderkey") % 97 == 0)
+                & (F.col("o_orderkey") % 103 != 5)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+            .withColumn("_delete", F.lit(False))
+        )
+        dels = orders.filter(F.col("o_orderkey") % 103 == 5).withColumn(
+            "_delete", F.lit(True)
+        )
+        ins = (
+            orders.filter(F.col("o_orderkey") % 101 == 3)
+            .withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(2_000_000_000)
+            )
+            .withColumn("_delete", F.lit(False))
+        )
+        return ups.unionByName(dels).unionByName(ins)
+
+    paths = {}
+    for mode in ("cow", "mor"):
+        p = tempfile.mkdtemp(prefix=f"mormergetest_{mode}_")
+        snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+        assert snap_merge(
+            spark, p, updates(), key_cols=("o_orderkey",),
+            delete_col="_delete", mode=mode,
+        ) == 2
+        paths[mode] = p
+    a = snap_read(spark, paths["cow"]).select(*orders.columns)
+    b = snap_read(spark, paths["mor"]).select(*orders.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    m1 = _read_manifest(paths["mor"], 1)
+    m2 = _read_manifest(paths["mor"], 2)
+    assert all(e in m2["entries"] for e in m1["entries"])
+    assert m2["delete_entries"] and all(
+        d["seq"] == 2 for d in m2["delete_entries"]
+    )
+    assert all(
+        e.get("seq") == 2 for e in m2["entries"] if e not in m1["entries"]
+    )
+    # time travel + promotion
+    assert snap_read(spark, paths["mor"], 1).count() == orders.count()
+    v3 = snap_compact(spark, paths["mor"], target_rows_per_file=100_000)
+    assert not _read_manifest(paths["mor"], v3).get("delete_entries")
+    c = snap_read(spark, paths["mor"]).select(*orders.columns)
+    assert c.exceptAll(a).count() == 0 and a.exceptAll(c).count() == 0
+
+
+def test_mor_merge_additive_schema_evolution(spark):
+    """A MoR merge may add columns: the manifest's evolved column list
+    is derived without rewriting anything, old files back-fill NULL at
+    read time, and the delete-file anti-join still cancels the matched
+    keys' old images through the back-fill."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="mormergeevo_")
+    snap_init(spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",))
+    batch = (
+        orders.orderBy("o_orderkey").limit(3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("o_risk", F.lit("HI"))
+    )
+    assert snap_merge(spark, p, batch, key_cols=("o_orderkey",), mode="mor") == 2
+    latest = snap_read(spark, p)
+    assert "o_risk" in latest.columns
+    assert latest.count() == orders.count()  # upserts replaced, not added
+    assert latest.filter(F.col("o_risk") == "HI").count() == 3
+    assert latest.filter(F.col("o_risk").isNull()).count() == orders.count() - 3
+    assert "o_risk" in _read_manifest(p, 2)["columns"]
