@@ -435,7 +435,9 @@ def q_stream_cdc_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def make_cdc_snap_sink(lake: str, bloom_col: str | None = None):
+def make_cdc_snap_sink(
+    lake: str, bloom_col: str | None = None, mode: str = "cow"
+):
     """foreachBatch sink committing each CDC micro-batch as ONE
     snapshot-lake version, idempotent under restart: the committed
     batch_id rides in every manifest (snap_merge meta overlay), and a
@@ -443,7 +445,15 @@ def make_cdc_snap_sink(lake: str, bloom_col: str | None = None):
     lake commit and the checkpoint ack, Spark's documented
     at-least-once seam — is recognized and skipped, so a restart can
     never double-commit a version. The manifest is the idempotence
-    ledger (the same role Delta's txn appId/version pair plays)."""
+    ledger (the same role Delta's txn appId/version pair plays).
+
+    ``mode="mor"`` commits each batch MERGE-ON-READ (round 10): old
+    images -> delete files, winners -> seq-stamped data files, so the
+    per-batch write cost tracks the CHANGELOG instead of the buckets
+    it grazes — the shape a high-rate CDC apply needs at 100 TB, with
+    snap_compact_partitions retiring the debris on maintenance
+    cadence. Same winners computation, same idempotence ledger, same
+    version-per-batch history."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
         snap_init,
         snap_merge,
@@ -516,13 +526,15 @@ def make_cdc_snap_sink(lake: str, bloom_col: str | None = None):
         )
         snap_merge(
             s, lake, winners, key_cols=("user_id",), sort_by=("user_id",),
-            meta={"batch_id": batch_id},
+            meta={"batch_id": batch_id}, mode=mode,
         )
 
     return sink
 
 
-def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
+def _cdc_snap_pipeline(
+    spark: SparkSession, sf_dir: str, mode: str = "cow"
+) -> str:
     """The q_stream_cdc_lake_merge pipeline retargeted at the SNAPSHOT
     lake (lakesnap): every micro-batch commits one immutable version,
     so the sink leaves behind not just the synced table but its entire
@@ -539,7 +551,7 @@ def _cdc_snap_pipeline(spark: SparkSession, sf_dir: str) -> str:
     ).write.partitionBy("_bucket").mode("overwrite").parquet(src)
 
     lake = tempfile.mkdtemp(prefix="cdc_snap_lake_")
-    sink = make_cdc_snap_sink(lake)
+    sink = make_cdc_snap_sink(lake, mode=mode)
 
     stream = (
         spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
@@ -573,6 +585,29 @@ def q_stream_cdc_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docker_based_real_time_etl_project_spark.lakesnap import snap_read
 
     lake = _cdc_snap_pipeline(spark, sf_dir)
+    return (
+        snap_read(spark, lake)
+        .filter(~F.col("deleted"))
+        .select("user_id", F.col("value").alias("current_value"))
+    )
+
+
+@register("q_stream_cdc_mor_merge", oracle=_ORACLE, tags=("cdc", "streaming", "sink", "lakesnap"))
+def q_stream_cdc_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream -> snapshot lake with every micro-batch committed
+    MERGE-ON-READ (the round-10 O(changes) CDC-apply shape): identical
+    winners computation and batch-id idempotence ledger as
+    q_stream_cdc_snap_merge, but each commit writes only old-image
+    delete files + the batch's winner rows — per-batch I/O tracks the
+    changelog, never the bucket partitions it grazes. The final state
+    is read STRAIGHT THROUGH the accumulated delete debris (no
+    compaction first — the read-side anti-join is the semantics under
+    test) and hash-matches the same q_cdc_materialize oracle, holding
+    the MoR sink to the identical bar as the CoW versioned sink and
+    the plain-parquet sink."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    lake = _cdc_snap_pipeline(spark, sf_dir, mode="mor")
     return (
         snap_read(spark, lake)
         .filter(~F.col("deleted"))
