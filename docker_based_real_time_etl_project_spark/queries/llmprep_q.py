@@ -102,7 +102,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     when it is not; for a contamination SCREEN the expected error is
     ~(distinct train grams) * (test grams) / 2^64 — negligible.
     """
-    d = table(spark, sf_dir, "documents").select(
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        spread_compact,
+    )
+
+    d = spread_compact(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         hash_ticket(F.col("doc_id")).alias("ticket"),
         F.array_distinct(shingles("text", 5)).alias("grams"),
@@ -156,9 +160,13 @@ def train_gram_hashes(
     )
 
     def build() -> str:
+        from docker_based_real_time_etl_project_spark.operators.dedup import (
+            spread_compact,
+        )
+
         g_dir = tempfile.mkdtemp(prefix="train_grams_")
         (
-            table(spark, sf_dir, "documents")
+            spread_compact(table(spark, sf_dir, "documents"), "doc_id")
             .filter(hash_ticket(F.col("doc_id")) < ticket_lt)
             .select(F.explode(F.array_distinct(shingles("text", n))).alias("g"))
             .select(F.xxhash64("g").alias("gh"))
@@ -220,7 +228,11 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_fingerprint,
     )
 
-    d = table(spark, sf_dir, "documents").select(
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        spread_compact,
+    )
+
+    d = spread_compact(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         hash_ticket(F.col("doc_id")).alias("ticket"),
         F.array_distinct(shingles("text", 5)).alias("grams"),

@@ -234,7 +234,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf, word) tiebreaks make the order total. Shuffles: tf groupBy on
     (doc, word), df groupBy on word (vocabulary-sized), one broadcast
     of the doc count -- corpus-linear, no all-pairs anything."""
-    d = table(spark, sf_dir, "documents")
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        spread_compact,
+    )
+
+    d = spread_compact(table(spark, sf_dir, "documents"), "doc_id")
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
