@@ -117,18 +117,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("grams").alias("g"))
         .select("doc_id", F.xxhash64("g").alias("gh"))
     )
-    shared = test_g.join(train_g, "gh", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
-    totals = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return (
-        totals.join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0)) / F.col("n_grams")).alias("contamination"),
-        )
+    # ONE pass over the test grams: a LEFT join against the DISTINCT
+    # train set marks hits without fanning out, and a single per-doc
+    # aggregate reads off both the total and the shared count — the
+    # totals/semi-join two-branch form re-ran the test explode twice
+    # (the round-10 sf10 profile's pattern; same fix as the span query)
+    marked = test_g.join(train_g.withColumn("_hit", F.lit(1)), "gh", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_shared"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_grams")).alias("contamination"),
     )
 
 
