@@ -1833,3 +1833,41 @@ def test_mor_merge_additive_schema_evolution(spark):
     assert latest.filter(F.col("o_risk") == "HI").count() == 3
     assert latest.filter(F.col("o_risk").isNull()).count() == orders.count() - 3
     assert "o_risk" in _read_manifest(p, 2)["columns"]
+
+
+def test_mor_update_bloom_indexes_new_images(spark):
+    """A MoR update on a bloom-indexed table writes sidecars for its
+    NEW image files, so point reads stay pruned AND correct through
+    the update debris: probing an updated key returns its new value,
+    and the old image is cancelled by the commit's delete files."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _bloom_sidecar_files,
+        snap_point_read,
+        snap_update_where,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = tempfile.mkdtemp(prefix="morupdbloom_")
+    snap_init(
+        spark, orders, p, "o_orderpriority", sort_by=("o_orderkey",),
+        bloom_col="o_orderkey", bloom_bits=65536,
+    )
+    key = int(
+        orders.filter("o_orderpriority = '1-URGENT'")
+        .agg(F.min("o_orderkey")).first()[0]
+    )
+    old_price = float(
+        orders.filter(F.col("o_orderkey") == key).first()["o_totalprice"]
+    )
+    assert snap_update_where(
+        spark, p, f"o_orderkey = {key}",
+        {"o_totalprice": "o_totalprice + 111.0"}, mode="mor",
+    ) == 2
+    # the update commit's data dir carries its own bloom sidecar
+    assert _bloom_sidecar_files(p, "c000002")
+    got = snap_point_read(spark, p, [key]).collect()
+    assert len(got) == 1
+    assert abs(got[0]["o_totalprice"] - (old_price + 111.0)) < 1e-9
+    # time travel still sees the pre-update value
+    got1 = snap_point_read(spark, p, [key], version=1).collect()
+    assert len(got1) == 1 and abs(got1[0]["o_totalprice"] - old_price) < 1e-9
