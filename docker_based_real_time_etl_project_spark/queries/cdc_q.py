@@ -20,7 +20,9 @@ from docker_based_real_time_etl_project_spark.cdc import (
     encode_envelope,
     materialize_latest,
 )
-from docker_based_real_time_etl_project_spark.queries.registry import register, table
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    register, sql_dsum, table,
+)
 
 ROW_SCHEMA = T.StructType(
     [
@@ -612,4 +614,153 @@ def q_stream_cdc_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_read(spark, lake)
         .filter(~F.col("deleted"))
         .select("user_id", F.col("value").alias("current_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (signed-delta algebra)
+# ---------------------------------------------------------------------------
+
+# Deterministic change sets a SQL oracle can restate exactly:
+#   orders:   key%89==1 -> price +500 (update); key%89==2 -> delete;
+#             key%101==7 -> re-insert under key+3e9 (same customer)
+#   customer: key%31==4 -> acctbal +100 (update)
+_IVM_O_UPD = "o_orderkey % 89 = 1"
+_IVM_O_DEL = "o_orderkey % 89 = 2"
+_IVM_O_INS = "o_orderkey % 101 = 7"
+_IVM_C_UPD = "c_custkey % 31 = 4"
+
+
+@register(
+    "q_ivm_join_delta",
+    oracle=f"""
+    WITH o2 AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CASE WHEN {_IVM_O_UPD} THEN o_totalprice + 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE NOT ({_IVM_O_DEL})
+        UNION ALL
+        SELECT o_orderkey + 3000000000, o_custkey, o_orderpriority, o_totalprice
+        FROM orders WHERE {_IVM_O_INS}
+    ),
+    c2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN {_IVM_C_UPD} THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    )
+    SELECT c2.c_mktsegment, o2.o_orderpriority,
+           COUNT(*) AS n_rows,
+           {{dp}} AS total_price,
+           {{db}} AS total_bal
+    FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
+    GROUP BY c2.c_mktsegment, o2.o_orderpriority
+    """.format(
+        dp=sql_dsum("o2.o_totalprice"), db=sql_dsum("c2.c_acctbal")
+    ),
+    tags=("cdc", "ivm", "scale"),
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE FOR A JOIN VIEW: an aggregate over
+    orders JOIN customer is rolled forward under changes to BOTH base
+    tables with the classic SIGNED-DELTA algebra (each update is a
+    (-old, +new) pair; deletes -old, inserts +new):
+
+        dV = dO >< C  +  O >< dC  +  dO >< dC
+
+    so the maintained aggregate = base + the three delta joins'
+    signed contributions — the full join is NEVER recomputed. Cost at
+    100 TB: dO >< C joins the changelog against the dimension (keyed,
+    broadcast when small), O >< dC scans only the fact rows of changed
+    customers (semi-joinable), dO >< dC is changelog-sized; the
+    base aggregate is the stored matview. The oracle recomputes the
+    aggregate DIRECTLY from the post-change tables, so the hash proves
+    the signed algebra exact — including the cross term (an updated
+    order of an updated customer must count its new price against the
+    new balance exactly once). Both metric sums ride decimal, and the
+    count is a signed sum, so multiplicities cancel bit-exactly."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd, dele, ins = F.expr(_IVM_O_UPD), F.expr(_IVM_O_DEL), F.expr(_IVM_O_INS)
+
+    def signed(df, sign):
+        return df.withColumn("s", F.lit(sign))
+
+    d_o = (
+        signed(o.filter(upd), -1)
+        .unionByName(
+            signed(
+                o.filter(upd).withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 500.0
+                ),
+                +1,
+            )
+        )
+        .unionByName(signed(o.filter(dele), -1))
+        .unionByName(
+            signed(
+                o.filter(ins).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(3_000_000_000)
+                ),
+                +1,
+            )
+        )
+    )
+    cu = F.expr(_IVM_C_UPD)
+    d_c = signed(c.filter(cu), -1).unionByName(
+        signed(
+            c.filter(cu).withColumn("c_acctbal", F.col("c_acctbal") + 100.0),
+            +1,
+        )
+    )
+
+    from docker_based_real_time_etl_project_spark.functions import (
+        DEC,
+        _dec_to_double,
+    )
+
+    keys = ["c_mktsegment", "o_orderpriority"]
+
+    def agg(df):
+        # DECIMAL partials all the way: the outer fold of the four
+        # terms must be order-independent, so nothing drops to double
+        # until the single final conversion
+        return df.groupBy(*keys).agg(
+            F.sum("s").alias("n_rows"),
+            F.sum(
+                F.col("s") * F.col("o_totalprice").cast(DEC)
+            ).alias("total_price"),
+            F.sum(F.col("s") * F.col("c_acctbal").cast(DEC)).alias("total_bal"),
+        )
+
+    base = agg(o.join(c, o.o_custkey == c.c_custkey).withColumn("s", F.lit(1)))
+    t1 = agg(
+        d_o.join(c, d_o.o_custkey == c.c_custkey)  # dO >< C, sign from dO
+    )
+    t2 = agg(
+        o.withColumn("so", F.lit(1))
+        .join(d_c, o.o_custkey == d_c.c_custkey)  # O >< dC, sign from dC
+        .drop("so")
+    )
+    t3 = agg(  # dO >< dC: sign product
+        d_o.withColumnRenamed("s", "so")
+        .join(
+            d_c.withColumnRenamed("s", "sc"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .withColumn("s", F.col("so") * F.col("sc"))
+    )
+    total = base.unionByName(t1).unionByName(t2).unionByName(t3)
+    return (
+        total.groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            _dec_to_double(F.sum("total_price")).alias("total_price"),
+            _dec_to_double(F.sum("total_bal")).alias("total_bal"),
+        )
+        .filter(F.col("n_rows") > 0)
     )
