@@ -764,3 +764,196 @@ def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def _ivm_lake_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two snapshot tables with one committed change batch each:
+    orders v2 = the standard deterministic merge batch (upserts +
+    tombstones + inserts, the q_lake_merge restatement), customer v2 =
+    an UPDATE WHERE on acctbal. Their snap_diff change feeds drive the
+    join-view maintenance in q_lake_ivm_join."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+        snap_update_where,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sources_q import (
+        _merge_updates,
+    )
+
+    def build() -> str:
+        o_lake = tempfile.mkdtemp(prefix="ivm_orders_lake_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+            ),
+            o_lake,
+            "o_orderpriority",
+            sort_by=("o_orderkey",),
+        )
+        assert snap_merge(
+            spark, o_lake,
+            _merge_updates(spark, sf_dir).select(
+                "o_orderkey", "o_custkey", "o_orderpriority",
+                "o_totalprice", "_delete",
+            ),
+            key_cols=("o_orderkey",), delete_col="_delete",
+            sort_by=("o_orderkey",),
+        ) == 2
+        c_lake = tempfile.mkdtemp(prefix="ivm_customer_lake_")
+        snap_init(
+            spark,
+            table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            ),
+            c_lake,
+            "c_mktsegment",
+            sort_by=("c_custkey",),
+        )
+        assert snap_update_where(
+            spark, c_lake, _IVM_C_UPD,
+            {"c_acctbal": "c_acctbal + 100.0"}, sort_by=("c_custkey",),
+        ) == 2
+        return o_lake + "\n" + c_lake
+
+    pair = materialize_once(
+        (
+            "ivm_lake_pair", sf_dir,
+            table_fingerprint(sf_dir, "orders"),
+            table_fingerprint(sf_dir, "customer"),
+        ),
+        build,
+    )
+    o_lake, c_lake = pair.split("\n")
+    return o_lake, c_lake
+
+
+@register(
+    "q_lake_ivm_join",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               o_totalprice + 1000.0 AS o_totalprice, FALSE AS del
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 103 = 5
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_custkey, o_orderpriority,
+               o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 101 = 3
+    ),
+    o2 AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        FROM upd WHERE NOT del
+    ),
+    c2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN {_IVM_C_UPD} THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    )
+    SELECT c2.c_mktsegment, o2.o_orderpriority,
+           COUNT(*) AS n_rows,
+           {{dp}} AS total_price,
+           {{db}} AS total_bal
+    FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
+    GROUP BY c2.c_mktsegment, o2.o_orderpriority
+    """.format(
+        dp=sql_dsum("o2.o_totalprice"), db=sql_dsum("c2.c_acctbal")
+    ),
+    tags=("cdc", "ivm", "lakesnap", "scale"),
+)
+def q_lake_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-VIEW MAINTENANCE DRIVEN BY THE LAKE'S OWN CHANGE FEED:
+    q_ivm_join_delta's signed-delta algebra, but the deltas are not
+    synthesized — they come from ``snap_diff`` over two snapshot
+    tables' committed histories (orders: a CoW merge with upserts,
+    tombstones, and inserts; customer: an UPDATE WHERE), i.e. the Delta
+    CDF -> incremental-matview pipeline end to end. Each diff row
+    explodes into its signed images ((-old, +new) for updates), the
+    three delta joins run against the V1 base tables, and the
+    maintained aggregate hash-matches the oracle's DIRECT recompute
+    from the post-change tables. At 100 TB the change feed is
+    manifest-pruned to partitions that can differ, and the maintenance
+    cost is O(changes) x join fanout — the matview never rescans."""
+    from docker_based_real_time_etl_project_spark.functions import (
+        DEC,
+        _dec_to_double,
+    )
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_diff,
+        snap_read,
+    )
+
+    o_lake, c_lake = _ivm_lake_pair(spark, sf_dir)
+    o1 = snap_read(spark, o_lake, 1)
+    c1 = snap_read(spark, c_lake, 1)
+
+    def images(diff, key, fields):
+        old = diff.filter(F.col("_old").isNotNull()).select(
+            F.col(key),
+            *[F.col(f"_old.{f}").alias(f) for f in fields],
+            F.lit(-1).alias("s"),
+        )
+        new = diff.filter(F.col("_new").isNotNull()).select(
+            F.col(key),
+            *[F.col(f"_new.{f}").alias(f) for f in fields],
+            F.lit(1).alias("s"),
+        )
+        return old.unionByName(new)
+
+    d_o = images(
+        snap_diff(spark, o_lake, 1, 2, ["o_orderkey"]),
+        "o_orderkey",
+        ["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    d_c = images(
+        snap_diff(spark, c_lake, 1, 2, ["c_custkey"]),
+        "c_custkey",
+        ["c_mktsegment", "c_acctbal"],
+    )
+
+    keys = ["c_mktsegment", "o_orderpriority"]
+
+    def agg(df):
+        return df.groupBy(*keys).agg(
+            F.sum("s").alias("n_rows"),
+            F.sum(F.col("s") * F.col("o_totalprice").cast(DEC)).alias(
+                "total_price"
+            ),
+            F.sum(F.col("s") * F.col("c_acctbal").cast(DEC)).alias("total_bal"),
+        )
+
+    base = agg(
+        o1.join(c1, o1.o_custkey == c1.c_custkey).withColumn("s", F.lit(1))
+    )
+    t1 = agg(d_o.join(c1, d_o.o_custkey == c1.c_custkey))
+    t2 = agg(o1.join(d_c, o1.o_custkey == d_c.c_custkey))
+    t3 = agg(
+        d_o.withColumnRenamed("s", "so")
+        .join(
+            d_c.withColumnRenamed("s", "sc"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .withColumn("s", F.col("so") * F.col("sc"))
+    )
+    total = base.unionByName(t1).unionByName(t2).unionByName(t3)
+    return (
+        total.groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            _dec_to_double(F.sum("total_price")).alias("total_price"),
+            _dec_to_double(F.sum("total_bal")).alias("total_bal"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
