@@ -7,6 +7,7 @@ from docker_based_real_time_etl_project_spark.queries import (  # noqa: F401
     embeddings_q,
     flows_q,
     functions_q,
+    graph_q,
     llmprep_q,
     microstructure_q,
     multimodal_q,

@@ -957,3 +957,103 @@ def q_lake_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVM for NON-distributive aggregates: dirty-group recompute
+# ---------------------------------------------------------------------------
+
+# Deterministic change batch, keyed on o_orderkey (delete wins over
+# update when the moduli coincide at large key ranges):
+_MM_DEL = "o_orderkey % 1999 = 3"
+_MM_UPD = "o_orderkey % 2003 = 5"
+_MM_INS = "o_orderkey % 2011 = 7"
+_MM_GROUPS = 512  # view group key: o_custkey % 512
+
+
+@register(
+    "q_ivm_minmax",
+    oracle=f"""
+    WITH o2 AS (
+        SELECT o_custkey,
+               CASE WHEN {_MM_UPD} THEN o_totalprice * 0.5
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE NOT ({_MM_DEL})
+        UNION ALL
+        SELECT o_custkey, o_totalprice + 100000.0
+        FROM orders WHERE {_MM_INS}
+    )
+    SELECT o_custkey % {_MM_GROUPS} AS g,
+           COUNT(*) AS n_rows,
+           MAX(p) AS max_price,
+           MIN(p) AS min_price
+    FROM o2 GROUP BY g
+    """,
+    tags=("cdc", "ivm", "scale"),
+)
+def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM FOR NON-DISTRIBUTIVE AGGREGATES (the MIN/MAX deletion
+    problem): q_ivm_join_delta's signed-delta algebra cannot maintain
+    MAX/MIN — deleting the group's current maximum gives the view no
+    way to know the runner-up without looking back at the base table.
+    The production answer (DBToaster/Materialize call these
+    "non-decomposable"; Delta/Snowflake matviews do the same) is
+    DIRTY-GROUP RECOMPUTE: the change batch marks the groups it
+    touches, ONLY those groups re-aggregate from the post-change
+    table, and the untouched groups are served verbatim from the
+    stored matview. Here the change batch (deletes that can remove a
+    max, halving updates that can demote one, inserts that can raise
+    one) touches ~24 of 512 groups, so the maintained view =
+    matview ANTI-JOIN dirty  UNION  agg(base SEMI-JOIN dirty) — at
+    100 TB the semi-join prunes the rescan to the dirty groups'
+    partitions (the group key is the natural clustering key for a
+    maintained view) and the broadcast dirty set costs one scan of
+    the changelog. The oracle recomputes every group directly from
+    the post-change table, so a single stale clean-group row or a
+    missed runner-up promotion hash-fails. MAX/MIN over doubles are
+    selections (order-independent), so no decimal hop is needed;
+    the halved/boosted prices are per-row double ops, which are
+    bit-deterministic across engines.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    g = (F.col("o_custkey") % _MM_GROUPS).alias("g")
+    dele, upd, ins = F.expr(_MM_DEL), F.expr(_MM_UPD), F.expr(_MM_INS)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("p").alias("max_price"),
+            F.min("p").alias("min_price"),
+        )
+
+    # The stored matview over V1 (in production this is a lake table;
+    # recomputing it here stands in for reading it).
+    matview = agg(o.select(g, F.col("o_totalprice").alias("p")))
+
+    # Change batch -> dirty group set. Every image (old or new) of a
+    # changed row marks its group; updates/deletes/inserts here never
+    # move a row across groups (g rides o_custkey), so old-image
+    # groups cover it — a group-changing update would mark both.
+    dirty = (
+        o.filter(dele | upd | ins).select(g).distinct()
+    )
+
+    # Post-change table (in production: the table after the DML batch).
+    v2 = (
+        o.filter(~dele)
+        .select(
+            g,
+            F.when(upd, F.col("o_totalprice") * 0.5)
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+        .unionByName(
+            o.filter(ins).select(g, (F.col("o_totalprice") + 100000.0).alias("p"))
+        )
+    )
+
+    clean = matview.join(F.broadcast(dirty), "g", "left_anti")
+    recomputed = agg(v2.join(F.broadcast(dirty), "g", "left_semi"))
+    return clean.unionByName(recomputed)

@@ -1,0 +1,218 @@
+"""Iterative / theta-join query shapes the relational surface lacked:
+
+- ``q_hierarchy_closure``: transitive closure over a forest by POINTER
+  JUMPING (path doubling) — O(log depth) join rounds instead of
+  O(depth), the scale-correct plan for hierarchy flattening (org
+  charts, category trees, BOM explosion). Oracle = DuckDB's native
+  ``WITH RECURSIVE``, so the doubling algebra is held to the exact
+  fixpoint semantics.
+- ``q_join_interval_overlap``: a PURE interval-overlap join (no equi
+  key at all — `q_join_range` at relational.py:322 still shuffles on
+  an equi key). The scale plan maps every interval to its covered
+  coarse time buckets, equi-joins on the bucket, and keeps the exact
+  overlap predicate as a residual with a start-bucket dedup guard —
+  candidate generation is bounded by bucket co-occupancy, never the
+  row-count product.
+
+The reference has no recursive or theta-join machinery (its only
+joins are implicit Kafka-topic fanouts, `cassandra-sink-config.json:6`);
+these extend the engine per BASELINE.json's 100 TB north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docker_based_real_time_etl_project_spark.queries.registry import (
+    dsum,
+    register,
+    sql_dsum,
+    table,
+)
+
+# Forest over the customer keys: parent(c) = c DIV 8 + c % 7 for c >= 8
+# (strictly decreasing, lands inside the dense 0..max key space, and the
+# `% 7` term makes the pointer data-dependent enough that the closure
+# below genuinely joins a materialized edge table rather than collapsing
+# to closed-form arithmetic); nodes 0..7 are roots.
+_ROOT_BOUND = 8
+_PARENT_EXPR = "node DIV 8 + node % 7"
+
+
+@register(
+    "q_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+        UNION ALL
+        SELECT node, cur // 8 + cur % 7, depth + 1 FROM w WHERE cur >= 8
+    )
+    SELECT cur AS root,
+           COUNT(*) AS n_nodes,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(node) AS BIGINT) AS sum_key
+    FROM w WHERE cur < 8
+    GROUP BY cur
+    """,
+    tags=("graph", "iterative", "scale"),
+)
+def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE CLOSURE BY POINTER JUMPING: every customer node walks
+    a synthetic forest (parent = ``node DIV 8 + node % 7``) to its
+    root, but instead of one join per level (O(depth) shuffle rounds —
+    the naive loop), the jump table composes with ITSELF each round
+    (J' = J∘J), so after k rounds every state advances 2^k levels:
+    O(log depth) rounds total. At 100 TB this is the difference
+    between ~8 shuffle rounds and ~3 for a 15M-node forest, and the
+    per-round cost stays one keyed equi-join on the (node -> ancestor)
+    table. ``localCheckpoint`` truncates the doubling lineage exactly
+    as the connected-components operator does (operators/dedup.py).
+    The convergence probe is one ``isEmpty`` action per round —
+    O(log depth) driver round-trips, never a per-row collect. The
+    DuckDB oracle walks the same forest with a native recursive CTE,
+    so the doubled-step depth accounting must land on the exact
+    per-node (root, depth) fixpoint to hash-match the bigint sums.
+
+    The parent function stays inside the key space because TPC-H
+    custkeys are dense 0..N and parent(c) < c; with sparse keys the
+    edge table would simply be built from the closure's own frontier.
+    """
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    edges = c.filter(F.col("node") >= _ROOT_BOUND).select(
+        "node", F.expr(_PARENT_EXPR).alias("parent"), F.lit(1).alias("step")
+    )
+    state = c.select("node", F.col("node").alias("cur"), F.lit(0).alias("depth"))
+    jump = edges.localCheckpoint(eager=True)
+    # depth <= 64 for bigint keys under a strictly-decreasing parent, so
+    # doubling converges in <= 7 rounds; the bound is a defect alarm,
+    # not a silent cap.
+    for _ in range(12):
+        hot = state.filter(F.col("cur") >= _ROOT_BOUND)
+        if hot.isEmpty():
+            break
+        done = state.filter(F.col("cur") < _ROOT_BOUND)
+        j = jump.select(
+            F.col("node").alias("j_node"),
+            F.col("parent").alias("j_parent"),
+            F.col("step").alias("j_step"),
+        )
+        adv = hot.join(j, hot.cur == F.col("j_node"), "inner").select(
+            "node",
+            F.col("j_parent").alias("cur"),
+            (F.col("depth") + F.col("j_step")).alias("depth"),
+        )
+        state = done.unionByName(adv).localCheckpoint(eager=True)
+        # J' = J∘J: jump twice where the midpoint still has an entry
+        # (roots have none -> left join keeps the single step).
+        jump = (
+            jump.join(j, jump.parent == F.col("j_node"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("j_parent"), F.col("parent")).alias("parent"),
+                (F.col("step") + F.coalesce(F.col("j_step"), F.lit(0))).alias(
+                    "step"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError("pointer jumping failed to converge in 12 rounds")
+    return state.groupBy(F.col("cur").alias("root")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.sum("node").cast("bigint").alias("sum_key"),
+    )
+
+
+# Interval-overlap join fixtures: sparse 30-day "promo windows" (one
+# per ~6007 orders) against every order's own activity interval
+# [o_orderdate, o_orderdate + (o_orderkey % 14) days]. Both derived
+# deterministically from orders so the oracle restates them exactly.
+_W_PRED = "o_orderkey % 6007 = 1"
+_W_DAYS = 30
+_IV_DAYS = "o_orderkey % 14"
+# Bucket width: >= the longest interval (30 d), so any interval covers
+# at most 2 buckets and the candidate blowup per row is <= 2.
+_BUCKET_S = 32 * 86400
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_orderkey AS w_key, o_orderdate AS w_start,
+               o_orderdate + INTERVAL {_W_DAYS} DAY AS w_end
+        FROM orders WHERE {_W_PRED}
+    ),
+    iv AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate AS s,
+               o_orderdate + ({_IV_DAYS}) * INTERVAL 1 DAY AS e
+        FROM orders
+    )
+    SELECT w.w_key, COUNT(*) AS n_overlap,
+           {sql_dsum("iv.o_totalprice")} AS total_price
+    FROM w JOIN iv ON iv.s <= w.w_end AND w.w_start <= iv.e
+    GROUP BY w.w_key
+    """,
+    tags=("join", "interval", "scale"),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE INTERVAL-OVERLAP JOIN, BUCKETIZED: match every order whose
+    activity interval [orderdate, orderdate + key%14 days] overlaps a
+    sparse set of 30-day windows — NO equi key exists, so the naive
+    plan is a cross join with a theta residual (O(|A|x|B|), the plan
+    Spark itself picks for a bare theta join). The scale plan instead
+    maps each interval to the coarse 32-day time buckets it covers
+    (``sequence`` + ``explode``, <= 2 buckets per interval because the
+    bucket is wider than the longest interval), equi-joins on the
+    bucket, keeps the EXACT overlap predicate as a residual, and
+    dedups multi-bucket matches with the standard start-bucket guard:
+    a pair is emitted only in the bucket containing max(start_a,
+    start_b) — that bucket is always co-covered, so exactly-once.
+    Candidate cost is bucket co-occupancy (data-local), not the row
+    product; the shuffle key is the bucket. The oracle runs the
+    direct theta join, so the bucket decomposition must reproduce the
+    exact overlap set. Timestamps bucket via cast-to-long epoch
+    seconds (timezone-independent), used symmetrically on both sides.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = o.filter(F.expr(_W_PRED)).select(
+        F.col("o_orderkey").alias("w_key"),
+        F.col("o_orderdate").cast("long").alias("w_s"),
+        (F.col("o_orderdate").cast("long") + F.lit(_W_DAYS * 86400)).alias("w_e"),
+    )
+    iv = o.select(
+        F.col("o_totalprice"),
+        F.col("o_orderdate").cast("long").alias("iv_s"),
+        (
+            F.col("o_orderdate").cast("long")
+            + F.expr(_IV_DAYS).cast("long") * 86400
+        ).alias("iv_e"),
+    )
+
+    def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} DIV {_BUCKET_S}"),
+                    F.expr(f"{e} DIV {_BUCKET_S}"),
+                )
+            ),
+        )
+
+    wb = buckets(w, "w_s", "w_e")
+    ib = buckets(iv, "iv_s", "iv_e")
+    pairs = wb.join(ib, "bucket").filter(
+        (F.col("iv_s") <= F.col("w_e"))
+        & (F.col("w_s") <= F.col("iv_e"))
+        # exactly-once guard: emit only in the overlap-start bucket
+        & (
+            F.expr(f"greatest(w_s, iv_s) DIV {_BUCKET_S}") == F.col("bucket")
+        )
+    )
+    return pairs.groupBy("w_key").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        dsum("o_totalprice").alias("total_price"),
+    )

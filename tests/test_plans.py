@@ -737,3 +737,28 @@ def test_span_corpus_single_explode(spark, sf_dir):
     assert plan.count("Generate") == 2
     assert count_exchanges(df) == 2
     assert count_exchanges(df, include_repartition=True) == 3
+
+
+def test_interval_overlap_join_is_equi_on_bucket(spark, sf_dir):
+    """The pure theta (overlap) join must NOT plan as a cartesian or
+    broadcast-nested-loop: bucketization turns it into a hash equi-join
+    on the bucket key with the exact overlap predicate as residual."""
+    df = _q("q_join_interval_overlap", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
+    assert js.get("BroadcastHashJoin", 0) + js.get("SortMergeJoin", 0) + js.get(
+        "ShuffledHashJoin", 0
+    ) >= 1
+
+
+def test_ivm_minmax_recompute_is_dirty_group_pruned(spark, sf_dir):
+    """The MIN/MAX maintenance plan must semi/anti-join the broadcast
+    dirty-group set (never rescan-all): two broadcast joins, zero
+    cartesians."""
+    df = _q("q_ivm_minmax", spark, sf_dir)
+    plan = formatted_plan(df)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert js.get("BroadcastHashJoin", 0) >= 2
