@@ -37,7 +37,10 @@ from docker_based_real_time_etl_project_spark.queries.registry import (
 # below genuinely joins a materialized edge table rather than collapsing
 # to closed-form arithmetic); nodes 0..7 are roots.
 _ROOT_BOUND = 8
-_PARENT_EXPR = "node DIV 8 + node % 7"
+
+
+def _parent_expr(col: str) -> str:
+    return f"{col} DIV 8 + {col} % 7"
 
 
 @register(
@@ -74,20 +77,25 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the doubled-step depth accounting must land on the exact
     per-node (root, depth) fixpoint to hash-match the bigint sums.
 
-    The parent function stays inside the key space because TPC-H
-    custkeys are dense 0..N and parent(c) < c; with sparse keys the
-    edge table would simply be built from the closure's own frontier.
+    The jump join is TOTAL over any key set: a state whose current
+    ancestor value has no jump entry (possible when keys are sparse —
+    e.g. the offset-replicated sf1/sf10 stress data — since the
+    arithmetic parent of a key need not itself be a key) falls back to
+    ONE arithmetic parent step via coalesce, so correctness never
+    depends on key density; dense keys get the full 2^k doubling,
+    stray values converge in <= 21 single steps (parent divides by 8,
+    so depth <= log8(2^63)).
     """
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
     edges = c.filter(F.col("node") >= _ROOT_BOUND).select(
-        "node", F.expr(_PARENT_EXPR).alias("parent"), F.lit(1).alias("step")
+        "node", F.expr(_parent_expr("node")).alias("parent"), F.lit(1).alias("step")
     )
     state = c.select("node", F.col("node").alias("cur"), F.lit(0).alias("depth"))
     jump = edges.localCheckpoint(eager=True)
-    # depth <= 64 for bigint keys under a strictly-decreasing parent, so
-    # doubling converges in <= 7 rounds; the bound is a defect alarm,
-    # not a silent cap.
-    for _ in range(12):
+    # Dense keys converge in <= 7 doubling rounds (depth <= 64 for
+    # bigint); the single-step fallback path needs <= 21; 24 is a
+    # defect alarm, not a silent cap.
+    for _ in range(24):
         hot = state.filter(F.col("cur") >= _ROOT_BOUND)
         if hot.isEmpty():
             break
@@ -97,10 +105,14 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parent").alias("j_parent"),
             F.col("step").alias("j_step"),
         )
-        adv = hot.join(j, hot.cur == F.col("j_node"), "inner").select(
+        adv = hot.join(j, hot.cur == F.col("j_node"), "left").select(
             "node",
-            F.col("j_parent").alias("cur"),
-            (F.col("depth") + F.col("j_step")).alias("depth"),
+            F.coalesce(F.col("j_parent"), F.expr(_parent_expr("cur"))).alias(
+                "cur"
+            ),
+            (F.col("depth") + F.coalesce(F.col("j_step"), F.lit(1))).alias(
+                "depth"
+            ),
         )
         state = done.unionByName(adv).localCheckpoint(eager=True)
         # J' = J∘J: jump twice where the midpoint still has an entry
@@ -117,7 +129,7 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError("pointer jumping failed to converge in 12 rounds")
+        raise RuntimeError("pointer jumping failed to converge in 24 rounds")
     return state.groupBy(F.col("cur").alias("root")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("depth").cast("bigint").alias("max_depth"),
