@@ -1,0 +1,132 @@
+"""Pointer-jumping (path-doubling) closure over a functional forest.
+
+Generic machinery behind the graph-shaped queries (queries/graph_q.py):
+every node follows a (node -> parent) edge table to its root in
+O(log depth) keyed equi-join rounds — the jump table composes with
+itself each round (J' = J∘J), so after k rounds a live state advances
+2^k levels. This is the scale-correct plan for hierarchy flattening
+(org charts, BOM explosion, category trees): a 15M-node forest of
+depth ~8 costs ~3-4 shuffle rounds instead of 8, and each round is one
+equi-join on the jump table plus a ``localCheckpoint`` to truncate the
+doubling lineage (same pattern as the connected-components operator,
+operators/dedup.py).
+
+Totality: a state whose current ancestor value has no jump entry
+(possible only when the parent function can leave the key space —
+never in an FK-enforced hierarchy) falls back to ONE application of
+``fallback_parent_expr``; correctness never depends on key density,
+at the cost of O(depth) rounds for the stray stretch (measured in
+SCALE.md round-10 session-3).
+
+The optional path carry composes the exact ancestor chain through the
+same doubling: the jump table stores the '>'-joined segment STRICTLY
+AFTER its node up to its 2^k-th ancestor, and J∘J concatenates the two
+halves — so even the path-producing closure stays O(log depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pointer_jump(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    root_bound_expr: str,
+    fallback_parent_expr: str,
+    carry_path: bool = False,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Resolve every node of ``nodes`` (column ``node``) to its root.
+
+    ``edges`` has columns (node, parent) — one row per NON-root node.
+    ``root_bound_expr``: boolean SQL over a column named ``cur`` that
+    is true iff ``cur`` is a root. ``fallback_parent_expr``: SQL over
+    ``cur`` giving one parent step for values absent from the jump
+    table. Returns (node, cur=root, depth[, path]).
+    """
+    jump = edges.select(
+        "node",
+        "parent",
+        F.lit(1).alias("step"),
+        *(
+            [F.col("parent").cast("string").alias("seg")]
+            if carry_path
+            else []
+        ),
+    ).localCheckpoint(eager=True)
+    state = nodes.select(
+        "node",
+        F.col("node").alias("cur"),
+        F.lit(0).alias("depth"),
+        *([F.col("node").cast("string").alias("path")] if carry_path else []),
+    )
+    root = F.expr(root_bound_expr)
+    for _ in range(max_rounds):
+        hot = state.filter(~root)
+        if hot.isEmpty():
+            break
+        done = state.filter(root)
+        j = jump.select(
+            F.col("node").alias("j_node"),
+            F.col("parent").alias("j_parent"),
+            F.col("step").alias("j_step"),
+            *([F.col("seg").alias("j_seg")] if carry_path else []),
+        )
+        fallback = F.expr(fallback_parent_expr)
+        adv = hot.join(j, hot.cur == F.col("j_node"), "left").select(
+            "node",
+            F.coalesce(F.col("j_parent"), fallback).alias("cur"),
+            (F.col("depth") + F.coalesce(F.col("j_step"), F.lit(1))).alias(
+                "depth"
+            ),
+            *(
+                [
+                    F.concat(
+                        F.col("path"),
+                        F.lit(">"),
+                        F.coalesce(
+                            F.col("j_seg"), fallback.cast("string")
+                        ),
+                    ).alias("path")
+                ]
+                if carry_path
+                else []
+            ),
+        )
+        state = done.unionByName(adv).localCheckpoint(eager=True)
+        # J' = J∘J where the midpoint still has an entry; roots have
+        # none, so their predecessors keep the shorter hop.
+        jump = (
+            jump.join(j, jump.parent == F.col("j_node"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("j_parent"), F.col("parent")).alias("parent"),
+                (F.col("step") + F.coalesce(F.col("j_step"), F.lit(0))).alias(
+                    "step"
+                ),
+                *(
+                    [
+                        F.when(
+                            F.col("j_seg").isNull(), F.col("seg")
+                        )
+                        .otherwise(
+                            F.concat(
+                                F.col("seg"), F.lit(">"), F.col("j_seg")
+                            )
+                        )
+                        .alias("seg")
+                    ]
+                    if carry_path
+                    else []
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"pointer jumping failed to converge in {max_rounds} rounds"
+        )
+    return state

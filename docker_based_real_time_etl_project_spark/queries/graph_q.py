@@ -43,6 +43,33 @@ def _parent_expr(col: str) -> str:
     return f"{col} DIV 8 + {col} % 7"
 
 
+def _closure(
+    spark: SparkSession, sf_dir: str, *, carry_path: bool = False,
+    node_filter: str | None = None,
+) -> DataFrame:
+    """(node, cur=root, depth[, path]) over the synthetic customer
+    forest via operators/graph.pointer_jump. The jump table always
+    covers EVERY non-root customer; ``node_filter`` restricts only the
+    resolved state set (the jump table must still carry the
+    intermediate ancestors the filtered nodes walk through)."""
+    from docker_based_real_time_etl_project_spark.operators.graph import (
+        pointer_jump,
+    )
+
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    edges = c.filter(F.col("node") >= _ROOT_BOUND).select(
+        "node", F.expr(_parent_expr("node")).alias("parent")
+    )
+    nodes = c.filter(F.expr(node_filter)) if node_filter else c
+    return pointer_jump(
+        nodes,
+        edges,
+        root_bound_expr=f"cur < {_ROOT_BOUND}",
+        fallback_parent_expr=_parent_expr("cur"),
+        carry_path=carry_path,
+    )
+
+
 @register(
     "q_hierarchy_closure",
     oracle="""
@@ -86,50 +113,7 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     stray values converge in <= 21 single steps (parent divides by 8,
     so depth <= log8(2^63)).
     """
-    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
-    edges = c.filter(F.col("node") >= _ROOT_BOUND).select(
-        "node", F.expr(_parent_expr("node")).alias("parent"), F.lit(1).alias("step")
-    )
-    state = c.select("node", F.col("node").alias("cur"), F.lit(0).alias("depth"))
-    jump = edges.localCheckpoint(eager=True)
-    # Dense keys converge in <= 7 doubling rounds (depth <= 64 for
-    # bigint); the single-step fallback path needs <= 21; 24 is a
-    # defect alarm, not a silent cap.
-    for _ in range(24):
-        hot = state.filter(F.col("cur") >= _ROOT_BOUND)
-        if hot.isEmpty():
-            break
-        done = state.filter(F.col("cur") < _ROOT_BOUND)
-        j = jump.select(
-            F.col("node").alias("j_node"),
-            F.col("parent").alias("j_parent"),
-            F.col("step").alias("j_step"),
-        )
-        adv = hot.join(j, hot.cur == F.col("j_node"), "left").select(
-            "node",
-            F.coalesce(F.col("j_parent"), F.expr(_parent_expr("cur"))).alias(
-                "cur"
-            ),
-            (F.col("depth") + F.coalesce(F.col("j_step"), F.lit(1))).alias(
-                "depth"
-            ),
-        )
-        state = done.unionByName(adv).localCheckpoint(eager=True)
-        # J' = J∘J: jump twice where the midpoint still has an entry
-        # (roots have none -> left join keeps the single step).
-        jump = (
-            jump.join(j, jump.parent == F.col("j_node"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("j_parent"), F.col("parent")).alias("parent"),
-                (F.col("step") + F.coalesce(F.col("j_step"), F.lit(0))).alias(
-                    "step"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError("pointer jumping failed to converge in 24 rounds")
+    state = _closure(spark, sf_dir)
     return state.groupBy(F.col("cur").alias("root")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("depth").cast("bigint").alias("max_depth"),
@@ -228,3 +212,81 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT c_custkey AS node, c_custkey AS cur FROM customer
+        UNION ALL
+        SELECT node, cur // 8 + cur % 7 FROM w WHERE cur >= 8
+    ),
+    closure AS (SELECT node, cur AS root FROM w WHERE cur < 8)
+    SELECT cl.root,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o.o_totalprice")} AS total_rev
+    FROM orders o JOIN closure cl ON o.o_custkey = cl.node
+    GROUP BY cl.root
+    """,
+    tags=("graph", "iterative", "agg", "scale"),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHY ROLLUP: revenue aggregated to each subtree ROOT — the
+    org-chart / category-tree rollup every BI stack needs and flat SQL
+    can't express without recursion. The closure (node -> root, from
+    the O(log depth) pointer-jumping operator) acts as a derived
+    DIMENSION: the fact table equi-joins it on the child key and
+    aggregates by root. At 100 TB the closure output is
+    customer-sized (built once, reusable as a materialized dim), the
+    fact join is an ordinary keyed shuffle (broadcastable when the
+    hierarchy is small), and the rollup is one partial-agg exchange —
+    recursion never touches the fact table. The oracle recomputes the
+    closure with a native recursive CTE and joins directly; the
+    decimal-hop sum makes base+closure bit-equal across engines.
+    """
+    closure = _closure(spark, sf_dir).select("node", F.col("cur").alias("root"))
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        o.join(closure, o.o_custkey == closure.node)
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "q_hierarchy_path",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT c_custkey AS node, c_custkey AS cur,
+               CAST(c_custkey AS VARCHAR) AS path
+        FROM customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT node, cur // 8 + cur % 7,
+               path || '>' || CAST(cur // 8 + cur % 7 AS VARCHAR)
+        FROM w WHERE cur >= 8
+    )
+    SELECT node, path FROM w WHERE cur < 8
+    """,
+    tags=("graph", "iterative"),
+)
+def q_hierarchy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED ANCESTOR PATHS THROUGH THE DOUBLING: every 97th
+    node emits its full '>'-joined root path (the ltree/materialized-
+    path column hierarchical schemas denormalize). The jump table
+    carries, besides the 2^k-th ancestor, the exact path SEGMENT it
+    skips, and J∘J concatenates the halves — so path construction
+    inherits the O(log depth) round count instead of forcing the
+    naive one-level-per-join walk. This pins strictly more than
+    q_hierarchy_closure's (root, depth) sums: every intermediate
+    ancestor, in order, must match DuckDB's recursive CTE character
+    for character. The state set is filtered to the sampled nodes but
+    the jump table must cover all customers (the sampled nodes walk
+    through unsampled ancestors)."""
+    state = _closure(
+        spark, sf_dir, carry_path=True, node_filter="node % 97 = 0"
+    )
+    return state.select("node", "path")
