@@ -100,6 +100,12 @@ HEADLINE = [
     "q_retention_curve",        # day-N retention, windowed denominator
     "q_ann_ivf_persisted",      # lake-persisted IVF index, probed-cell reads
     "q_lake_mor_merge",         # MoR upsert: O(changes) CDC-apply commit
+    # round 10 session-3 additions
+    "q_hierarchy_closure",      # pointer-jumping closure, O(log depth) rounds
+    "q_join_interval_overlap",  # pure overlap join via 32-day bucket equi-join
+    "q_ivm_minmax",             # MIN/MAX matview, dirty-group recompute
+    "q_scd2_interval_join",     # SCD2 validity-interval fact enrichment
+    "q_interval_concurrency",   # sweep-line peaks via two-phase prefix scan
 ]
 
 

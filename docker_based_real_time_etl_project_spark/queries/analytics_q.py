@@ -492,3 +492,63 @@ def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retention_bp"),
     )
+
+
+@register(
+    "q_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderdate AS s,
+               o_orderdate + ((o_orderkey % 14) + 1) * INTERVAL 1 DAY AS e
+        FROM orders
+    ),
+    d AS (
+        SELECT s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM iv
+    ),
+    g AS (SELECT t, SUM(delta) AS delta FROM d GROUP BY t),
+    c AS (SELECT t, SUM(delta) OVER (ORDER BY t) AS conc FROM g)
+    SELECT strftime(date_trunc('month', t), '%Y-%m') AS month,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           COUNT(*) AS n_points
+    FROM c GROUP BY month
+    """,
+    tags=("interval", "scan", "scale"),
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX CONCURRENT INTERVALS BY SWEEP LINE — the ops question
+    ("how many orders were in flight at once, per month?") whose naive
+    SQL is a global running sum, i.e. the single-partition-window trap
+    (``Window.orderBy(t)`` with no partitionBy drags ALL events
+    through one task). The scale-correct plan: intervals become
+    (start,+1)/(end,-1) deltas (end-exclusive), deltas aggregate per
+    unique timestamp (one keyed exchange), and the running concurrency
+    is the TWO-PHASE DISTRIBUTED PREFIX SCAN from operators/prefix.py
+    — range-partition by time, per-partition totals, an O(partitions)
+    driver scan, broadcast offsets back. The step function then rolls
+    up to per-month peaks. The oracle computes the same sweep with a
+    (single-threaded) SQL window, so boundary placement, tie folding,
+    and the exclusive end must all agree exactly."""
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    s = F.col("o_orderdate")
+    e = F.expr(
+        "o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 14 AS INT) + 1)"
+    )
+    deltas = (
+        o.select(s.alias("t"), F.lit(1).alias("delta"))
+        .unionByName(o.select(e.alias("t"), F.lit(-1).alias("delta")))
+        .groupBy("t")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    conc = ordered_prefix_sum(deltas, ["t"], "delta", out_col="conc")
+    return conc.groupBy(
+        F.date_format(F.date_trunc("month", "t"), "yyyy-MM").alias("month")
+    ).agg(
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

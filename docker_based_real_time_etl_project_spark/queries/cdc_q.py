@@ -21,7 +21,7 @@ from docker_based_real_time_etl_project_spark.cdc import (
     materialize_latest,
 )
 from docker_based_real_time_etl_project_spark.queries.registry import (
-    register, sql_dsum, table,
+    dsum, register, sql_dsum, table,
 )
 
 ROW_SCHEMA = T.StructType(
@@ -1057,3 +1057,120 @@ def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = matview.join(F.broadcast(dirty), "g", "left_anti")
     recomputed = agg(v2.join(F.broadcast(dirty), "g", "left_semi"))
     return clean.unionByName(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2: changelog -> validity-interval dimension, and the fact join
+# ---------------------------------------------------------------------------
+
+_SCD2_WINDOW_SQL = "(PARTITION BY user_id ORDER BY ts, event_id)"
+
+
+@register(
+    "q_scd2_build",
+    oracle=f"""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER {_SCD2_WINDOW_SQL} AS BIGINT) AS version_no,
+           value,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER {_SCD2_WINDOW_SQL} AS valid_to_us
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("cdc", "scd2", "window"),
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 DIMENSION BUILD: the warehouse pattern the CDC
+    surface lacked — a change stream (each 'purchase' event is a new
+    version of its user's attribute) becomes a versioned dimension
+    with explicit VALIDITY INTERVALS: valid_from = the change's event
+    time, valid_to = the NEXT change's event time (exclusive), NULL =
+    the open current version. One window over (user, event-time,
+    event_id-tiebreak) produces version numbers and the lead-shifted
+    interval ends — a single keyed exchange, no self-join (the naive
+    build joins each change to its successor). At 100 TB the window
+    partitions by the dimension key, so state per task is one user's
+    history; intervals land as epoch MICROS (timezone-independent,
+    exact) rather than rendered timestamps. Oracled by the identical
+    window algebra in DuckDB."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version_no"),
+        "value",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+    )
+
+
+@register(
+    "q_scd2_interval_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id, value AS dim_value,
+               epoch_us(ts) AS valid_from_us,
+               LEAD(epoch_us(ts)) OVER {_SCD2_WINDOW_SQL} AS valid_to_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (
+        SELECT user_id, epoch_us(ts) AS f_us, value AS f_value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT f.user_id,
+           COUNT(*) AS n_views,
+           {sql_dsum("dim.dim_value")} AS total_dim_value,
+           {sql_dsum("f.f_value")} AS total_view_value
+    FROM f JOIN dim
+      ON f.user_id = dim.user_id
+     AND f.f_us >= dim.valid_from_us
+     AND (dim.valid_to_us IS NULL OR f.f_us < dim.valid_to_us)
+    GROUP BY f.user_id
+    """,
+    tags=("cdc", "scd2", "join"),
+)
+def q_scd2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 FACT ENRICHMENT: every 'view' fact joins the dimension
+    version that was VALID AT ITS EVENT TIME — the equality key
+    (user_id) drives the shuffle and the validity interval
+    [valid_from, valid_to) is a cheap post-join residual, the same
+    scalable theta-with-equi-component shape as q_join_range. Facts
+    before the user's first version match nothing and drop (inner
+    semantics, stated). Because validity intervals partition each
+    user's timeline, every fact matches AT MOST one version — the
+    aggregate would double-count under any interval-construction bug,
+    so the count per user doubles as an exactly-once pin. At 100 TB
+    the dimension is orders-of-magnitude smaller than facts and
+    broadcast-joins; here both sides shuffle on user_id. The sums ride
+    the decimal hop; the oracle restates build + join directly."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("dim_value"),
+            us.alias("valid_from_us"),
+        )
+        .withColumn(
+            "valid_to_us",
+            F.lead("valid_from_us").over(
+                Window.partitionBy("d_user").orderBy("valid_from_us")
+            ),
+        )
+    )
+    f = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("f_us"), F.col("value").alias("f_value")
+    )
+    joined = f.join(
+        dim,
+        (f.user_id == dim.d_user)
+        & (f.f_us >= dim.valid_from_us)
+        & (dim.valid_to_us.isNull() | (f.f_us < dim.valid_to_us)),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        dsum("dim_value").alias("total_dim_value"),
+        dsum("f_value").alias("total_view_value"),
+    )
