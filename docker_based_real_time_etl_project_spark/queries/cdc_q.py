@@ -1285,3 +1285,89 @@ def q_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap_read(spark, lake).select(
         "user_id", "version_no", "value", "valid_from_us", "valid_to_us"
     )
+
+
+@register(
+    "q_lake_ivm_minmax",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 1000.0 AS o_totalprice, FALSE AS del
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 <> 5
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 103 = 5
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_custkey, o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 101 = 3
+    ),
+    o2 AS (
+        SELECT o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_custkey, o_totalprice FROM upd WHERE NOT del
+    )
+    SELECT o_custkey % {_MM_GROUPS} AS g,
+           COUNT(*) AS n_rows,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM o2 GROUP BY g
+    """,
+    tags=("cdc", "ivm", "lakesnap", "scale"),
+)
+def q_lake_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX VIEW MAINTENANCE DRIVEN BY THE LAKE'S OWN CHANGE FEED —
+    closes the IVM matrix: {signed-delta, dirty-group} algebra x
+    {synthetic deltas, snap_diff change feed}. The orders snapshot
+    table has one committed CoW merge (upserts that RAISE prices,
+    tombstones that can DELETE a group's maximum, inserts); the diff
+    between v1 and v2 marks the dirty groups (~rows-touched/512 of the
+    groups, from BOTH images so a group-crossing change would mark
+    both sides), the stored v1 matview serves every clean group
+    verbatim, and only the dirty groups re-aggregate from the v2 read
+    — which is manifest-pruned to the partitions the dirty groups live
+    in at scale. The oracle recomputes every group directly from the
+    post-change restatement, so a stale clean row, a missed runner-up
+    promotion after a tombstoned max, or an unmarked dirty group all
+    hash-fail."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_diff,
+        snap_read,
+    )
+
+    o_lake, _ = _ivm_lake_pair(spark, sf_dir)
+    g = (F.col("o_custkey") % _MM_GROUPS).alias("g")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("p").alias("max_price"),
+            F.min("p").alias("min_price"),
+        )
+
+    v1 = snap_read(spark, o_lake, 1)
+    matview = agg(v1.select(g, F.col("o_totalprice").alias("p")))
+
+    diff = snap_diff(spark, o_lake, 1, 2, ["o_orderkey"])
+    dirty = (
+        diff.select(
+            F.coalesce(
+                F.col("_new.o_custkey"), F.col("_old.o_custkey")
+            ).alias("ck")
+        )
+        .unionByName(
+            diff.filter(F.col("_old").isNotNull()).select(
+                F.col("_old.o_custkey").alias("ck")
+            )
+        )
+        .select((F.col("ck") % _MM_GROUPS).alias("g"))
+        .distinct()
+    )
+
+    v2 = snap_read(spark, o_lake, 2).select(
+        g, F.col("o_totalprice").alias("p")
+    )
+    clean = matview.join(F.broadcast(dirty), "g", "left_anti")
+    recomputed = agg(v2.join(F.broadcast(dirty), "g", "left_semi"))
+    return clean.unionByName(recomputed)
