@@ -1210,8 +1210,22 @@ def q_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the SAME oracle as the batch build: stream-then-read
     must equal build-once, per value, per interval end, per version
     number."""
-    import os
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+    from docker_based_real_time_etl_project_spark.queries.streaming_q import (
+        _slices,
+    )
 
+    lake = run_scd2_pipeline(spark, _slices(spark, sf_dir))
+    return snap_read(spark, lake).select(
+        "user_id", "version_no", "value", "valid_from_us", "valid_to_us"
+    )
+
+
+def make_scd2_sink(lake: str):
+    """foreachBatch sink maintaining the SCD2 dimension in a snapshot
+    lake — the dirty-user recompute described in q_stream_scd2_build's
+    docstring, factored out so tests can drive it with adversarial
+    arrival orders."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
         snap_init,
         snap_merge,
@@ -1219,14 +1233,7 @@ def q_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_read,
         snap_versions,
     )
-    from docker_based_real_time_etl_project_spark.queries.streaming_q import (
-        _slices,
-    )
-    from docker_based_real_time_etl_project_spark.streaming.replay import (
-        replay_events,
-    )
 
-    lake = tempfile.mkdtemp(prefix="scd2_lake_")
     out_cols = ["user_id", "bucket", "event_id", "value", "valid_from_us"]
 
     def reversion(rows: DataFrame) -> DataFrame:
@@ -1274,17 +1281,28 @@ def q_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             meta={"batch_id": batch_id},
         )
 
+    return sink
+
+
+def run_scd2_pipeline(spark: SparkSession, slices_dir: str) -> str:
+    """Drive make_scd2_sink over a replayed slice dir (any arrival
+    order); returns the dimension lake path."""
+    import os
+
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_events,
+    )
+
+    lake = tempfile.mkdtemp(prefix="scd2_lake_")
     q = (
-        replay_events(spark, _slices(spark, sf_dir))
-        .writeStream.foreachBatch(sink)
+        replay_events(spark, slices_dir)
+        .writeStream.foreachBatch(make_scd2_sink(lake))
         .option("checkpointLocation", os.path.join(lake, "_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(600)
-    return snap_read(spark, lake).select(
-        "user_id", "version_no", "value", "valid_from_us", "valid_to_us"
-    )
+    return lake
 
 
 @register(

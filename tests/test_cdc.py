@@ -378,3 +378,65 @@ def test_cdc_mor_sink_writes_o_of_changes(spark):
     a = snap_read(spark, cow).select("user_id", "value", "deleted")
     b = snap_read(spark, mor).select("user_id", "value", "deleted")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_scd2_stream_arrival_order_independent(spark):
+    """The streaming SCD2 build's defining property: the maintained
+    dimension is a pure function of the CHANGE SET, not the arrival
+    schedule. A change arriving BETWEEN two already-stored versions
+    must splice — close the stale valid_to onto the late row and shift
+    every later version_no. Replay the same purchases in time order
+    and fully REVERSED slice order; both lakes' final states must
+    equal the batch q_scd2_build output row-for-row."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+    from docker_based_real_time_etl_project_spark.queries.cdc_q import (
+        run_scd2_pipeline,
+    )
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        slice_table_to_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "version_no", "value", "valid_from_us", "valid_to_us"]
+    truth = sorted(
+        tuple(r) for r in REGISTRY["q_scd2_build"].fn(spark, sf).collect()
+    )
+    assert truth, "fixture must produce versions"
+    for order in (None, list(range(5, -1, -1))):
+        slices = slice_table_to_dir(
+            spark, sf, "events", "ts", n_slices=6, arrival_order=order
+        )
+        lake = run_scd2_pipeline(spark, slices)
+        got = sorted(
+            tuple(r) for r in snap_read(spark, lake).select(*cols).collect()
+        )
+        assert got == truth, f"arrival_order={order}"
+
+
+def test_scd2_sink_restart_idempotent(spark):
+    """Replaying an already-committed batch (foreachBatch's documented
+    at-least-once seam) must be a no-op: same version count, same
+    final rows."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_read, snap_versions,
+    )
+    from docker_based_real_time_etl_project_spark.queries.cdc_q import (
+        make_scd2_sink,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    lake = tempfile.mkdtemp(prefix="scd2_restart_")
+    sink = make_scd2_sink(lake)
+    sink(b0, 0)
+    sink(b1, 1)
+    n_versions = len(snap_versions(lake))
+    before = sorted(tuple(r) for r in snap_read(spark, lake).collect())
+    sink(b1, 1)  # exact re-delivery after a crash-restart
+    assert len(snap_versions(lake)) == n_versions
+    after = sorted(tuple(r) for r in snap_read(spark, lake).collect())
+    assert after == before
