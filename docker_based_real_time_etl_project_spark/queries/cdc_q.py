@@ -1150,15 +1150,21 @@ def q_scd2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("d_user"),
+            F.col("event_id").alias("d_eid"),
             F.col("value").alias("dim_value"),
             us.alias("valid_from_us"),
         )
         .withColumn(
             "valid_to_us",
+            # event_id tiebreak mirrors the oracle's (ts, event_id)
+            # order exactly — valid_from_us is a monotone map of ts,
+            # so a same-microsecond tie must break identically or the
+            # zero-length version lands on a different value.
             F.lead("valid_from_us").over(
-                Window.partitionBy("d_user").orderBy("valid_from_us")
+                Window.partitionBy("d_user").orderBy("valid_from_us", "d_eid")
             ),
         )
+        .drop("d_eid")
     )
     f = ev.filter(F.col("event_type") == "view").select(
         "user_id", us.alias("f_us"), F.col("value").alias("f_value")
