@@ -2333,3 +2333,58 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "exact_p50", "exact_p90", ok.alias("within_bounds")
     )
+
+
+@register(
+    "q_stream_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, ts AS s,
+               ts + ((event_id % 14) + 1) * INTERVAL 1 MINUTE AS e
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    g AS (SELECT event_type, t, SUM(delta) AS delta FROM d GROUP BY event_type, t),
+    c AS (
+        SELECT event_type, t,
+               SUM(delta) OVER (PARTITION BY event_type ORDER BY t) AS conc
+        FROM g
+    )
+    SELECT event_type, strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY event_type, day
+    """,
+    tags=("streaming", "stateful", "interval", "out-of-order"),
+)
+def q_stream_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE PEAK CONCURRENCY over an OUT-OF-ORDER stream: each event
+    opens an interval [ts, ts + (event_id % 14 + 1) minutes] and the
+    per-(event_type, day) peak of simultaneously-open intervals emits
+    as each day completes — the streaming twin of
+    q_interval_concurrency's sweep line (an ops gauge: how many
+    requests/sessions/orders were in flight at once, live). The state
+    machine buffers starts through the watermark re-sort, parks each
+    interval's END in a pending array until the watermark passes it
+    (only then can no earlier start still arrive), nets same-
+    microsecond deltas before the peak test exactly like the oracle's
+    per-t grouping, and carries (running count, open day's peak) —
+    state is O(reorder window + ACTIVE intervals), the inherent
+    sweep-line frontier, never the day's events. End-of-stream drains
+    via the sentinel-advanced watermark's event-time timeout, so the
+    final day emits without a real successor. Hash-matches the direct
+    SQL sweep per day per key."""
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        interval_concurrency_stream_ooo,
+    )
+
+    st, delay = _ooo_stream(spark, sf_dir)
+    out = run_to_memory(
+        interval_concurrency_stream_ooo(st, delay),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.filter(F.col("event_type") != "__sentinel__")

@@ -2385,3 +2385,163 @@ def rv_stream_ooo(events: DataFrame, watermark: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sweep line: live per-day peak interval concurrency
+# ---------------------------------------------------------------------------
+
+_CONC_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("max_concurrent", T.LongType()),
+    ]
+)
+# re-sort buffer + pending interval ends + the running sweep
+_CONC_STATE = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("pend_end", T.ArrayType(T.LongType())),
+        T.StructField("conc", T.LongType()),
+        T.StructField("cur_day", T.LongType()),
+        T.StructField("cur_max", T.LongType()),
+    ]
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _day_str(day_idx: int) -> str:
+    return pd.Timestamp(day_idx * 86_400, unit="s").strftime("%Y-%m-%d")
+
+
+def _conc_sweep(
+    carry: tuple[int, int, int],
+    starts_us: "np.ndarray",
+    ends_now_us: "np.ndarray",
+    final_day_excl: int | None,
+) -> tuple[tuple[int, int, int], list[tuple[str, int]]]:
+    """Fold (+1 at each start, -1 at each processable end) into the
+    running sweep. Deltas at the SAME microsecond net together before
+    the peak test (the oracle's per-t grouping). Days strictly below
+    ``final_day_excl`` are complete and emit; the top day's running
+    (day, max) stays in the carry. ``final_day_excl=None`` = drain
+    everything (end of stream)."""
+    conc, cur_day, cur_max = carry
+    ts = np.concatenate((starts_us, ends_now_us))
+    delta = np.concatenate(
+        (
+            np.ones(len(starts_us), np.int64),
+            -np.ones(len(ends_now_us), np.int64),
+        )
+    )
+    out: list[tuple[str, int]] = []
+    if len(ts):
+        order = np.argsort(ts, kind="stable")
+        ts, delta = ts[order], delta[order]
+        uts, idx = np.unique(ts, return_index=True)
+        net = np.add.reduceat(delta, idx)
+        concs = conc + np.cumsum(net)
+        days = uts // _DAY_US
+        conc = int(concs[-1])
+        for d in np.unique(days):
+            seg_max = int(concs[days == d].max())
+            if cur_day >= 0 and d != cur_day:
+                out.append((_day_str(cur_day), cur_max))
+                cur_day, cur_max = -1, 0
+            if cur_day == int(d):
+                cur_max = max(cur_max, seg_max)
+            else:
+                cur_day, cur_max = int(d), seg_max
+    if cur_day >= 0 and (final_day_excl is None or cur_day < final_day_excl):
+        out.append((_day_str(cur_day), cur_max))
+        cur_day, cur_max = -1, 0
+    return (conc, cur_day, cur_max), out
+
+
+def _update_interval_concurrency(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Sweep-line state machine per key: the re-sort buffer releases
+    starts in exact (ts, event_id) order; each start's interval end
+    (ts + (event_id % 14 + 1) minutes) parks in the pending-ends array
+    until the watermark passes it (no future start can precede a
+    sub-watermark end, so processing is safe exactly then). State is
+    O(reorder window + active intervals) — the inherent sweep-line
+    frontier — and each finished day's peak emits append-mode."""
+    if state.exists:
+        bts, beid, pend, conc, cur_day, cur_max = state.get
+        buf = (np.asarray(bts, np.int64), np.asarray(beid, np.int64))
+        pend = np.asarray(pend, np.int64)
+    else:
+        buf = (np.empty(0, np.int64),) * 2
+        pend = np.empty(0, np.int64)
+        conc, cur_day, cur_max = 0, -1, 0
+    timed_out = state.hasTimedOut
+    new = None if timed_out else _new_rows_unvalued(pdfs)
+    released, kept = _buffer_release(state, buf, new)
+    ends_new = released[0] + (released[1] % 14 + 1) * 60_000_000
+    pend = np.sort(np.concatenate((pend, ends_new)))
+    if timed_out:
+        ends_now, pend_keep = pend, pend[:0]
+        final_day_excl = None
+    else:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cut = np.searchsorted(pend, wm_us)
+        ends_now, pend_keep = pend[:cut], pend[cut:]
+        final_day_excl = wm_us // _DAY_US
+    (conc, cur_day, cur_max), done = _conc_sweep(
+        (conc, cur_day, cur_max), released[0], ends_now, final_day_excl
+    )
+    if done:
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "day": [d for d, _ in done],
+                "max_concurrent": [m for _, m in done],
+            }
+        )
+    state.update(
+        (
+            kept[0].tolist(),
+            kept[1].tolist(),
+            pend_keep.tolist(),
+            conc,
+            cur_day,
+            cur_max,
+        )
+    )
+    if not timed_out:
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(wm_ms + 1)
+
+
+def _new_rows_unvalued(pdfs: Iterable[pd.DataFrame]):
+    """(ts_us, event_id) arrays from a batch's chunks."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return (_ts_us(pdf["ts"]), pdf["event_id"].to_numpy().astype("int64"))
+
+
+def interval_concurrency_stream_ooo(
+    events: DataFrame, watermark: str
+) -> DataFrame:
+    """Per-day peak in-flight intervals over an OUT-OF-ORDER stream:
+    the batch sweep line (q_interval_concurrency's shape) as live
+    bounded state. Hash-matches the direct SQL sweep whenever lateness
+    stays within ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_interval_concurrency,
+            outputStructType=_CONC_OUT,
+            stateStructType=_CONC_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
