@@ -781,3 +781,49 @@ def test_mdd_transform_with_state_twin(spark, sf_dir):
     truth = REGISTRY["q_max_drawdown"].fn(spark, sf_dir)
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_conc_sweep_ties_and_day_boundaries():
+    """The sweep fold's exactness seams, unit-level: same-microsecond
+    deltas must NET before the peak test (a start and an end at the
+    same t never show a transient +1), day boundaries emit the
+    finished day and carry the open one, and the final drain flushes
+    the last day."""
+    import numpy as np
+
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        _DAY_US,
+        _conc_sweep,
+    )
+
+    d0 = 19_000  # some day index
+    t = lambda day, us: day * _DAY_US + us
+
+    # ties: +1 (start) and -1 (end) at the same microsecond net to 0
+    carry, out = _conc_sweep(
+        (0, -1, 0),
+        np.array([t(d0, 10), t(d0, 20)], np.int64),       # starts
+        np.array([t(d0, 20)], np.int64),                  # end, tied with 2nd start
+        final_day_excl=d0 + 1,
+    )
+    # conc path: t=10 -> 1; t=20 -> 1 (+1-1 nets); peak 1, not 2
+    assert out == [(_conc_sweep.__globals__["_day_str"](d0), 1)]
+    assert carry == (1, -1, 0)
+
+    # day boundary: open day carries, finished day emits with its peak
+    carry, out = _conc_sweep(
+        (0, -1, 0),
+        np.array([t(d0, 1), t(d0, 2), t(d0 + 1, 1)], np.int64),
+        np.array([t(d0, 3)], np.int64),
+        final_day_excl=d0 + 1,
+    )
+    assert out == [(_conc_sweep.__globals__["_day_str"](d0), 2)]
+    assert carry == (2, d0 + 1, 2)  # day d0+1 still open at conc 2
+
+    # drain: final_day_excl=None flushes the open day
+    carry, out = _conc_sweep(
+        carry, np.empty(0, np.int64), np.array([t(d0 + 1, 5), t(d0 + 1, 6)], np.int64),
+        final_day_excl=None,
+    )
+    assert out == [(_conc_sweep.__globals__["_day_str"](d0 + 1), 2)]
+    assert carry == (0, -1, 0)
