@@ -30,6 +30,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _compose(jump: DataFrame, carry_path: bool) -> DataFrame:
+    """J' = J∘J where the midpoint still has an entry; roots have
+    none, so their predecessors keep the shorter hop."""
+    j = jump.select(
+        F.col("node").alias("j_node"),
+        F.col("parent").alias("j_parent"),
+        F.col("step").alias("j_step"),
+        *([F.col("seg").alias("j_seg")] if carry_path else []),
+    )
+    return jump.join(j, jump.parent == F.col("j_node"), "left").select(
+        "node",
+        F.coalesce(F.col("j_parent"), F.col("parent")).alias("parent"),
+        (F.col("step") + F.coalesce(F.col("j_step"), F.lit(0))).alias("step"),
+        *(
+            [
+                F.when(F.col("j_seg").isNull(), F.col("seg"))
+                .otherwise(F.concat(F.col("seg"), F.lit(">"), F.col("j_seg")))
+                .alias("seg")
+            ]
+            if carry_path
+            else []
+        ),
+    )
+
+
 def pointer_jump(
     nodes: DataFrame,
     edges: DataFrame,
@@ -64,11 +89,19 @@ def pointer_jump(
         *([F.col("node").cast("string").alias("path")] if carry_path else []),
     )
     root = F.expr(root_bound_expr)
+    first_round = True
     for _ in range(max_rounds):
         hot = state.filter(~root)
         if hot.isEmpty():
             break
         done = state.filter(root)
+        # Square LAZILY at the top of rounds 2+: convergence is only
+        # detected at the next loop head, so squaring at the bottom
+        # would always pay one final O(|edges|) composition whose
+        # result is never consumed.
+        if not first_round:
+            jump = _compose(jump, carry_path).localCheckpoint(eager=True)
+        first_round = False
         j = jump.select(
             F.col("node").alias("j_node"),
             F.col("parent").alias("j_parent"),
@@ -97,34 +130,6 @@ def pointer_jump(
             ),
         )
         state = done.unionByName(adv).localCheckpoint(eager=True)
-        # J' = J∘J where the midpoint still has an entry; roots have
-        # none, so their predecessors keep the shorter hop.
-        jump = (
-            jump.join(j, jump.parent == F.col("j_node"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("j_parent"), F.col("parent")).alias("parent"),
-                (F.col("step") + F.coalesce(F.col("j_step"), F.lit(0))).alias(
-                    "step"
-                ),
-                *(
-                    [
-                        F.when(
-                            F.col("j_seg").isNull(), F.col("seg")
-                        )
-                        .otherwise(
-                            F.concat(
-                                F.col("seg"), F.lit(">"), F.col("j_seg")
-                            )
-                        )
-                        .alias("seg")
-                    ]
-                    if carry_path
-                    else []
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
     else:
         raise RuntimeError(
             f"pointer jumping failed to converge in {max_rounds} rounds"

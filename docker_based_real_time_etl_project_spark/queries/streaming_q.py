@@ -1267,7 +1267,14 @@ def _ooo_slices(spark: SparkSession, sf_dir: str) -> str:
             F.min("ts"), F.max("ts")
         ).first()
         delay = int((mx - mn).total_seconds() // 3) + 1
-        t1 = mx + timedelta(seconds=delay + 60)
+        # The sentinel must push the final watermark (t1 - delay) past
+        # every DERIVED event time any fold can hold pending — interval
+        # ends reach 15 min past the last start — and past the next
+        # midnight, so day-granular operators can finalize their last
+        # day on the normal watermark path (no end-of-stream special
+        # case). Two days covers both with margin; folds that only
+        # need wm > max(ts) are indifferent to the extra headroom.
+        t1 = mx + timedelta(days=2, seconds=delay + 60)
         sent = spark.createDataFrame(
             [(10**15, t1, 0, "__sentinel__", 0.0, "{}")],
             TESTDATA_SCHEMAS["events"],

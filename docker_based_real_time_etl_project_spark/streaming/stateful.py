@@ -719,14 +719,19 @@ def _rearm_or_clear(state: GroupState, kept_ts_us: "np.ndarray", new_state) -> N
         state.setTimeoutTimestamp(max(wm_ms + 1, int(kept_ts_us.max()) // 1000 + 1))
 
 
-def _new_rows(pdfs: Iterable[pd.DataFrame], value_dtype: str):
+def _new_rows(pdfs: Iterable[pd.DataFrame], value_dtype: str | None):
+    """(ts_us, event_id[, value]) arrays from a batch's chunks; the
+    value column is omitted when ``value_dtype`` is None (folds keyed
+    on time/id alone), carried as float64, or scaled to integer cents
+    otherwise."""
     chunks = [p for p in pdfs if len(p)]
     if not chunks:
         return None
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-    return (
-        _ts_us(pdf["ts"]),
-        pdf["event_id"].to_numpy().astype("int64"),
+    base = (_ts_us(pdf["ts"]), pdf["event_id"].to_numpy().astype("int64"))
+    if value_dtype is None:
+        return base
+    return base + (
         pdf["value"].to_numpy().astype(value_dtype)
         if value_dtype == "float64"
         else pdf["value"].mul(100).round().astype("int64").to_numpy(),
@@ -2479,19 +2484,22 @@ def _update_interval_concurrency(
         buf = (np.empty(0, np.int64),) * 2
         pend = np.empty(0, np.int64)
         conc, cur_day, cur_max = 0, -1, 0
-    timed_out = state.hasTimedOut
-    new = None if timed_out else _new_rows_unvalued(pdfs)
+    new = None if state.hasTimedOut else _new_rows(pdfs, None)
     released, kept = _buffer_release(state, buf, new)
     ends_new = released[0] + (released[1] % 14 + 1) * 60_000_000
     pend = np.sort(np.concatenate((pend, ends_new)))
-    if timed_out:
-        ends_now, pend_keep = pend, pend[:0]
-        final_day_excl = None
-    else:
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        cut = np.searchsorted(pend, wm_us)
-        ends_now, pend_keep = pend[:cut], pend[cut:]
-        final_day_excl = wm_us // _DAY_US
+    # The drain is watermark-respecting on EVERY path, timeout or not:
+    # a mid-stream timeout (a micro-batch with no rows for this key
+    # while the watermark advanced) must do exactly what a data batch
+    # would — never early-apply ends beyond the watermark or emit the
+    # open day. Finality needs no special case because the OOO
+    # sentinel advances the watermark past every reachable interval
+    # end AND the following midnight (see _ooo_slices), after which
+    # this same path naturally drains everything.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    cut = np.searchsorted(pend, wm_us)
+    ends_now, pend_keep = pend[:cut], pend[cut:]
+    final_day_excl = wm_us // _DAY_US
     (conc, cur_day, cur_max), done = _conc_sweep(
         (conc, cur_day, cur_max), released[0], ends_now, final_day_excl
     )
@@ -2513,18 +2521,12 @@ def _update_interval_concurrency(
             cur_max,
         )
     )
-    if not timed_out:
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(wm_ms + 1)
-
-
-def _new_rows_unvalued(pdfs: Iterable[pd.DataFrame]):
-    """(ts_us, event_id) arrays from a batch's chunks."""
-    chunks = [p for p in pdfs if len(p)]
-    if not chunks:
-        return None
-    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-    return (_ts_us(pdf["ts"]), pdf["event_id"].to_numpy().astype("int64"))
+    # Re-arm only while the key still holds work (buffered starts,
+    # pending ends, or an open day) — the _rearm_or_clear discipline.
+    # After the sentinel's final drain the state is empty and no
+    # timeout is armed, so the key is done.
+    if len(kept[0]) or len(pend_keep) or cur_day >= 0:
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
 
 def interval_concurrency_stream_ooo(
