@@ -827,3 +827,95 @@ def test_conc_sweep_ties_and_day_boundaries():
     )
     assert out == [(_conc_sweep.__globals__["_day_str"](d0 + 1), 2)]
     assert carry == (0, -1, 0)
+
+
+def test_interval_concurrency_survives_midstream_timeout(spark, tmp_path):
+    """A key ABSENT from middle micro-batches while the watermark
+    advances fires its event-time timeout mid-stream. The drain must
+    be watermark-respecting there — never early-apply pending ends or
+    emit the open day — so the final per-day peaks still equal the
+    batch sweep exactly (and no (key, day) emits twice in append
+    mode)."""
+    import os
+    import time
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from docker_based_real_time_etl_project_spark.streaming.pipelines import (
+        run_to_memory,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table, slice_table_to_dir,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        _DAY_US,
+        interval_concurrency_stream_ooo,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    # dense key: 40 events across 2 days — fills every slice
+    for i in range(40):
+        rows.append((i, base + timedelta(hours=i), 1, "dense", 1.0, "{}"))
+    # sparse key: present only at the very start and very end, with a
+    # long interval (id 113 -> 14 min) left OPEN across the gap
+    rows.append((113, base + timedelta(minutes=1), 2, "sparse", 1.0, "{}"))
+    rows.append((114, base + timedelta(hours=39), 2, "sparse", 1.0, "{}"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).toPandas().to_parquet(os.path.join(src, "events.parquet"))
+
+    slices = slice_table_to_dir(spark, src, "events", "ts", n_slices=6)
+    # sentinel: far enough that the final watermark clears every
+    # reachable interval end AND the next midnight (the _ooo_slices
+    # contract)
+    sent = spark.createDataFrame(
+        [(10**9, base + timedelta(days=4), 0, "__sentinel__", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    newest = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(slices)
+        for f in files
+    )
+    sent_dir = os.path.join(slices, "slice=zzz")
+    sent.coalesce(1).write.parquet(sent_dir)
+    for f in os.listdir(sent_dir):
+        os.utime(os.path.join(sent_dir, f), (newest + 5, newest + 5))
+
+    out = run_to_memory(
+        interval_concurrency_stream_ooo(
+            replay_table(spark, slices, "events"), "1 second"
+        ),
+        output_mode="append",
+        state_partitions=4,
+    ).filter(F.col("event_type") != "__sentinel__")
+    got = [(r.event_type, r.day, r.max_concurrent) for r in out.collect()]
+    assert len(got) == len(set((t, d) for t, d, _ in got)), "duplicate (key, day) emission"
+
+    # batch truth: the same sweep in plain python
+    def truth():
+        per = defaultdict(list)
+        for eid, ts, _, et, _, _ in rows:
+            s = int(ts.timestamp() * 1_000_000)
+            per[et].append((s, 1))
+            per[et].append((s + (eid % 14 + 1) * 60_000_000, -1))
+        exp = []
+        for et, deltas in per.items():
+            agg = defaultdict(int)
+            for t, d in deltas:
+                agg[t] += d
+            conc, peaks = 0, defaultdict(int)
+            for t in sorted(agg):
+                conc += agg[t]
+                day = t // _DAY_US
+                peaks[day] = max(peaks[day], conc)
+            for day, m in peaks.items():
+                exp.append((et, time.strftime("%Y-%m-%d", time.gmtime(day * 86400)), m))
+        return sorted(exp)
+
+    assert sorted(got) == truth()
