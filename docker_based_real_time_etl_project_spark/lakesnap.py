@@ -2044,3 +2044,67 @@ def snap_maintain(
     return snap_compact_partitions(
         spark, path, frag, target_rows_per_file, sort_by=sort_by
     )
+
+
+def snap_sync(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    sort_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+    meta: dict | None = None,
+    mode: str = "cow",
+) -> int | None:
+    """FULL-TABLE SYNC as one commit: make the latest version equal
+    ``source`` exactly — Delta's three-armed MERGE (WHEN MATCHED
+    UPDATE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE
+    DELETE; reference pattern: the Cassandra sink's full-row mapping
+    `cassandra-sink-config.json:14-18` is a per-topic sync contract).
+
+    DIFF-PRUNED: rows identical in EVERY column (null-safe) are
+    dropped from the merge batch before it is planned, so the commit's
+    write I/O is O(actual differences) and partitions whose rows all
+    match the source are carried forward verbatim — a sync of an
+    already-synced table is free. Returns the new version, or ``None``
+    (NO commit published) when the table already equals the source,
+    which also makes the verb idempotent under re-runs. Requires the
+    source to carry exactly the table's columns (a sync DEFINES the
+    final state — schema evolution stays with snap_merge).
+
+    At 100 TB the two diff joins shuffle on the merge keys like any
+    MERGE; the tombstone side is a key-only anti-join, and the
+    changed-row side prunes to content differences via the null-safe
+    full-row comparison — the partitions rewritten are exactly those
+    holding a changed, inserted, or deleted row.
+    """
+    versions = snap_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"snap_sync on uninitialized table {path}")
+    cur_manifest = _read_manifest(path, versions[-1])
+    cols = list(cur_manifest["columns"])
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"snap_sync source columns {sorted(source.columns)} must equal "
+            f"table columns {sorted(cols)}"
+        )
+    cur = snap_read(spark, path)
+    src = source.select(*cols)
+    # rows of the source with NO identical row in the table: updates
+    # (changed content under an existing key) and inserts (new key)
+    changed = src.join(cur, on=[src[c].eqNullSafe(cur[c]) for c in cols],
+                       how="left_anti")
+    # keys in the table absent from the source: deletes
+    gone = cur.join(
+        src.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
+    )
+    batch = changed.withColumn("_sync_delete", F.lit(False)).unionByName(
+        gone.withColumn("_sync_delete", F.lit(True))
+    )
+    if batch.isEmpty():
+        return None
+    return snap_merge(
+        spark, path, batch, key_cols=key_cols, delete_col="_sync_delete",
+        sort_by=sort_by, target_rows_per_file=target_rows_per_file,
+        meta=meta, mode=mode,
+    )

@@ -1848,3 +1848,84 @@ def q_lake_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inserted"
         ),
     )
+
+
+def _sync_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Orders snapshot lake whose v2 diverged from the base table by a
+    LOCALIZED change (UPDATE WHERE on one priority partition), then
+    was synced back to the base table with snap_sync — the diff-pruned
+    three-armed MERGE. Built once per (sf_dir, fingerprint)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_sync,
+        snap_update_where,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        import tempfile
+
+        lake = tempfile.mkdtemp(prefix="sync_lake_")
+        src = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        snap_init(spark, src, lake, "o_orderpriority", sort_by=("o_orderkey",))
+        assert snap_update_where(
+            spark, lake, "o_orderpriority = '1-URGENT'",
+            {"o_totalprice": "o_totalprice + 1000.0"},
+            sort_by=("o_orderkey",),
+        ) == 2
+        assert snap_sync(
+            spark, lake, src, key_cols=("o_orderkey",), sort_by=("o_orderkey",)
+        ) == 3
+        # already-synced: the verb must publish NOTHING
+        assert snap_sync(
+            spark, lake, src, key_cols=("o_orderkey",), sort_by=("o_orderkey",)
+        ) is None
+        return lake
+
+    return materialize_once(
+        ("sync_lake", sf_dir, table_fingerprint(sf_dir, "orders")), build
+    )
+
+
+@register(
+    "q_lake_sync",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           {sql_dsum("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("lakesnap", "dml", "scale"),
+)
+def q_lake_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNC-TO-SOURCE as a lake verb (Delta's WHEN NOT MATCHED BY
+    SOURCE arm completing the MERGE matrix): the table drifted from
+    its source by an UPDATE WHERE on one partition; ``snap_sync``
+    publishes ONE commit that makes the table equal the source again —
+    updates for changed keys, inserts for missing ones, tombstones for
+    keys the source no longer has — and the diff is computed with a
+    null-safe full-row anti-join, so only partitions actually holding
+    a difference are rewritten (the four un-drifted priority
+    partitions carry their manifest rows verbatim; pinned in
+    tests/test_lakesnap.py along with the None-on-already-synced
+    idempotence contract). The final read must aggregate exactly to
+    the base table; drift surviving the sync, a resurrected tombstone,
+    or an over-eager rewrite all hash-fail."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+
+    lake = _sync_lake(spark, sf_dir)
+    return (
+        snap_read(spark, lake)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

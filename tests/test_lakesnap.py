@@ -1871,3 +1871,63 @@ def test_mor_update_bloom_indexes_new_images(spark):
     # time travel still sees the pre-update value
     got1 = snap_point_read(spark, p, [key], version=1).collect()
     assert len(got1) == 1 and abs(got1[0]["o_totalprice"] - old_price) < 1e-9
+
+
+def test_snap_sync_diff_pruned_and_idempotent(spark):
+    """snap_sync's three contracts: (a) the synced table equals the
+    source exactly (update arm reverts the drift, delete arm removes
+    rows the source lacks, insert arm restores rows the table lost);
+    (b) partitions with NO difference carry their manifest rows
+    VERBATIM (the null-safe full-row diff prunes them before the
+    merge is planned); (c) syncing an already-synced table publishes
+    no commit and returns None."""
+    import json
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_delete_where,
+        snap_init,
+        snap_sync,
+        snap_update_where,
+    )
+    from docker_based_real_time_etl_project_spark.sources.parquet import load_table
+
+    src = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sync_contract_")
+    snap_init(spark, src, path, "o_orderpriority", sort_by=("o_orderkey",))
+    # drift two ways, both confined to ONE partition: update prices,
+    # delete some rows (sync's insert arm must restore them)
+    assert snap_update_where(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice + 1000.0"}, sort_by=("o_orderkey",),
+    ) == 2
+    assert snap_delete_where(
+        spark, path,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0",
+        sort_by=("o_orderkey",),
+    ) == 3
+    v = snap_sync(spark, path, src, key_cols=("o_orderkey",),
+                  sort_by=("o_orderkey",))
+    assert v == 4
+    synced = snap_read(spark, path)
+    assert synced.exceptAll(src).count() == 0
+    assert src.exceptAll(synced).count() == 0
+    # (b) un-drifted partitions carried verbatim across the sync commit
+    m3 = json.load(open(os.path.join(path, "_manifests", "v000003.json")))
+    m4 = json.load(open(os.path.join(path, "_manifests", "v000004.json")))
+    other3 = sorted(
+        e["path"] for e in m3["entries"] if e["partition"] != "1-URGENT"
+    )
+    other4 = sorted(
+        e["path"] for e in m4["entries"] if e["partition"] != "1-URGENT"
+    )
+    assert other3 == other4
+    touched = [e["path"] for e in m4["entries"] if e["partition"] == "1-URGENT"]
+    assert touched and all(p.startswith("c000004") for p in touched)
+    # (c) idempotence: equal table -> no commit
+    assert snap_sync(spark, path, src, key_cols=("o_orderkey",)) is None
+    assert snap_versions(path)[-1] == 4
+    # schema contract: a source missing a column is refused
+    with pytest.raises(ValueError, match="columns"):
+        snap_sync(spark, path, src.drop("o_custkey"), key_cols=("o_orderkey",))
