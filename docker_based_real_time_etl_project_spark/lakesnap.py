@@ -2091,9 +2091,22 @@ def snap_sync(
     cur = snap_read(spark, path)
     src = source.select(*cols)
     # rows of the source with NO identical row in the table: updates
-    # (changed content under an existing key) and inserts (new key)
-    changed = src.join(cur, on=[src[c].eqNullSafe(cur[c]) for c in cols],
-                       how="left_anti")
+    # (changed content under an existing key) and inserts (new key).
+    # The content comparison shuffles (key, xxhash64-of-all-columns)
+    # signatures — 8 bytes of content per row across the wire instead
+    # of the full width — then fetches only the changed keys' full
+    # rows with a semi-join (broadcastable when the drift is small).
+    # xxhash64 folds NULLs deterministically, so the signature match
+    # is null-safe; a 64-bit collision masking a changed row is the
+    # standard checksum-diff trade (~2^-64 per pair) every
+    # content-addressed sync makes.
+    hcol = F.xxhash64(*[F.col(c) for c in cols])
+    src_sig = src.select(*key_cols, hcol.alias("_h"))
+    cur_sig = cur.select(*key_cols, hcol.alias("_h"))
+    changed_keys = src_sig.join(
+        cur_sig, on=[*key_cols, "_h"], how="left_anti"
+    ).select(*key_cols)
+    changed = src.join(changed_keys, on=list(key_cols), how="left_semi")
     # keys in the table absent from the source: deletes
     gone = cur.join(
         src.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
