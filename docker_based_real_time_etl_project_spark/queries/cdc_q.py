@@ -1227,11 +1227,14 @@ def q_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def make_scd2_sink(lake: str):
+def make_scd2_sink(lake: str, mode: str = "cow"):
     """foreachBatch sink maintaining the SCD2 dimension in a snapshot
     lake — the dirty-user recompute described in q_stream_scd2_build's
     docstring, factored out so tests can drive it with adversarial
-    arrival orders."""
+    arrival orders. ``mode="mor"`` commits each batch merge-on-read
+    (old version rows -> delete files, re-versioned rows -> seq-stamped
+    data files), so per-batch write I/O tracks the dirty users'
+    histories instead of the bucket partitions they sit in."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
         snap_init,
         snap_merge,
@@ -1285,12 +1288,15 @@ def make_scd2_sink(lake: str):
             key_cols=("user_id", "valid_from_us", "event_id"),
             sort_by=("user_id", "valid_from_us"),
             meta={"batch_id": batch_id},
+            mode=mode,
         )
 
     return sink
 
 
-def run_scd2_pipeline(spark: SparkSession, slices_dir: str) -> str:
+def run_scd2_pipeline(
+    spark: SparkSession, slices_dir: str, mode: str = "cow"
+) -> str:
     """Drive make_scd2_sink over a replayed slice dir (any arrival
     order); returns the dimension lake path."""
     import os
@@ -1302,7 +1308,7 @@ def run_scd2_pipeline(spark: SparkSession, slices_dir: str) -> str:
     lake = tempfile.mkdtemp(prefix="scd2_lake_")
     q = (
         replay_events(spark, slices_dir)
-        .writeStream.foreachBatch(make_scd2_sink(lake))
+        .writeStream.foreachBatch(make_scd2_sink(lake, mode=mode))
         .option("checkpointLocation", os.path.join(lake, "_ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -1395,3 +1401,36 @@ def q_lake_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = matview.join(F.broadcast(dirty), "g", "left_anti")
     recomputed = agg(v2.join(F.broadcast(dirty), "g", "left_semi"))
     return clean.unionByName(recomputed)
+
+
+@register(
+    "q_stream_scd2_mor",
+    oracle=f"""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER {_SCD2_WINDOW_SQL} AS BIGINT) AS version_no,
+           value,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER {_SCD2_WINDOW_SQL} AS valid_to_us
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("cdc", "scd2", "streaming", "lakesnap"),
+)
+def q_stream_scd2_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_scd2_build with every micro-batch committed
+    MERGE-ON-READ: the dirty users' superseded version rows become
+    equality-delete files and their re-versioned rows seq-stamped data
+    files — per-batch write I/O is O(dirty users' histories), never
+    the bucket partitions they live in, the same trade the MoR CDC
+    sink makes. The final dimension is read STRAIGHT THROUGH the
+    accumulated delete debris (no compaction first — the read-side
+    reconciliation is the semantics under test) and hash-matches the
+    SAME oracle as the batch build and the CoW stream."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+    from docker_based_real_time_etl_project_spark.queries.streaming_q import (
+        _slices,
+    )
+
+    lake = run_scd2_pipeline(spark, _slices(spark, sf_dir), mode="mor")
+    return snap_read(spark, lake).select(
+        "user_id", "version_no", "value", "valid_from_us", "valid_to_us"
+    )
