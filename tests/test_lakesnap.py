@@ -1931,3 +1931,43 @@ def test_snap_sync_diff_pruned_and_idempotent(spark):
     # schema contract: a source missing a column is refused
     with pytest.raises(ValueError, match="columns"):
         snap_sync(spark, path, src.drop("o_custkey"), key_cols=("o_orderkey",))
+
+
+def test_snap_sync_mor_reads_through_debris(spark):
+    """snap_sync(mode='mor') must land the identical final state as
+    the CoW sync while writing the diff as delete files + seq-stamped
+    data files — the read-side reconciliation, not a partition
+    rewrite, restores equality with the source."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        _read_manifest,
+        snap_init,
+        snap_sync,
+        snap_update_where,
+    )
+    from docker_based_real_time_etl_project_spark.sources.parquet import load_table
+
+    src = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sync_mor_")
+    snap_init(spark, src, path, "o_orderpriority", sort_by=("o_orderkey",))
+    assert snap_update_where(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice + 1000.0"}, sort_by=("o_orderkey",),
+    ) == 2
+    v = snap_sync(spark, path, src, key_cols=("o_orderkey",),
+                  sort_by=("o_orderkey",), mode="mor")
+    assert v == 3
+    synced = snap_read(spark, path)
+    assert synced.exceptAll(src).count() == 0
+    assert src.exceptAll(synced).count() == 0
+    # MoR shape: every v2 data entry carried verbatim, delete debris present
+    m2 = _read_manifest(path, 2)
+    m3 = _read_manifest(path, 3)
+    assert all(e in m3["entries"] for e in m2["entries"])
+    assert any(
+        e["path"].startswith("c000003d") for e in m3.get("delete_entries", [])
+    )
+    # idempotence holds through the debris
+    assert snap_sync(spark, path, src, key_cols=("o_orderkey",),
+                     mode="mor") is None
