@@ -189,3 +189,79 @@ def asof_join_backward_same_source(
         *df.columns,
         *[F.col(f"{_CARRY}.{out}").alias(out) for out in carry.values()],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    carry: Mapping[str, str] = (),
+    right_tiebreak: str | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: every left row, plus ``carry`` columns from
+    the EARLIEST right row at-or-after its timestamp (NULLs when none
+    follows) — pandas ``merge_asof(direction='forward')``, the
+    "market response after the event" attach. Identical machinery to
+    :func:`asof_join_backward` with the carry scan run in DESCENDING
+    time order: one |L|+|R| union, one keyed sort, no pair blow-up.
+    ``tolerance`` bounds the look-AHEAD (a right row later than
+    ``left_ts + tolerance`` nulls the whole carry tuple atomically);
+    ties on the minimal admissible timestamp resolve to the greatest
+    ``right_tiebreak``, mirroring the backward contract."""
+    carry = dict(carry)
+    bad = set(carry.values()) & set(left.columns)
+    if bad:
+        raise ValueError(f"carry output names collide with left columns: {sorted(bad)}")
+
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    carry_type = T.StructType(
+        [T.StructField(out, right.schema[src].dataType) for src, out in carry.items()]
+        + [T.StructField("_rts", right.schema[right_ts].dataType)]
+    )
+    l_tagged = left.select(
+        *left.columns,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType if right_tiebreak else "int").alias(_TB),
+        F.lit(None).cast(carry_type).alias(_CARRY),
+    )
+    r_tagged = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        tb.alias(_TB),
+        F.struct(
+            *[F.col(src).alias(out) for src, out in carry.items()],
+            F.col(right_ts).alias("_rts"),
+        ).alias(_CARRY),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # Descending time scan: at equal timestamps right rows (side 0)
+    # still precede left rows, making the match inclusive
+    # (right.ts >= left.ts); tb ascending puts the greatest tiebreak
+    # LAST among equal-ts rights, which is what last(ignorenulls)
+    # carries.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).desc(), F.col(_SIDE), F.col(_TB))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+    if tolerance is not None:
+        u = u.withColumn(
+            _CARRY,
+            F.when(
+                F.col(f"{_CARRY}._rts") <= F.col(_TS) + F.expr(f"INTERVAL {tolerance}"),
+                F.col(_CARRY),
+            ),
+        )
+    return u.filter(F.col(_SIDE) == 1).select(
+        *left.columns,
+        *[F.col(f"{_CARRY}.{out}").alias(out) for out in carry.values()],
+    )

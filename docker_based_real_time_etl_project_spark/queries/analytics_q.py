@@ -552,3 +552,93 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("bigint").alias("max_concurrent"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+_FD_CLICK_US = 48 * 3600 * 1_000_000  # click deadline after first view
+_FD_BUY_US = 72 * 3600 * 1_000_000   # purchase deadline after that click
+
+
+@register(
+    "q_funnel_deadline",
+    oracle=f"""
+    WITH t1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > t1.v_us
+          AND epoch_us(e.ts) <= t1.v_us + {_FD_CLICK_US}
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > t2.c_us
+          AND epoch_us(e.ts) <= t2.c_us + {_FD_BUY_US}
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+           (SELECT COUNT(*) FROM t2) AS n_click_within,
+           (SELECT COUNT(*) FROM t3) AS n_purchase_within,
+           (SELECT CAST(COALESCE(SUM(t3.p_us - t1.v_us), 0) AS BIGINT)
+              FROM t3 JOIN t1 ON t3.user_id = t1.user_id) AS total_lag_us
+    """,
+    tags=("analytics", "funnel", "window"),
+)
+def q_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEADLINE-WINDOWED FUNNEL: q_funnel's ordered view -> click ->
+    purchase chain, but each step only counts INSIDE its conversion
+    window (click within 48 h of the first view, purchase within 72 h
+    of that click) — the attribution-window semantics every product
+    funnel actually ships with, and a different computation from the
+    any-time funnel: a user with a click on day 5 converts nowhere
+    here even though q_funnel counts them. Same scale shape as
+    q_funnel — the deadline folds into the conditional-min windows'
+    predicates, so it is STILL one exchange on user_id and one tiny
+    final agg; the oracle chains bounded self-joins instead. Lags ride
+    exact epoch-micro integers end to end (sum is a bigint — no
+    float folding), so the hash pins every per-user stage time."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    v_us = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    staged = ev.withColumn("v_us", v_us)
+    c_us = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + _FD_CLICK_US),
+            F.col("us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_us", c_us)
+    p_us = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + _FD_BUY_US),
+            F.col("us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("p_us", p_us)
+        .groupBy("user_id")
+        .agg(
+            F.first("v_us").alias("v_us"),
+            F.first("c_us").alias("c_us"),
+            F.first("p_us").alias("p_us"),
+        )
+    )
+    return per_user.agg(
+        F.count("v_us").alias("n_view"),
+        F.count("c_us").alias("n_click_within"),
+        F.count("p_us").alias("n_purchase_within"),
+        F.coalesce(
+            F.sum(F.col("p_us") - F.col("v_us")), F.lit(0)
+        ).cast("bigint").alias("total_lag_us"),
+    )

@@ -809,3 +809,77 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "macd_micro"
         ),
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id AS trade_id, user_id, ts AS trade_ts, value AS trade_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.trade_id, t.user_id,
+           epoch_us(t.trade_ts) AS trade_ts_us, t.trade_value,
+           q.quote_id, q.quote_value,
+           epoch_us(q.ts) - epoch_us(t.trade_ts) AS response_lag_us
+    FROM trades t
+    LEFT JOIN LATERAL (
+      SELECT quote_id, quote_value, ts
+      FROM quotes q
+      WHERE q.user_id = t.user_id AND q.ts >= t.trade_ts
+        AND q.ts <= t.trade_ts + INTERVAL 48 HOUR
+      ORDER BY q.ts ASC, q.quote_id DESC LIMIT 1
+    ) q ON TRUE
+    """,
+    tags=("join", "timeseries"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    every purchase paired with the user's NEXT view at-or-after it,
+    bounded to a 48 h look-ahead — the "what happened after the
+    event" attach (market response, post-purchase engagement) the
+    backward family cannot express. Same union-and-carry machinery as
+    q_join_asof run in DESCENDING time order (operators/asof.py
+    asof_join_forward): one keyed sort over |L|+|R|, no pair blow-up;
+    the oracle is the O(n^2) LATERAL formulation with the mirrored
+    inequality. Equal-timestamp ties resolve to the greatest quote id
+    on both sides; lags ride exact epoch-micro integers."""
+    from docker_based_real_time_etl_project_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    e = table(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("trade_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("value").alias("trade_value"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_forward(
+        trades,
+        quotes,
+        on=["user_id"],
+        left_ts="t_ts",
+        right_ts="ts",
+        carry={"event_id": "quote_id", "value": "quote_value", "ts": "quote_ts"},
+        right_tiebreak="event_id",
+        tolerance="48 HOURS",
+    )
+    return out.select(
+        "trade_id",
+        "user_id",
+        F.unix_micros(F.col("t_ts")).alias("trade_ts_us"),
+        "trade_value",
+        "quote_id",
+        "quote_value",
+        (F.unix_micros(F.col("quote_ts")) - F.unix_micros(F.col("t_ts"))).alias(
+            "response_lag_us"
+        ),
+    )
