@@ -883,3 +883,74 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "response_lag_us"
         ),
     )
+
+
+_WJ_US = 3_600_000_000  # trailing window: one hour, exclusive of t itself
+
+
+@register(
+    "q_join_window_agg",
+    oracle=f"""
+    SELECT t.event_id AS trade_id, t.user_id,
+           epoch_us(t.ts) AS trade_ts_us,
+           (SELECT COUNT(*) FROM events v
+             WHERE v.event_type = 'view' AND v.user_id = t.user_id
+               AND epoch_us(v.ts) >= epoch_us(t.ts) - {_WJ_US}
+               AND epoch_us(v.ts) <  epoch_us(t.ts)) AS n_views_1h,
+           (SELECT CAST(COALESCE(SUM(CAST(ROUND(v.value * 100) AS BIGINT)), 0)
+                        AS BIGINT)
+              FROM events v
+             WHERE v.event_type = 'view' AND v.user_id = t.user_id
+               AND epoch_us(v.ts) >= epoch_us(t.ts) - {_WJ_US}
+               AND epoch_us(v.ts) <  epoch_us(t.ts)) AS view_cents_1h
+    FROM events t WHERE t.event_type = 'purchase'
+    """,
+    tags=("join", "timeseries", "window"),
+)
+def q_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-WINDOW AGGREGATION JOIN: every purchase carries the
+    COUNT and value SUM of the same user's views in the preceding
+    hour — the feature-engineering attach ("activity in the trailing
+    window") that is neither an as-of join (it wants an aggregate,
+    not the nearest row) nor a windowed group-by (the window anchors
+    at each LEFT row, not on a fixed grid). The scale plan is the
+    union-and-frame form: both sides union into one keyed stream,
+    and a RANGE frame over integer microseconds
+    ([t - 1h, t) exclusive of the anchor) aggregates the right-side
+    rows — one |L|+|R| sort per user key, no per-pair join, the same
+    single-exchange discipline as the as-of family. The sum rides
+    integer cents because window accumulation order among
+    equal-timestamp rows is not fixed; the oracle is the O(n*m)
+    correlated formulation."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    u = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("event_type") == "view").alias("is_view"),
+        F.when(
+            F.col("event_type") == "view",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("view_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_WJ_US, -1)
+    )
+    out = u.withColumn(
+        "n_views_1h",
+        F.count(F.when(F.col("is_view"), F.lit(1))).over(w),
+    ).withColumn(
+        "view_cents_1h",
+        F.coalesce(F.sum("view_cents").over(w), F.lit(0)).cast("bigint"),
+    )
+    return out.filter(~F.col("is_view")).select(
+        F.col("event_id").alias("trade_id"),
+        "user_id",
+        F.col("us").alias("trade_ts_us"),
+        "n_views_1h",
+        "view_cents_1h",
+    )

@@ -723,3 +723,77 @@ def test_rv_fold_batch_split_invariance(ticks, cut):
             )
             rows.extend(part)
     assert combine(rows) == combine(whole)
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=100),  # ts (ties forced)
+            st.integers(min_value=0, max_value=1),    # side: 0=quote, 1=trade
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_forward_matches_bruteforce(spark, events):
+    """asof_join_forward == per-row brute force (EARLIEST right with
+    ts >= left ts, max event_id tiebreak among the minimal ts) on the
+    same adversarial tiny inputs as the backward property."""
+    from docker_based_real_time_etl_project_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    rows = [
+        (i, int(u), float(ts), int(side)) for i, (u, ts, side) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, side long")
+    left = df.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("trade_id"), "user_id", F.col("ts").alias("trade_ts")
+    )
+    right = df.filter(F.col("side") == 0).select(
+        "user_id", "ts", F.col("event_id").alias("quote_id")
+    )
+    got = {
+        (r.trade_id, r.quote_id)
+        for r in asof_join_forward(
+            left, right, on=["user_id"], left_ts="trade_ts", right_ts="ts",
+            carry={"quote_id": "quote_id"}, right_tiebreak="quote_id",
+        ).collect()
+    }
+    quotes = [r for r in rows if r[3] == 0]
+    want = set()
+    for tid, u, ts, side in rows:
+        if side != 1:
+            continue
+        cand = [(q_ts, -qid) for qid, qu, q_ts, _ in quotes if qu == u and q_ts >= ts]
+        want.add((tid, -min(cand)[1] if cand else None))
+    assert got == want
+
+
+def test_asof_forward_tolerance_drops_distant_matches(spark):
+    """The look-ahead bound nulls the whole carry tuple atomically
+    when the next right row is beyond tolerance."""
+    from docker_based_real_time_etl_project_spark.operators.asof import (
+        asof_join_forward,
+    )
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(30))], "trade_id long, user_id long, trade_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(40), 9, 5.0)], "user_id long, ts timestamp, quote_id long, v double"
+    )
+    out = {
+        r.trade_id: (r.quote_id, r.qv)
+        for r in asof_join_forward(
+            left, right, on=["user_id"], left_ts="trade_ts", right_ts="ts",
+            carry={"quote_id": "quote_id", "v": "qv"},
+            right_tiebreak="quote_id", tolerance="15 MINUTES",
+        ).collect()
+    }
+    assert out[1] == (None, None)   # next quote 40 min away > 15 min
+    assert out[2] == (9, 5.0)       # 10 min away, within bound
