@@ -27,7 +27,7 @@ equality-to-MAX boundaries are bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docker_based_real_time_etl_project_spark.queries.registry import (
@@ -276,4 +276,82 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q20_SQL_T.format(
             DSUM_Q=_sp_dsum("l.l_quantity"), DSUM_Q2=_sp_dsum("l2.l_quantity")
         )
+    )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH o95 AS (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+    )
+    SELECT p.o_orderpriority, p.o_orderkey,
+           epoch_us(p.o_orderdate) AS date_us, p.o_totalprice
+    FROM o95 p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o95 q
+        WHERE q.o_orderpriority = p.o_orderpriority
+          AND q.o_orderdate <= p.o_orderdate
+          AND q.o_totalprice >= p.o_totalprice
+          AND (q.o_orderdate < p.o_orderdate
+               OR q.o_totalprice > p.o_totalprice)
+    )
+    """,
+    tags=("window", "skyline", "scale"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): per priority, the orders no
+    other order dominates on (earlier-or-equal date, higher-or-equal
+    price, strictly better in one) — the multi-criteria shortlist
+    (cheapest-and-earliest / best-and-freshest) whose naive form is
+    the quadratic NOT EXISTS self-join the oracle runs. The engine's
+    plan is the sort-scan identity: ordered by date, a point is on
+    the frontier iff its price strictly exceeds every EARLIER date's
+    running max (else something older is at least as good in both
+    dims) and equals the running max INCLUDING its own date (else a
+    same-date point strictly beats it); exact duplicates survive on
+    both sides of the algebra, matching dominance's reflexivity. Two
+    RANGE-frame windows over one priority-key exchange — O(n log n)
+    per group against the oracle's O(n^2), and the frontier output is
+    tiny. Dates compare as integer epoch micros on both engines."""
+    o = (
+        table(spark, sf_dir, "orders")
+        # one order-year scope: the oracle is the quadratic NOT
+        # EXISTS, and a year keeps its cold cost in seconds while
+        # exercising every dominance case (the engine plan is
+        # indifferent — the filter pushes into the scan)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("date_us"),
+            "o_totalprice",
+        )
+    )
+    before = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("date_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    incl = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("date_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.withColumn("m_before", F.max("o_totalprice").over(before))
+        .withColumn("m_incl", F.max("o_totalprice").over(incl))
+        .filter(
+            (
+                F.col("m_before").isNull()
+                | (F.col("o_totalprice") > F.col("m_before"))
+            )
+            & (F.col("o_totalprice") == F.col("m_incl"))
+        )
+        .select("o_orderpriority", "o_orderkey", "date_us", "o_totalprice")
     )
