@@ -106,6 +106,11 @@ HEADLINE = [
     "q_ivm_minmax",             # MIN/MAX matview, dirty-group recompute
     "q_scd2_interval_join",     # SCD2 validity-interval fact enrichment
     "q_interval_concurrency",   # sweep-line peaks via two-phase prefix scan
+    "q_lake_sync",              # diff-pruned sync-to-source commit
+    "q_funnel_deadline",        # attribution-window funnel, one exchange
+    "q_join_asof_forward",      # forward as-of, descending carry scan
+    "q_join_window_agg",        # trailing-window aggregate attach
+    "q_skyline",                # Pareto frontier via running-max windows
 ]
 
 
