@@ -2395,3 +2395,55 @@ def q_stream_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame
         state_partitions=8,
     )
     return out.filter(F.col("event_type") != "__sentinel__")
+
+
+def _funnel_deadline_oracle() -> str:
+    """The batch q_funnel_deadline's exact oracle: stream-then-read
+    must equal build-once."""
+    from docker_based_real_time_etl_project_spark.queries import analytics_q  # noqa: F401
+    from docker_based_real_time_etl_project_spark.queries.registry import (
+        REGISTRY as _R,
+    )
+    return _R["q_funnel_deadline"].oracle
+
+
+@register(
+    "q_stream_funnel_deadline",
+    oracle=_funnel_deadline_oracle(),
+    tags=("streaming", "stateful", "analytics", "funnel"),
+)
+def q_stream_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deadline funnel LIVE: per-user conversion machines advance
+    in four longs of state as events stream in (in-order-per-key
+    replay, the q_stream_ewma contract), and the funnel counters are
+    re-aggregated from each user's final machine — hash-matching the
+    SAME oracle as the batch q_funnel_deadline. At 100 TB this is the
+    real-time conversion dashboard: O(users) state, no event buffered,
+    each batch's update is one keyed Arrow pass."""
+    from docker_based_real_time_etl_project_spark.queries.analytics_q import (
+        _FD_BUY_US,
+        _FD_CLICK_US,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.stateful import (
+        funnel_deadline_stream,
+    )
+
+    st = _stream(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    emitted = run_to_memory(
+        funnel_deadline_stream(st, _FD_CLICK_US, _FD_BUY_US),
+        output_mode="update",
+        state_partitions=8,
+    )
+    final = emitted.groupBy("user_id").agg(
+        F.max_by(F.struct("v_us", "c_us", "p_us"), "n").alias("_s")
+    ).select("user_id", "_s.v_us", "_s.c_us", "_s.p_us")
+    return final.agg(
+        F.count("v_us").alias("n_view"),
+        F.count("c_us").alias("n_click_within"),
+        F.count("p_us").alias("n_purchase_within"),
+        F.coalesce(
+            F.sum(F.col("p_us") - F.col("v_us")), F.lit(0)
+        ).cast("bigint").alias("total_lag_us"),
+    )

@@ -2547,3 +2547,88 @@ def interval_concurrency_stream_ooo(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming deadline funnel: the per-user conversion machine in 4 longs
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v_us", T.LongType()),
+        T.StructField("c_us", T.LongType()),
+        T.StructField("p_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("v_us", T.LongType()),
+        T.StructField("c_us", T.LongType()),
+        T.StructField("p_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def make_funnel_deadline_update(click_us: int, buy_us: int):
+    """Per-user deadline-funnel state machine: first view sets v, the
+    first click in (v, v + click_us] sets c, the first purchase in
+    (c, c + buy_us] sets p — processed in exact (ts, event_id) order,
+    so the sequential machine computes precisely the batch
+    q_funnel_deadline stage times. FOUR longs of state per user on an
+    unbounded stream; one updated row per key per batch it appears in
+    (n, the events-processed count, is monotone — the final row per
+    key is max_by n)."""
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        v, c, p, n = state.get if state.exists else (None, None, None, 0)
+        pdf = _concat_sorted(pdfs)
+        if not len(pdf):
+            state.update((v, c, p, n))
+            return
+        us = _ts_us(pdf["ts"])
+        kinds = pdf["event_type"].to_numpy()
+        for t, kind in zip(us, kinds):
+            t = int(t)
+            if kind == "view":
+                if v is None:
+                    v = t
+            elif kind == "click":
+                if v is not None and c is None and v < t <= v + click_us:
+                    c = t
+            elif kind == "purchase":
+                if c is not None and p is None and c < t <= c + buy_us:
+                    p = t
+        n += len(pdf)
+        state.update((v, c, p, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "v_us": [v],
+                "c_us": [c],
+                "p_us": [p],
+                "n": [n],
+            }
+        )
+
+    return _update
+
+
+def funnel_deadline_stream(
+    events: DataFrame, click_us: int, buy_us: int, watermark: str = "4 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_funnel_deadline_update(click_us, buy_us),
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
