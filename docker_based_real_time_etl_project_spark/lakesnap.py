@@ -633,7 +633,13 @@ def _merge_mor(
             "(schema evolution is additive-only)"
         )
     upd_keys = updates.select(*key_cols).distinct()
-    old_images = base.join(F.broadcast(upd_keys), on=key_cols, how="left_semi")
+    # null-safe like _plan_merge's survivor anti-join: a NULL-keyed
+    # update's old image must land in the delete file too
+    old_images = base.alias("_b").join(
+        F.broadcast(upd_keys.alias("_u")),
+        on=[F.col(f"_b.{k}").eqNullSafe(F.col(f"_u.{k}")) for k in key_cols],
+        how="left_semi",
+    )
     incoming = updates
     if delete_col is not None:
         incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
@@ -717,7 +723,14 @@ def _plan_merge(
             "(schema evolution is additive-only)"
         )
     upd_keys = updates.select(*key_cols).distinct()
-    survivors = base.join(F.broadcast(upd_keys), on=key_cols, how="left_anti")
+    # NULL-SAFE key match: a NULL-keyed base row must be replaced (not
+    # duplicated) by a NULL-keyed update — eqNullSafe stays an equi-join
+    # key for the broadcast hash join, so the plan shape is unchanged.
+    survivors = base.alias("_b").join(
+        F.broadcast(upd_keys.alias("_u")),
+        on=[F.col(f"_b.{k}").eqNullSafe(F.col(f"_u.{k}")) for k in key_cols],
+        how="left_anti",
+    )
     incoming = updates
     if delete_col is not None:
         incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
@@ -2103,16 +2116,45 @@ def snap_sync(
     hcol = F.xxhash64(*[F.col(c) for c in cols])
     src_sig = src.select(*key_cols, hcol.alias("_h"))
     cur_sig = cur.select(*key_cols, hcol.alias("_h"))
-    changed_keys = src_sig.join(
-        cur_sig, on=[*key_cols, "_h"], how="left_anti"
-    ).select(*key_cols)
-    changed = src.join(changed_keys, on=list(key_cols), how="left_semi")
-    # keys in the table absent from the source: deletes
-    gone = cur.join(
-        src.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
+    # Every key comparison below is eqNullSafe: with plain equality a
+    # NULL-keyed table row never matches, so it falls into the 'gone'
+    # arm and is deleted on EVERY sync while the source's NULL-keyed
+    # row can never re-enter through the left_semi — silent data loss.
+    # eqNullSafe remains an equi-join key for the hash joins, so the
+    # (key, hash)-signature shuffle plan is unchanged. (_h is
+    # xxhash64 output and never NULL; plain == is exact there.)
+    changed_keys = (
+        src_sig.alias("_s")
+        .join(
+            cur_sig.alias("_t"),
+            on=[
+                F.col(f"_s.{k}").eqNullSafe(F.col(f"_t.{k}"))
+                for k in key_cols
+            ]
+            + [F.col("_s._h") == F.col("_t._h")],
+            how="left_anti",
+        )
+        .select(*key_cols)
     )
-    batch = changed.withColumn("_sync_delete", F.lit(False)).unionByName(
-        gone.withColumn("_sync_delete", F.lit(True))
+    changed = src.alias("_s").join(
+        changed_keys.alias("_k"),
+        on=[F.col(f"_s.{k}").eqNullSafe(F.col(f"_k.{k}")) for k in key_cols],
+        how="left_semi",
+    )
+    # keys in the table absent from the source: deletes
+    gone = cur.alias("_t").join(
+        src.select(*key_cols).distinct().alias("_s"),
+        on=[F.col(f"_t.{k}").eqNullSafe(F.col(f"_s.{k}")) for k in key_cols],
+        how="left_anti",
+    )
+    # Materialize the diff ONCE: isEmpty() runs both table-wide diff
+    # joins, and without this the merge would recompute the whole
+    # lineage from scratch — at 100 TB the sync's dominant cost paid
+    # twice. The checkpoint holds O(actual differences), not O(table).
+    batch = (
+        changed.withColumn("_sync_delete", F.lit(False))
+        .unionByName(gone.withColumn("_sync_delete", F.lit(True)))
+        .localCheckpoint(eager=True)
     )
     if batch.isEmpty():
         return None

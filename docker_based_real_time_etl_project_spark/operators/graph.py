@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 def _compose(jump: DataFrame, carry_path: bool) -> DataFrame:
     """J' = J∘J where the midpoint still has an entry; roots have
-    none, so their predecessors keep the shorter hop."""
+    none, so their predecessors keep the shorter hop. ``_adv`` marks
+    rows whose midpoint matched — a compose with zero ``_adv`` rows is
+    the identity, i.e. the jump table is SATURATED (every entry
+    already maps to a root) and no further compose can change it."""
     j = jump.select(
         F.col("node").alias("j_node"),
         F.col("parent").alias("j_parent"),
@@ -52,6 +55,7 @@ def _compose(jump: DataFrame, carry_path: bool) -> DataFrame:
             if carry_path
             else []
         ),
+        F.col("j_parent").isNotNull().alias("_adv"),
     )
 
 
@@ -90,6 +94,7 @@ def pointer_jump(
     )
     root = F.expr(root_bound_expr)
     first_round = True
+    saturated = False
     for _ in range(max_rounds):
         hot = state.filter(~root)
         if hot.isEmpty():
@@ -98,9 +103,17 @@ def pointer_jump(
         # Square LAZILY at the top of rounds 2+: convergence is only
         # detected at the next loop head, so squaring at the bottom
         # would always pay one final O(|edges|) composition whose
-        # result is never consumed.
-        if not first_round:
-            jump = _compose(jump, carry_path).localCheckpoint(eager=True)
+        # result is never consumed. Once a compose comes back with no
+        # advanced row the table is a fixed point (every entry maps to
+        # a root); skip ALL further composes — the remaining rounds
+        # (sparse stray keys walking the fallback one step at a time)
+        # would otherwise each pay an O(|edges|) compose+checkpoint
+        # whose result is bit-identical to the last.
+        if not first_round and not saturated:
+            composed = _compose(jump, carry_path).localCheckpoint(eager=True)
+            if composed.filter("_adv").isEmpty():
+                saturated = True
+            jump = composed.drop("_adv")
         first_round = False
         j = jump.select(
             F.col("node").alias("j_node"),

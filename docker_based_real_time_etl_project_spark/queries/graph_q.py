@@ -128,9 +128,9 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W_PRED = "o_orderkey % 6007 = 1"
 _W_DAYS = 30
 _IV_DAYS = "o_orderkey % 14"
-# Bucket width: >= the longest interval (30 d), so any interval covers
-# at most 2 buckets and the candidate blowup per row is <= 2.
-_BUCKET_S = 32 * 86400
+# Bucket width is ADAPTIVE (operators/interval.py: P99 interval
+# length), so any typical interval covers <= 2 buckets and a skewed
+# long tail pays explode rows instead of widening the bucket.
 
 
 @register(
@@ -158,20 +158,25 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity interval [orderdate, orderdate + key%14 days] overlaps a
     sparse set of 30-day windows — NO equi key exists, so the naive
     plan is a cross join with a theta residual (O(|A|x|B|), the plan
-    Spark itself picks for a bare theta join). The scale plan instead
-    maps each interval to the coarse 32-day time buckets it covers
-    (``sequence`` + ``explode``, <= 2 buckets per interval because the
-    bucket is wider than the longest interval), equi-joins on the
-    bucket, keeps the EXACT overlap predicate as a residual, and
-    dedups multi-bucket matches with the standard start-bucket guard:
-    a pair is emitted only in the bucket containing max(start_a,
-    start_b) — that bucket is always co-covered, so exactly-once.
-    Candidate cost is bucket co-occupancy (data-local), not the row
-    product; the shuffle key is the bucket. The oracle runs the
-    direct theta join, so the bucket decomposition must reproduce the
-    exact overlap set. Timestamps bucket via cast-to-long epoch
-    seconds (timezone-independent), used symmetrically on both sides.
-    """
+    Spark itself picks for a bare theta join). The scale plan
+    (operators/interval.py) maps each interval to the coarse time
+    buckets it covers, equi-joins on the bucket with the EXACT overlap
+    predicate as residual, and dedups multi-bucket matches with the
+    start-bucket guard — exactly-once at ANY width. The width itself
+    is ADAPTIVE: the observed P99 interval length (here the 30-day
+    windows dominate the tail), so a skewed length distribution (one
+    year-long interval among day-long ones) costs that interval a few
+    extra explode rows instead of widening everyone's bucket toward a
+    per-bucket cartesian. Candidate cost is bucket co-occupancy
+    (data-local), not the row product; the shuffle key is the bucket.
+    The oracle runs the direct theta join, so the decomposition must
+    reproduce the exact overlap set. Timestamps bucket via
+    cast-to-long epoch seconds (timezone-independent), symmetric on
+    both sides."""
+    from docker_based_real_time_etl_project_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
     o = table(spark, sf_dir, "orders")
     w = o.filter(F.expr(_W_PRED)).select(
         F.col("o_orderkey").alias("w_key"),
@@ -186,28 +191,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(_IV_DAYS).cast("long") * 86400
         ).alias("iv_e"),
     )
-
-    def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    F.expr(f"{s} DIV {_BUCKET_S}"),
-                    F.expr(f"{e} DIV {_BUCKET_S}"),
-                )
-            ),
-        )
-
-    wb = buckets(w, "w_s", "w_e")
-    ib = buckets(iv, "iv_s", "iv_e")
-    pairs = wb.join(ib, "bucket").filter(
-        (F.col("iv_s") <= F.col("w_e"))
-        & (F.col("w_s") <= F.col("iv_e"))
-        # exactly-once guard: emit only in the overlap-start bucket
-        & (
-            F.expr(f"greatest(w_s, iv_s) DIV {_BUCKET_S}") == F.col("bucket")
-        )
-    )
+    pairs = interval_overlap_join(w, iv, ("w_s", "w_e"), ("iv_s", "iv_e"))
     return pairs.groupBy("w_key").agg(
         F.count(F.lit(1)).alias("n_overlap"),
         dsum("o_totalprice").alias("total_price"),

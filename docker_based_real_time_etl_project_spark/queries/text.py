@@ -266,6 +266,147 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 query set: literal and shared verbatim with the oracle SQL (a
+# retrieval benchmark's query file; terms drawn from the corpus vocab)
+_BM25_QUERIES = (
+    (1, "hash join"),
+    (2, "window agg stream"),
+    (3, "customer order query"),
+    (4, "fast scan filter"),
+    (5, "merge batch spark"),
+    (6, "vector column data"),
+)
+_BM25_QUERIES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {_BM25_QUERIES_SQL}) v(query_id, qtext)
+    ),
+    qterm AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS word FROM q
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok WHERE word <> '' GROUP BY doc_id
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avgdl
+    ),
+    term_scores AS (
+      SELECT qterm.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1e0 + (stats.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+               * (tf.tf * 2.2e0)
+               / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS term_micro
+      FROM qterm
+      JOIN tf USING (word)
+      JOIN dfreq USING (word)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             COUNT(*) AS n_terms,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM term_scores GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_terms, score_micro, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """,
+    tags=("text", "retrieval"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson k1=1.2 b=0.75, Lucene's
+    ln(1+(N-df+.5)/(df+.5)) IDF): top-10 documents per benchmark query
+    -- the retrieval primitive behind retrieval-based contamination
+    checks and quality-by-retrievability audits on a training corpus.
+
+    Determinism: each (term, doc) partial score is snapped to integer
+    micro-units BEFORE the per-(query, doc) sum (the q_tfidf ladder --
+    per-row double arithmetic is bit-deterministic, double SUM order is
+    not, integer SUM is exact), and the rank order carries a doc_id
+    tiebreak, so the top-10 is total across engines.
+
+    Scale: a POSTINGS join, never doc x query -- the broadcast query
+    vocabulary prunes the (doc, word) postings to matching terms
+    before anything wide happens, df is vocabulary-sized and
+    broadcast, and the only corpus-sized shuffles are the tf/doclen
+    groupBys every index build pays once. At 100 TB the postings for
+    a bounded query set are a vanishing fraction of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("_tot"))
+    ).select(
+        "n_docs",
+        (F.col("_tot").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        sorted(
+            {(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")}
+        ),
+        "query_id int, word string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    # prune vocabulary-sized df down to the query terms FIRST (broadcast
+    # the tiny query vocab into it), then broadcast the <=|query terms|
+    # result into the postings join -- the full vocab df never ships
+    qstats = dfreq.join(F.broadcast(qterms), "word")
+    term_scores = (
+        tf.join(F.broadcast(qstats), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfnorm * 1e6).cast("bigint").alias("term_micro"),
+        )
+    )
+    scored = term_scores.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_micro").cast("bigint").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "n_terms", "score_micro", "rnk")
+    )
+
+
 @register(
     "q_corpus_pipeline",
     oracle="""

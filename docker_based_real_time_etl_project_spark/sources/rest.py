@@ -17,7 +17,14 @@ Design:
   path). The default is :func:`fake_binance_fetch`, a deterministic
   offline generator with the exact response shapes etl.py indexes into
   (dict / list / positional arrays) -- tests and CI never touch the
-  network; a real HTTP fetcher drops in without touching the source.
+  network. The shipped LIVE fetcher is ``sources/http_fetch.py``::
+
+      .option("fetcher",
+              "docker_based_real_time_etl_project_spark"
+              ".sources.http_fetch.fetch")
+
+  (urllib GET with the reference's per-endpoint params, None on any
+  failure; transport injectable for offline tests).
 """
 
 from __future__ import annotations

@@ -2511,22 +2511,28 @@ def _update_interval_concurrency(
                 "max_concurrent": [m for _, m in done],
             }
         )
-    state.update(
-        (
-            kept[0].tolist(),
-            kept[1].tolist(),
-            pend_keep.tolist(),
-            conc,
-            cur_day,
-            cur_max,
-        )
-    )
     # Re-arm only while the key still holds work (buffered starts,
     # pending ends, or an open day) — the _rearm_or_clear discipline.
-    # After the sentinel's final drain the state is empty and no
-    # timeout is armed, so the key is done.
+    # A fully drained key REMOVES its state row instead of persisting
+    # an empty one: with no timeout armed an empty row would sit in
+    # the store forever — a leak once the grouping key is
+    # higher-cardinality than event_type. A late straggler after
+    # removal re-creates the key from scratch, which the
+    # watermark-respecting drain handles identically.
     if len(kept[0]) or len(pend_keep) or cur_day >= 0:
+        state.update(
+            (
+                kept[0].tolist(),
+                kept[1].tolist(),
+                pend_keep.tolist(),
+                conc,
+                cur_day,
+                cur_max,
+            )
+        )
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+    else:
+        state.remove()
 
 
 def interval_concurrency_stream_ooo(

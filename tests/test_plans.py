@@ -762,3 +762,17 @@ def test_ivm_minmax_recompute_is_dirty_group_pruned(spark, sf_dir):
     assert js.get("CartesianProduct", 0) == 0
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert js.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_bm25_is_postings_join_never_doc_x_query(spark, sf_dir):
+    """BM25 must plan as a broadcast postings join: the query vocab
+    (and the query-pruned df) broadcast into the (doc, word) postings
+    -- never a doc x query cartesian, never a full-vocab shuffle join.
+    The only cross is the broadcast single-row stats attach."""
+    df = _q("q_bm25_topk", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    # two single-row attaches: n_docs x total_tokens inside stats, and
+    # stats onto the postings -- both broadcast a 1-row side
+    assert js.get("BroadcastNestedLoopJoin", 0) <= 2
+    assert js.get("BroadcastHashJoin", 0) >= 2  # qterms->df, qstats->postings
