@@ -113,6 +113,8 @@ HEADLINE = [
     "q_skyline",                # Pareto frontier via running-max windows
     # round 11 additions
     "q_bm25_topk",              # BM25 ranked retrieval, broadcast postings join
+    "q_hybrid_rrf",             # sparse+dense reciprocal-rank fusion
+    "q_pagerank",               # 5-iteration integer power method
 ]
 
 

@@ -148,3 +148,68 @@ def pointer_jump(
             f"pointer jumping failed to converge in {max_rounds} rounds"
         )
     return state
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration PageRank power method, INTEGER-EXACT so a SQL
+    oracle can restate it bit-for-bit: ranks live in ``scale`` units
+    (nano-rank at the default), every step is integer arithmetic —
+    per-edge contribution ``rank DIV out_degree``, damping ``x * d DIV
+    100``, teleport and dangling-mass shares divided by N once — so no
+    float ever enters and summation order cannot change a single bit.
+
+    ``nodes`` has column ``node``; ``edges`` (src, dst), pre-distinct.
+    Returns (node, rank) after ``iters`` synchronous iterations from
+    the uniform start ``scale DIV N``. Dangling nodes' mass (no
+    out-edges) redistributes uniformly, the standard correction.
+
+    Scale shape (Pregel-on-DataFrames): each iteration is ONE shuffle
+    — join ranks to edges on src, hash-aggregate contributions on dst
+    — plus an O(1)-row dangling aggregate; ``localCheckpoint``
+    truncates the per-iteration lineage exactly like pointer_jump.
+    At a 1000-executor scale the edge table partitioning on src is
+    reused every iteration (the rank side is the small, changing one).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+    tele = (scale * (100 - damping_pct) // 100) // n
+    r = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        dang = (
+            r.join(deg, r.node == deg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .head()[0]
+            or 0
+        )
+        dang_share = (dang * damping_pct // 100) // n
+        contribs = (
+            edges.join(deg, "src")
+            .join(r.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank DIV deg")).alias("contrib"))
+        )
+        r = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele + dang_share)
+                    + F.expr(
+                        f"coalesce(contrib, 0L) * {damping_pct} DIV 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -274,3 +274,118 @@ def q_hierarchy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, carry_path=True, node_filter="node % 97 = 0"
     )
     return state.select("node", "path")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer->supplier purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000
+_PR_DAMP = 85  # percent
+
+
+def _pagerank_oracle_sql() -> str:
+    """The power method unrolled: one (dangling, contribs, ranks) CTE
+    triple per iteration. DuckDB's recursive CTEs forbid aggregation
+    over the recursive reference, so a fixed iteration count restates
+    cleanest as a chain; every operation is integer (// floor-div on
+    positives == Spark's DIV), making the restatement bit-exact."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, (SELECT {_PR_SCALE} // n FROM nn) AS rank FROM nodes
+    )"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f""",
+    d{k} AS (
+      SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+      FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
+      WHERE deg.src IS NULL
+    ),
+    c{k} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
+      FROM e JOIN deg d ON e.src = d.src JOIN r{k - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node,
+             CAST((SELECT (CAST({_PR_SCALE} AS BIGINT) * {100 - _PR_DAMP} // 100)
+                     // nn.n FROM nn)
+             + (SELECT (dang * {_PR_DAMP} // 100) // (SELECT nn.n FROM nn)
+                FROM d{k})
+             + COALESCE(c.contrib, 0) * {_PR_DAMP} // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+           node // 2 AS key, rank AS pr_nano, rnk
+    FROM (
+      SELECT node, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+      FROM r{_PR_ITERS})
+    WHERE rnk <= 100
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the bipartite customer->supplier purchase graph
+    (edge = customer bought from supplier, via orders><lineitem): the
+    canonical iterative-centrality workload, 5 synchronous power-
+    method iterations at d=0.85 via operators/graph.pagerank. The
+    bipartite shape exercises the dangling correction hard — EVERY
+    supplier is dangling, so half the mass redistributes uniformly
+    each round.
+
+    Determinism: nano-rank integers end to end (per-edge contribution
+    rank DIV degree, damping x*85 DIV 100, shares // N) — the oracle
+    restates each iteration as a CTE triple and must match bit-for-bit,
+    no epsilon. Top-100 by (rank, node) keeps the output bounded with
+    TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import Window
+
+    from docker_based_real_time_etl_project_spark.operators.graph import (
+        pagerank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    r = pagerank(
+        nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+    top = r.orderBy(F.col("rank").desc(), "node").limit(100)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.when(F.col("node") % 2 == 0, F.lit("cust"))
+        .otherwise(F.lit("supp"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("key"),
+        F.col("rank").alias("pr_nano"),
+        "rnk",
+    )

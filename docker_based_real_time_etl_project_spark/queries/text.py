@@ -278,16 +278,11 @@ _BM25_QUERIES = (
 )
 _BM25_QUERIES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 
-
-@register(
-    "q_bm25_topk",
-    oracle=f"""
-    WITH q AS (
-      SELECT * FROM (VALUES {_BM25_QUERIES_SQL}) v(query_id, qtext)
-    ),
-    qterm AS (
-      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS word FROM q
-    ),
+# The shared BM25 CTE chain (expects a preceding ``qterm(query_id,
+# word)`` CTE naming each query's distinct terms); used verbatim by
+# the q_bm25_topk oracle and the hybrid-fusion oracle so the scoring
+# restatement cannot drift between them.
+_BM25_CTES = """
     tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),
@@ -322,7 +317,66 @@ _BM25_QUERIES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
              COUNT(*) AS n_terms,
              CAST(SUM(term_micro) AS BIGINT) AS score_micro
       FROM term_scores GROUP BY query_id, doc_id
+    )"""
+
+
+def _bm25_scores(d: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(query_id, doc_id, n_terms, score_micro) for every document
+    matching any of ``qterms`` (query_id, word) — the Spark half of
+    _BM25_CTES, shared by q_bm25_topk and the hybrid fusion. The query
+    vocabulary broadcasts twice: first pruning the vocabulary-sized df
+    table, then carrying the pruned (word, df, query_id) into the
+    (doc, word) postings — the full vocab never ships, and the only
+    corpus-sized shuffles are the tf/doclen groupBys an index build
+    pays once."""
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
     )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("_tot"))
+    ).select(
+        "n_docs",
+        (F.col("_tot").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    qstats = dfreq.join(F.broadcast(qterms), "word")
+    term_scores = (
+        tf.join(F.broadcast(qstats), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfnorm * 1e6).cast("bigint").alias("term_micro"),
+        )
+    )
+    return term_scores.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_micro").cast("bigint").alias("score_micro"),
+    )
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {_BM25_QUERIES_SQL}) v(query_id, qtext)
+    ),
+    qterm AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS word FROM q
+    ),{_BM25_CTES}
     SELECT query_id, doc_id, n_terms, score_micro, rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -351,52 +405,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys every index build pays once. At 100 TB the postings for
     a bounded query set are a vanishing fraction of the corpus."""
     d = table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-    )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.sum("dl").alias("_tot"))
-    ).select(
-        "n_docs",
-        (F.col("_tot").cast("double") / F.col("n_docs")).alias("avgdl"),
-    )
     qterms = spark.createDataFrame(
         sorted(
             {(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")}
         ),
         "query_id int, word string",
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    tfnorm = (F.col("tf") * F.lit(2.2)) / (
-        F.col("tf")
-        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-    )
-    # prune vocabulary-sized df down to the query terms FIRST (broadcast
-    # the tiny query vocab into it), then broadcast the <=|query terms|
-    # result into the postings join -- the full vocab df never ships
-    qstats = dfreq.join(F.broadcast(qterms), "word")
-    term_scores = (
-        tf.join(F.broadcast(qstats), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tfnorm * 1e6).cast("bigint").alias("term_micro"),
-        )
-    )
-    scored = term_scores.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("term_micro").cast("bigint").alias("score_micro"),
-    )
+    scored = _bm25_scores(d, qterms)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id")
     )
@@ -404,6 +419,160 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "doc_id", "n_terms", "score_micro", "rnk")
+    )
+
+
+# Hybrid retrieval probes: query-by-example docs (vec_id == doc_id in
+# the synthetic corpus), same ids as q_cosine_topk's query set
+_RRF_PROBES = (0, 100, 200, 300, 400)
+_RRF_IDS_SQL = "(" + ", ".join(str(i) for i in _RRF_PROBES) + ")"
+_RRF_K_ARM = 50   # per-arm candidate depth before fusion
+_RRF_C = 60       # the standard RRF constant
+_RRF_SCALE = 1_000_000_000  # nano-units: 1e9 DIV (c + rank) stays integer
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH qterm AS (
+      SELECT DISTINCT query_id, word FROM (
+        SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id IN {_RRF_IDS_SQL})
+      WHERE word <> ''
+    ),{_BM25_CTES},
+    sparse AS (
+      SELECT query_id, doc_id, rnk AS s_rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rnk
+        FROM scored WHERE doc_id <> query_id)
+      WHERE rnk <= {_RRF_K_ARM}
+    ),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v
+           WHERE vec_id IN {_RRF_IDS_SQL}),
+    dense AS (
+      SELECT query_id, doc_id, rnk AS d_rnk FROM (
+        SELECT qv.query_id, v.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qv.query_id
+                 ORDER BY ROUND(list_dot_product(v.e, qv.qe)
+                       / (sqrt(list_dot_product(v.e, v.e))
+                          * sqrt(list_dot_product(qv.qe, qv.qe))), 6) DESC,
+                 v.vec_id) AS rnk
+        FROM v, qv WHERE v.vec_id <> qv.query_id)
+      WHERE rnk <= {_RRF_K_ARM}
+    ),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE({_RRF_SCALE} // ({_RRF_C} + s.s_rnk), 0)
+                  + COALESCE({_RRF_SCALE} // ({_RRF_C} + d.d_rnk), 0)
+                  AS BIGINT) AS rrf_nano,
+             CAST(COALESCE(s.s_rnk, 0) AS BIGINT) AS sparse_rnk,
+             CAST(COALESCE(d.d_rnk, 0) AS BIGINT) AS dense_rnk
+      FROM sparse s FULL OUTER JOIN dense d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_nano, sparse_rnk, dense_rnk, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nano DESC, doc_id) AS rnk
+      FROM fused)
+    WHERE rnk <= 10
+    """,
+    tags=("text", "retrieval", "similarity"),
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SPARSE+DENSE RETRIEVAL with reciprocal-rank fusion: for
+    five query-by-example documents, the BM25 arm (the probe doc's
+    distinct terms as the query, shared _bm25_scores postings plan)
+    and the dense arm (exact cosine over the aligned embedding table)
+    each produce a top-{_RRF_K_ARM} candidate list, fused by
+    RRF(d) = sum over arms of 1/(c + rank_arm(d)) — the standard
+    ensemble for lexical+semantic search (and the retrieval front of a
+    contamination/decontamination pipeline, where a doc caught by
+    EITHER surface overlap or embedding similarity must surface).
+
+    Determinism: each arm's rank carries a doc_id tiebreak (cosine
+    rounded to 6dp first, BM25 already integer micro-units), and the
+    fusion weight is computed as {_RRF_SCALE} DIV (c + rank) —
+    integer — then integer-summed, so the fused order is total and
+    engine-independent. Absent-from-arm contributes 0 (rank recorded
+    as 0 = 'not in this arm's top-k').
+
+    Scale: the sparse arm is the BM25 postings join (query vocab
+    broadcast, corpus-linear); the dense arm is the exact brute-force
+    baseline (corpus-linear per probe — swap in the IVF/LSH variants
+    for sublinear probes); fusion itself joins two {_RRF_K_ARM}-row
+    lists per query."""
+    d = table(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id").isin(list(_RRF_PROBES)))
+    qterms = (
+        probes.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    sparse = (
+        _bm25_scores(d, qterms)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("s_rnk", F.row_number().over(w_s))
+        .filter(F.col("s_rnk") <= _RRF_K_ARM)
+        .select("query_id", "doc_id", "s_rnk")
+    )
+    from docker_based_real_time_etl_project_spark.operators.similarity import (
+        cosine,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id").isin(list(_RRF_PROBES))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    w_d = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    dense = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos"),
+        )
+        .withColumn("d_rnk", F.row_number().over(w_d))
+        .filter(F.col("d_rnk") <= _RRF_K_ARM)
+        .select("query_id", "doc_id", "d_rnk")
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} DIV ({_RRF_C} + s_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} DIV ({_RRF_C} + d_rnk)"), F.lit(0)
+            )
+        ).cast("bigint").alias("rrf_nano"),
+        F.coalesce("s_rnk", F.lit(0)).cast("bigint").alias("sparse_rnk"),
+        F.coalesce("d_rnk", F.lit(0)).cast("bigint").alias("dense_rnk"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id", "doc_id", "rrf_nano", "sparse_rnk", "dense_rnk", "rnk"
+        )
     )
 
 

@@ -776,3 +776,26 @@ def test_bm25_is_postings_join_never_doc_x_query(spark, sf_dir):
     # stats onto the postings -- both broadcast a 1-row side
     assert js.get("BroadcastNestedLoopJoin", 0) <= 2
     assert js.get("BroadcastHashJoin", 0) >= 2  # qterms->df, qstats->postings
+
+
+def test_pagerank_topk_never_global_sort(spark, sf_dir):
+    """The top-100 extraction must plan as TakeOrderedAndProject over
+    the checkpointed final ranks — never a global sort — and the
+    per-iteration join lineage is truncated (no cartesian anywhere)."""
+    df = _q("q_pagerank", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fusion_plan(spark, sf_dir):
+    """Hybrid fusion: the sparse arm keeps the BM25 broadcast postings
+    shape, the dense arm's only cross is the broadcast 5-row query
+    side (the exact-baseline contract), fusion is a full-outer join of
+    two bounded lists — never an unbroadcast cartesian."""
+    df = _q("q_hybrid_rrf", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    # probe-side cross + two 1-row stats attaches, all broadcast
+    assert js.get("BroadcastNestedLoopJoin", 0) <= 3
+    assert js.get("BroadcastHashJoin", 0) >= 2
