@@ -115,6 +115,8 @@ HEADLINE = [
     "q_bm25_topk",              # BM25 ranked retrieval, broadcast postings join
     "q_hybrid_rrf",             # sparse+dense reciprocal-rank fusion
     "q_pagerank",               # 5-iteration integer power method
+    "q_itemset_pairs",          # per-basket pair mining with lift
+    "q_fuzzy_join",             # ED-1 join via deletion-neighborhood blocks
 ]
 
 

@@ -642,3 +642,99 @@ def q_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p_us") - F.col("v_us")), F.lit(0)
         ).cast("bigint").alias("total_lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket mining: frequent category pairs with lift
+# ---------------------------------------------------------------------------
+
+# Items = part categories (l_partkey % 97): raw TPC-H part keys barely
+# co-occur (20k parts, ~4 lines/order), categories co-occur densely —
+# the realistic support regime for pair mining. Absolute min support
+# keeps the oracle restatement literal.
+_MB_CAT = 97
+_MB_MINSUP = 3
+
+
+@register(
+    "q_itemset_pairs",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey % {_MB_CAT} AS item
+      FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+    item_sup AS (SELECT item, COUNT(*) AS sup FROM basket GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= {_MB_MINSUP}
+    )
+    SELECT item_a, item_b, co,
+           sa.sup AS sup_a, sb.sup AS sup_b,
+           CAST(ROUND(CAST(co AS DOUBLE) * n.n_orders
+                      / (sa.sup * sb.sup) * 1000000) AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN item_sup sa ON pairs.item_a = sa.item
+    JOIN item_sup sb ON pairs.item_b = sb.item
+    CROSS JOIN n
+    """,
+    tags=("analytics", "mining"),
+)
+def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT-PAIR MINING (the A-Priori 2-itemset pass) with lift:
+    which part categories land in the same order more often than
+    independence predicts — the market-basket primitive behind
+    recommendations and co-occurrence features.
+
+    Scale shape: the pair expansion is a PER-BASKET self-join on the
+    order key — each basket holds at most its line count of distinct
+    items (<= 7 here), so candidates are sum of per-basket item-pairs,
+    NEVER the global item x item product; the pair aggregate shuffles
+    (item_a, item_b). Lift is one double multiply/divide from exact
+    integers rounded to micro-units (single-operation determinism, the
+    q_tfidf rule); supports attach by broadcastable category-sized
+    joins."""
+    li = table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_partkey") % _MB_CAT).alias("item"),
+    ).distinct()
+    n = basket.agg(F.countDistinct("okey").alias("n_orders"))
+    item_sup = basket.groupBy("item").agg(F.count(F.lit(1)).alias("sup"))
+    b2 = basket.select(
+        F.col("okey"), F.col("item").alias("item_b")
+    )
+    pairs = (
+        basket.join(b2, "okey")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _MB_MINSUP)
+    )
+    sa = item_sup.select(
+        F.col("item").alias("item_a"), F.col("sup").alias("sup_a")
+    )
+    sb = item_sup.select(
+        F.col("item").alias("item_b"), F.col("sup").alias("sup_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            "sup_a",
+            "sup_b",
+            F.round(
+                F.col("co").cast("double")
+                * F.col("n_orders")
+                / (F.col("sup_a") * F.col("sup_b"))
+                * 1e6
+            ).cast("bigint").alias("lift_micro"),
+        )
+    )

@@ -508,3 +508,71 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passes_quality",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) join via deletion neighborhoods
+# ---------------------------------------------------------------------------
+
+# Entity sample: every 10th customer name. TPC-H names are a fixed
+# 18-char 'Customer#%09d', so edit-distance-1 pairs are names differing
+# in exactly one digit — dense enough to exercise every block.
+_FUZZY_PRED = "c_custkey % 10 = 0"
+_FUZZY_LEN = 18
+
+
+@register(
+    "q_fuzzy_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm FROM customer WHERE {_FUZZY_PRED}
+    )
+    SELECT a.k AS cust_key, COUNT(*) AS n_ed1,
+           CAST(MIN(b.k) AS BIGINT) AS nearest_key
+    FROM c a JOIN c b ON a.k <> b.k AND levenshtein(a.nm, b.nm) = 1
+    GROUP BY a.k
+    """,
+    tags=("dedup", "fuzzy", "scale"),
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE-1 SELF-JOIN by DELETION NEIGHBORHOODS (the
+    SymSpell blocking scheme): every name explodes into its
+    {_FUZZY_LEN} one-character-deleted variants tagged with the
+    deletion position; two equal-length names at substitution distance
+    1 collide on EXACTLY the (position, variant) block of their
+    differing character, so the equi-join on that block finds every
+    true pair exactly once and the exact ``levenshtein == 1`` residual
+    discharges block collisions. Candidate cost is block co-occupancy
+    (len x corpus rows shuffled, pairs only within a block) — never
+    the n^2 all-pairs the oracle runs as ground truth; this is the
+    fuzzy-entity-resolution primitive (typo-tolerant author/address
+    matching) at corpus scale. Per-key rollup: neighbor count + the
+    smallest matching key (deterministic min)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.expr(_FUZZY_PRED))
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("nm"))
+    )
+    variants = c.select(
+        "k",
+        "nm",
+        F.expr(
+            f"explode(transform(sequence(1, {_FUZZY_LEN}), i -> "
+            "struct(i AS pos, concat(substr(nm, 1, i - 1), substr(nm, i + 1))"
+            " AS v)))"
+        ).alias("dv"),
+    ).select("k", "nm", F.col("dv.pos").alias("pos"), F.col("dv.v").alias("v"))
+    b = variants.select(
+        F.col("k").alias("bk"), F.col("nm").alias("bnm"), "pos", "v"
+    )
+    pairs = (
+        variants.join(b, ["pos", "v"])
+        .filter(
+            (F.col("k") != F.col("bk"))
+            & (F.levenshtein(F.col("nm"), F.col("bnm")) == 1)
+        )
+    )
+    return pairs.groupBy(F.col("k").alias("cust_key")).agg(
+        F.count(F.lit(1)).alias("n_ed1"),
+        F.min("bk").cast("bigint").alias("nearest_key"),
+    )

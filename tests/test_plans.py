@@ -799,3 +799,24 @@ def test_hybrid_rrf_fusion_plan(spark, sf_dir):
     # probe-side cross + two 1-row stats attaches, all broadcast
     assert js.get("BroadcastNestedLoopJoin", 0) <= 3
     assert js.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_itemset_pairs_expand_per_basket(spark, sf_dir):
+    """Pair candidates must come from the per-basket equi-join on the
+    order key (bounded by each basket's item count) — never a global
+    item x item cross; supports/lift attach by broadcast."""
+    df = _q("q_itemset_pairs", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) <= 1  # 1-row n_orders attach
+
+
+def test_fuzzy_join_blocks_never_all_pairs(spark, sf_dir):
+    """The ED-1 join must ride the (position, deleted-variant) block
+    equi-join with levenshtein as residual — an all-pairs plan shows
+    up as a cartesian/BNLJ and is the O(n^2) the blocking exists to
+    avoid."""
+    df = _q("q_fuzzy_join", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
