@@ -292,30 +292,30 @@ def _pagerank_oracle_sql() -> str:
     cleanest as a chain; every operation is integer (// floor-div on
     positives == Spark's DIV), making the restatement bit-exact."""
     head = f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
-    r0 AS (
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
       SELECT node, (SELECT {_PR_SCALE} // n FROM nn) AS rank FROM nodes
     )"""
     its = []
     for k in range(1, _PR_ITERS + 1):
         its.append(f""",
-    d{k} AS (
+    d{k} AS MATERIALIZED (
       SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
       FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
       WHERE deg.src IS NULL
     ),
-    c{k} AS (
+    c{k} AS MATERIALIZED (
       SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
       FROM e JOIN deg d ON e.src = d.src JOIN r{k - 1} r ON e.src = r.node
       GROUP BY e.dst
     ),
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT n.node,
              CAST((SELECT (CAST({_PR_SCALE} AS BIGINT) * {100 - _PR_DAMP} // 100)
                      // nn.n FROM nn)
