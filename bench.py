@@ -117,6 +117,7 @@ HEADLINE = [
     "q_pagerank",               # 5-iteration integer power method
     "q_itemset_pairs",          # per-basket pair mining with lift
     "q_fuzzy_join",             # ED-1 join via deletion-neighborhood blocks
+    "q_pagerank_ppr",           # random-walk-with-restart proximity ranking
 ]
 
 

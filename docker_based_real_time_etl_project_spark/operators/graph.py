@@ -157,6 +157,7 @@ def pagerank(
     iters: int = 5,
     damping_pct: int = 85,
     scale: int = 10**9,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method, INTEGER-EXACT so a SQL
     oracle can restate it bit-for-bit: ranks live in ``scale`` units
@@ -176,6 +177,13 @@ def pagerank(
     truncates the per-iteration lineage exactly like pointer_jump.
     At a 1000-executor scale the edge table partitioning on src is
     reused every iteration (the rank side is the small, changing one).
+
+    ``seeds`` (a ``node``-column DataFrame) switches to PERSONALIZED
+    PageRank: the initial mass, the teleport, and the dangling
+    redistribution all land uniformly on the seed set instead of all
+    nodes — random walk with restart to the seeds, the proximity
+    ranking behind graph recommendations. ``seeds=None`` degenerates
+    to every node seeded, which is exactly the global form.
     """
     # Materialize the graph ONCE: edges/deg are consumed by every
     # iteration (contrib join + dangling anti-join), and an expensive
@@ -186,13 +194,26 @@ def pagerank(
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=True)
+    if seeds is None:
+        nodes = nodes.select("node", F.lit(True).alias("_seed"))
+    else:
+        nodes = nodes.join(
+            seeds.select("node", F.lit(True).alias("_seed")), "node", "left"
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
     nodes = nodes.localCheckpoint(eager=True)  # re-read every iteration
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
-    tele = (scale * (100 - damping_pct) // 100) // n
+    ns = nodes.filter("_seed").count()
+    if ns == 0:
+        raise ValueError("pagerank: seed set is empty / disjoint from nodes")
+    tele = (scale * (100 - damping_pct) // 100) // ns
     r = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("rank")
+        "node",
+        F.when(F.col("_seed"), F.lit(scale // ns))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         dang = (
@@ -201,7 +222,7 @@ def pagerank(
             .head()[0]
             or 0
         )
-        dang_share = (dang * damping_pct // 100) // n
+        dang_share = (dang * damping_pct // 100) // ns
         contribs = (
             edges.join(deg, "src")
             .join(r.withColumnRenamed("node", "src"), "src")
@@ -213,7 +234,9 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(tele + dang_share)
+                    F.when(
+                        F.col("_seed"), F.lit(tele + dang_share)
+                    ).otherwise(F.lit(0))
                     + F.expr(
                         f"coalesce(contrib, 0L) * {damping_pct} DIV 100"
                     )

@@ -389,3 +389,120 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("pr_nano"),
         "rnk",
     )
+
+
+_PPR_SEED = "node % 2000 = 0"  # customers with c_custkey % 1000 = 0
+
+
+def _ppr_oracle_sql() -> str:
+    """q_pagerank's unrolled power method with the teleport, initial
+    mass, and dangling redistribution restricted to the seed set —
+    random walk with restart. Same MATERIALIZED discipline (DuckDB
+    inlines multiply-referenced CTEs)."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT node, ({_PPR_SEED}) AS is_seed FROM (
+        SELECT src AS node FROM e UNION SELECT dst FROM e)
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (
+      SELECT COUNT(*) FILTER (WHERE is_seed) AS ns FROM nodes
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, is_seed,
+             CASE WHEN is_seed THEN (SELECT {_PR_SCALE} // ns FROM nn)
+                  ELSE 0 END AS rank
+      FROM nodes
+    )"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f""",
+    d{k} AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+      FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
+      WHERE deg.src IS NULL
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
+      FROM e JOIN deg d ON e.src = d.src JOIN r{k - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node, n.is_seed,
+             CAST(CASE WHEN n.is_seed THEN
+               (SELECT (CAST({_PR_SCALE} AS BIGINT) * {100 - _PR_DAMP} // 100)
+                       // nn.ns FROM nn)
+               + (SELECT (dang * {_PR_DAMP} // 100) // (SELECT nn.ns FROM nn)
+                  FROM d{k})
+             ELSE 0 END
+             + COALESCE(c.contrib, 0) * {_PR_DAMP} // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+           node // 2 AS key, rank AS pr_nano, rnk
+    FROM (
+      SELECT node, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+      FROM r{_PR_ITERS})
+    WHERE rnk <= 100
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_pagerank_ppr",
+    oracle=_ppr_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+)
+def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart): the teleport,
+    initial mass, and dangling redistribution land only on a sparse
+    customer seed set (every 1000th customer), so the ranking measures
+    PROXIMITY TO THE SEEDS — which suppliers those customers'
+    purchases concentrate on, the graph-recommendation primitive
+    (related-items, account-expansion). Same integer-exact machinery
+    and per-iteration plan as q_pagerank (operators/graph.pagerank
+    with ``seeds``); non-seed customers hold rank exactly 0 in this
+    bipartite graph (no in-edges), a sharp structural pin the oracle
+    must reproduce bit-for-bit."""
+    from pyspark.sql import Window
+
+    from docker_based_real_time_etl_project_spark.operators.graph import (
+        pagerank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.expr(_PPR_SEED))
+    r = pagerank(
+        nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+        seeds=seeds,
+    )
+    top = r.orderBy(F.col("rank").desc(), "node").limit(100)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.when(F.col("node") % 2 == 0, F.lit("cust"))
+        .otherwise(F.lit("supp"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("key"),
+        F.col("rank").alias("pr_nano"),
+        "rnk",
+    )
