@@ -518,7 +518,6 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 18-char 'Customer#%09d', so edit-distance-1 pairs are names differing
 # in exactly one digit — dense enough to exercise every block.
 _FUZZY_PRED = "c_custkey % 10 = 0"
-_FUZZY_LEN = 18
 
 
 @register(
@@ -537,7 +536,7 @@ _FUZZY_LEN = 18
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EDIT-DISTANCE-1 SELF-JOIN by DELETION NEIGHBORHOODS (the
     SymSpell blocking scheme): every name explodes into its
-    {_FUZZY_LEN} one-character-deleted variants tagged with the
+    length(name) one-character-deleted variants tagged with the
     deletion position; two equal-length names at substitution distance
     1 collide on EXACTLY the (position, variant) block of their
     differing character, so the equi-join on that block finds every
@@ -571,7 +570,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "min_k",
         F.expr(
-            f"explode(transform(sequence(1, {_FUZZY_LEN}), i -> "
+            # positions derive from the ACTUAL string length, so names
+            # longer than the fixture's usual width still generate every
+            # deletion variant (and shorter names emit no no-op dupes)
+            "explode(transform(sequence(1, length(nm)), i -> "
             "struct(i AS pos, concat(substr(nm, 1, i - 1), substr(nm, i + 1))"
             " AS v)))"
         ).alias("dv"),

@@ -128,6 +128,16 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W_PRED = "o_orderkey % 6007 = 1"
 _W_DAYS = 30
 _IV_DAYS = "o_orderkey % 14"
+
+# Adaptive bucket width per sf_dir (the _Z3_CACHE discipline): the P99
+# interval-length aggregate is an eager action at DataFrame-build time,
+# so without this cache every rebuild of q_join_interval_overlap (plan
+# fingerprinting, repeated bench fn() calls, oracle-comparison setup)
+# would re-pay two column-pruned input scans — and approx_percentile's
+# partitioning-dependent result could move the width (and therefore the
+# plan fingerprint) between builds. Correctness is width-independent;
+# caching pins cost AND fingerprint within a process.
+_IOB_WIDTH_CACHE: dict[str, int] = {}
 # Bucket width is ADAPTIVE (operators/interval.py: P99 interval
 # length), so any typical interval covers <= 2 buckets and a skewed
 # long tail pays explode rows instead of widening the bucket.
@@ -174,6 +184,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast-to-long epoch seconds (timezone-independent), symmetric on
     both sides."""
     from docker_based_real_time_etl_project_spark.operators.interval import (
+        adaptive_bucket_s,
         interval_overlap_join,
     )
 
@@ -191,7 +202,14 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(_IV_DAYS).cast("long") * 86400
         ).alias("iv_e"),
     )
-    pairs = interval_overlap_join(w, iv, ("w_s", "w_e"), ("iv_s", "iv_e"))
+    if sf_dir not in _IOB_WIDTH_CACHE:
+        _IOB_WIDTH_CACHE[sf_dir] = adaptive_bucket_s(
+            w, iv, ("w_s", "w_e"), ("iv_s", "iv_e")
+        )
+    pairs = interval_overlap_join(
+        w, iv, ("w_s", "w_e"), ("iv_s", "iv_e"),
+        bucket_s=_IOB_WIDTH_CACHE[sf_dir],
+    )
     return pairs.groupBy("w_key").agg(
         F.count(F.lit(1)).alias("n_overlap"),
         dsum("o_totalprice").alias("total_price"),

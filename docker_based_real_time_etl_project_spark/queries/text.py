@@ -281,7 +281,9 @@ _BM25_QUERIES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 # The shared BM25 CTE chain (expects a preceding ``qterm(query_id,
 # word)`` CTE naming each query's distinct terms); used verbatim by
 # the q_bm25_topk oracle and the hybrid-fusion oracle so the scoring
-# restatement cannot drift between them.
+# restatement cannot drift between them.  The per-term expression's
+# IEEE association mirrors the Spark side exactly — idf * (num/denom)
+# then * 1e6 — so the micro-unit rounding can never flip by 1 ulp.
 _BM25_CTES = """
     tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -303,8 +305,8 @@ _BM25_CTES = """
       SELECT qterm.query_id, tf.doc_id,
              CAST(ROUND(
                ln(1e0 + (stats.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
-               * (tf.tf * 2.2e0)
-               / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))
+               * ((tf.tf * 2.2e0)
+                  / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl)))
                * 1000000) AS BIGINT) AS term_micro
       FROM qterm
       JOIN tf USING (word)
