@@ -370,9 +370,10 @@ def _bm25_scores(d: DataFrame, qterms: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_bm25_topk",
-    oracle=f"""
+# One oracle for BOTH the from-scratch q_bm25_topk and the
+# lake-persisted q_bm25_index_persisted: the index is an ACCESS PATH,
+# never a semantics change, so both must hash to the same truth.
+_BM25_TOPK_ORACLE = f"""
     WITH q AS (
       SELECT * FROM (VALUES {_BM25_QUERIES_SQL}) v(query_id, qtext)
     ),
@@ -385,7 +386,12 @@ def _bm25_scores(d: DataFrame, qterms: DataFrame) -> DataFrame:
                                    ORDER BY score_micro DESC, doc_id) AS rnk
       FROM scored)
     WHERE rnk <= 10
-    """,
+    """
+
+
+@register(
+    "q_bm25_topk",
+    oracle=_BM25_TOPK_ORACLE,
     tags=("text", "retrieval"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +428,219 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("query_id", "doc_id", "n_terms", "score_micro", "rnk")
     )
+
+
+_BM25_NB = 64  # term-hash buckets the persisted postings partition on
+
+
+def _bm25_postings(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, tf, dl, bucket) postings rows for ``docs`` — the
+    persisted-index row format. ``dl`` rides every posting row
+    (Lucene-norm denormalization): the query path then needs ONE table,
+    and a document's postings are self-contained, so appending or
+    tombstoning a doc touches exactly its own rows. ``bucket`` is the
+    term-hash partition key (stable under any corpus change: a key's
+    partition is a function of the word alone — the immutable-
+    partition-key contract snap_merge requires)."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, "doc_id").select(
+        "word", "doc_id", "tf", "dl",
+        F.pmod(F.xxhash64("word"), F.lit(_BM25_NB)).alias("bucket"),
+    )
+
+
+def _bm25_corpus_stats(docs: DataFrame) -> dict:
+    """The two manifest-resident scalars BM25 needs beyond postings:
+    document count (ALL docs, token-free ones included — matching
+    _bm25_scores' COUNT(*) over documents) and total token count (the
+    avgdl numerator), both exact integers so every reader derives the
+    identical IEEE avgdl."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("t"),
+    ).head()
+    return {"bm25_n_docs": int(row["n"]), "bm25_tot_dl": int(row["t"] or 0)}
+
+
+def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
+    """The BM25 inverted index PERSISTED as a versioned snapshot lake
+    table (the q_ann_ivf_persisted discipline applied to retrieval):
+    postings partitioned by term-hash bucket, corpus stats (N, total
+    doc length) in the manifest meta, maintained by MoR MERGE — an
+    index you MAINTAIN on corpus changes, never rebuild.
+
+    Version history the fixture commits:
+      v1  init with 90% of the corpus (doc_id % 10 != 7);
+      v2  MoR MERGE appending the held-out docs' postings — write I/O
+          is O(the new docs' postings), no partition rewritten, and the
+          meta overlay advances N/total-dl to full-corpus values;
+      v3  a WRONG maintenance batch: MoR tombstones of the %10==3
+          docs' postings (delete files only) with a correspondingly
+          shrunk meta overlay;
+      v4  RESTORE to v2 — zero data I/O, full corpus back, v2's meta
+          (including the corpus stats) back with it.
+    The registered query searches latest (= restored v2): hash-parity
+    against the from-scratch oracle proves both the append merge and
+    the restore."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+        snap_restore,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    def build() -> str:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sg_bm25_index_")
+        d = table(spark, sf_dir, "documents")
+        base = d.filter("doc_id % 10 != 7")
+        held = d.filter("doc_id % 10 = 7")
+        assert snap_init(
+            spark,
+            _bm25_postings(base),
+            out,
+            "bucket",
+            sort_by=("word", "doc_id"),
+            meta=_bm25_corpus_stats(base),
+        ) == 1
+        assert snap_merge(
+            spark,
+            out,
+            _bm25_postings(held),
+            key_cols=("word", "doc_id"),
+            mode="mor",
+            meta=_bm25_corpus_stats(d),
+        ) == 2
+        wrong = _bm25_postings(d.filter("doc_id % 10 = 3")).withColumn(
+            "_del", F.lit(True)
+        )
+        assert snap_merge(
+            spark,
+            out,
+            wrong,
+            key_cols=("word", "doc_id"),
+            delete_col="_del",
+            mode="mor",
+            meta=_bm25_corpus_stats(d.filter("doc_id % 10 != 3")),
+        ) == 3
+        assert snap_restore(spark, out, 2) == 4
+        return out
+
+    return materialize_once(
+        ("bm25_index_snap", sf_dir, table_fingerprint(sf_dir, "documents")),
+        build,
+    )
+
+
+def _bm25_topk_persisted(
+    spark: SparkSession, path: str, qterms: DataFrame, k: int = 10
+) -> DataFrame:
+    """BM25 search against the PERSISTED index: corpus stats come from
+    the manifest, postings from a snap_read PRUNED TO THE QUERY TERMS'
+    BUCKETS — the manifest names each bucket-partition's files, so a
+    query opens at most |query vocabulary| of the 64 buckets and
+    never rescans or re-tokenizes the corpus. df needs no stored rows:
+    the pruned read already holds EVERY posting of every query term
+    (bucket pruning is by term hash, then the exact word equi-join),
+    so the per-word row count IS the document frequency — exact, and
+    consistent with the postings by construction even mid-maintenance.
+
+    Determinism: the scoring expression tree is _bm25_scores' verbatim
+    — idf * ((tf*2.2)/denom) then *1e6, rounded to integer micro-units
+    per (term, doc) BEFORE the integer sum — with N as an integer
+    literal and avgdl as the same IEEE double division the from-scratch
+    plan computes (exact int→double conversions below 2^53, one
+    correctly-rounded divide: bit-equal by construction)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_meta,
+        snap_read,
+    )
+
+    m = snap_meta(path)
+    n_docs, tot_dl = m["bm25_n_docs"], m["bm25_tot_dl"]
+    buckets = sorted(
+        str(r[0])
+        for r in qterms.select(
+            F.pmod(F.xxhash64("word"), F.lit(_BM25_NB)).alias("b")
+        ).distinct().collect()
+    )
+    qwords = qterms.select("word").distinct()
+    matched = snap_read(spark, path, partitions=buckets).join(
+        F.broadcast(qwords), "word"
+    )
+    dfreq = matched.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = tot_dl / n_docs  # IEEE: int→double exact, one rounded divide
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+    )
+    qstats = dfreq.join(F.broadcast(qterms), "word")
+    term_scores = matched.join(F.broadcast(qstats), "word").select(
+        "query_id",
+        "doc_id",
+        F.round(idf * tfnorm * 1e6).cast("bigint").alias("term_micro"),
+    )
+    scored = term_scores.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_micro").cast("bigint").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "n_terms", "score_micro", "rnk")
+    )
+
+
+@register(
+    "q_bm25_index_persisted",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("text", "retrieval", "lakesnap", "scale"),
+)
+def q_bm25_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from the MAINTAINED lake index rather than a
+    corpus scan: the inverted index lives as a snapshot table
+    (postings partitioned by term-hash bucket, N/total-doclen in the
+    manifest meta), built 90%-init → MoR append of the rest → a wrong
+    MoR tombstone batch → RESTORE, and searched at latest (= the
+    restored full index). Shares q_bm25_topk's oracle VERBATIM: the
+    production retrieval pattern is an index you maintain on corpus
+    changes, and maintenance must never move a score — hash-parity
+    against the from-scratch truth proves the append merge carried the
+    new docs' postings AND stats, and the restore brought the
+    tombstoned ones back (a stale v3 read would lose every %10==3 doc
+    from the rankings).
+
+    Scale: query-side reads open ONLY the query terms' buckets via
+    manifest partition pruning (files-opened pinned in
+    tests/test_scale_ops.py) — at 100 TB the corpus-sized work is the
+    index build paid once, then each corpus delta pays O(its own
+    postings) and each query O(its terms' postings)."""
+    path = _bm25_index_snap(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        sorted(
+            {(qid, w) for qid, text in _BM25_QUERIES for w in text.split(" ")}
+        ),
+        "query_id int, word string",
+    )
+    return _bm25_topk_persisted(spark, path, qterms, k=10)
 
 
 # Hybrid retrieval probes: query-by-example docs (vec_id == doc_id in

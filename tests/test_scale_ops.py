@@ -501,3 +501,50 @@ def test_ivf_persisted_index_reads_only_probed_cells(spark, sf_dir):
     assert (
         snap_read(spark, path, 2).count() < snap_read(spark, path, 3).count()
     )
+
+
+def test_bm25_persisted_index_reads_only_query_buckets(spark, sf_dir):
+    """The lake-persisted BM25 index's search opens ONLY the query
+    terms' bucket-partitions' files (manifest partition pruning),
+    corpus stats ride the manifest, and the restored version serves
+    the full corpus again after the tombstone batch."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_files,
+        snap_meta,
+        snap_read,
+        snap_versions,
+    )
+    from docker_based_real_time_etl_project_spark.queries.text import (
+        _BM25_NB,
+        _bm25_index_snap,
+        _bm25_topk_persisted,
+    )
+
+    path = _bm25_index_snap(spark, sf_dir)
+    assert snap_versions(path) == [1, 2, 3, 4]
+    meta = snap_meta(path)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert meta["bm25_n_docs"] == n_docs  # restored v2 = full corpus
+    # a two-word query must open a strict subset of the table's files
+    qterms = spark.createDataFrame(
+        [(0, "spark"), (0, "filter")], "query_id int, word string"
+    )
+    got = _bm25_topk_persisted(spark, path, qterms, k=5)
+    assert got.count() > 0
+    buckets = sorted(
+        str(r[0])
+        for r in qterms.select(
+            F.pmod(F.xxhash64("word"), F.lit(_BM25_NB)).alias("b")
+        ).distinct().collect()
+    )
+    total = snap_files(path)
+    opened = snap_files(path, partitions=buckets)
+    assert len(buckets) <= 2
+    assert 0 < len(opened) < len(total)
+    # maintenance history: v1 held 90% of docs, v3 tombstoned a slice
+    assert snap_meta(path, 1)["bm25_n_docs"] < n_docs
+    assert snap_read(spark, path, 3).select(
+        "doc_id"
+    ).distinct().count() < snap_read(spark, path, 4).select(
+        "doc_id"
+    ).distinct().count()
