@@ -604,3 +604,158 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ed1").cast("bigint").alias("n_ed1"),
         F.col("nearest_key").cast("bigint").alias("nearest_key"),
     )
+
+
+# Variable-length entity fixture for the cross-length fuzzy joins:
+# unpadded numeric suffixes give names of 2-5 chars ("C0".."C2990"),
+# where true insert/delete ED-1 pairs exist ("C10"/"C100") alongside
+# substitutions ("C10"/"C20"); the % 3000 fold makes names NON-unique
+# at sf >= 0.1 so the multiplicity-carrying rollup is exercised too.
+_XLEN_PRED = "c_custkey % 10 = 0"
+_XLEN_NM_SQL = "concat('C', CAST(c_custkey % 3000 AS VARCHAR))"
+
+
+def _xlen_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.expr(_XLEN_PRED))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.concat(
+                F.lit("C"), (F.col("c_custkey") % 3000).cast("string")
+            ).alias("nm"),
+        )
+    )
+
+
+def _deletion_neighborhood(depth: int) -> str:
+    """SQL expression (over column ``nm``) for the DISTINCT deletion
+    neighborhood of ``nm`` up to ``depth`` deletions, INCLUDING the
+    identity — the SymSpell blocking set: ED(a, b) <= k implies the
+    depth-k neighborhoods of a and b intersect, so an equi-join on the
+    neighborhood member finds every candidate pair; shared members are
+    at most ``depth`` shorter than either name, so the length guard
+    |len(a) - len(b)| <= k is implicit in the block."""
+    def dels(s: str) -> str:
+        return (
+            f"array_distinct(transform(sequence(1, length({s})), i -> "
+            f"concat(substr({s}, 1, i - 1), substr({s}, i + 1))))"
+        )
+
+    if depth == 1:
+        return f"array_union(array(nm), {dels('nm')})"
+    if depth == 2:
+        one = dels("nm")
+        two = f"array_distinct(flatten(transform({one}, t -> {dels('t')})))"
+        return f"array_union(array_union(array(nm), {one}), {two})"
+    raise ValueError(f"unsupported depth {depth}")
+
+
+def _fuzzy_join_xlen(
+    spark: SparkSession, sf_dir: str, depth: int, out_cnt: str
+) -> DataFrame:
+    """Shared engine for the cross-length fuzzy self-joins: DISTINCT
+    names (multiplicity + min key carried) explode into their depth-k
+    deletion neighborhoods, candidates equi-join on the neighborhood
+    MEMBER STRING (no position tag — cross-length collisions pair a
+    deletion of the longer with the identity or a shallower deletion
+    of the shorter, where positions don't correspond), the exact
+    levenshtein residual discharges collisions, and — unlike the
+    equal-length substitution scheme, where each true pair collides in
+    exactly one (pos, variant) block — a pair here can co-occupy
+    SEVERAL neighborhood members, so candidates are deduped to
+    distinct name pairs BEFORE the weight rollup (sum of the other
+    side's multiplicity; same-name keys are ED-0, excluded on both
+    paths)."""
+    c = _xlen_base(spark, sf_dir)
+    names = c.groupBy("nm").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("k").alias("min_k")
+    )
+    variants = names.select(
+        "nm",
+        "cnt",
+        "min_k",
+        F.explode(F.expr(_deletion_neighborhood(depth))).alias("v"),
+    )
+    b = variants.select(
+        F.col("nm").alias("bnm"),
+        F.col("cnt").alias("bcnt"),
+        F.col("min_k").alias("bmin_k"),
+        "v",
+    )
+    pairs = (
+        variants.join(b, "v")
+        .filter(
+            (F.col("nm") != F.col("bnm"))
+            & (F.levenshtein(F.col("nm"), F.col("bnm")) <= depth)
+        )
+        .select("nm", "bnm", "bcnt", "bmin_k")
+        .distinct()
+    )
+    per_name = pairs.groupBy("nm").agg(
+        F.sum("bcnt").alias(out_cnt),
+        F.min("bmin_k").alias("nearest_key"),
+    )
+    return c.join(per_name, "nm").select(
+        F.col("k").alias("cust_key"),
+        F.col(out_cnt).cast("bigint").alias(out_cnt),
+        F.col("nearest_key").cast("bigint").alias("nearest_key"),
+    )
+
+
+@register(
+    "q_fuzzy_join_ed1_xlen",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS k, {_XLEN_NM_SQL} AS nm
+      FROM customer WHERE {_XLEN_PRED}
+    )
+    SELECT a.k AS cust_key, COUNT(*) AS n_ed1,
+           CAST(MIN(b.k) AS BIGINT) AS nearest_key
+    FROM c a JOIN c b ON a.k <> b.k AND levenshtein(a.nm, b.nm) = 1
+    GROUP BY a.k
+    """,
+    tags=("dedup", "fuzzy", "scale"),
+)
+def q_fuzzy_join_ed1_xlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LENGTH EDIT-DISTANCE-1 SELF-JOIN: true ED <= 1 over
+    variable-length names — substitutions AND single-character
+    inserts/deletes ("C10" pairs with "C100"), which the equal-length
+    (pos, variant) scheme of q_fuzzy_join cannot see. Blocking is the
+    depth-1 deletion neighborhood INCLUDING the identity: a
+    substitution pair shares the deletion at the differing position; a
+    length±1 pair shares the shorter name itself (= the longer's
+    deletion at the inserted position). Candidate cost stays block
+    co-occupancy over DISTINCT names; the oracle runs the n^2
+    levenshtein truth."""
+    return _fuzzy_join_xlen(spark, sf_dir, depth=1, out_cnt="n_ed1")
+
+
+@register(
+    "q_fuzzy_join_ed2",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS k, {_XLEN_NM_SQL} AS nm
+      FROM customer WHERE {_XLEN_PRED}
+    )
+    SELECT a.k AS cust_key, COUNT(*) AS n_ed2,
+           CAST(MIN(b.k) AS BIGINT) AS nearest_key
+    FROM c a JOIN c b
+      ON a.k <> b.k AND levenshtein(a.nm, b.nm) BETWEEN 1 AND 2
+    GROUP BY a.k
+    """,
+    tags=("dedup", "fuzzy", "scale"),
+)
+def q_fuzzy_join_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE <= 2 SELF-JOIN by DEPTH-2 DELETION NEIGHBORHOODS:
+    the SymSpell intersection theorem at k=2 — any two names within
+    two edits (any mix of substitute/insert/delete, lengths differing
+    by up to 2) share a member of their depth-2 deletion
+    neighborhoods, so the member equi-join surfaces every true pair
+    and ``levenshtein BETWEEN 1 AND 2`` discharges the (now more
+    frequent) block collisions; the distinct-pair dedup absorbs the
+    multi-member co-occupancy ED-2 pairs routinely have. Neighborhood
+    size is 1 + L + L(L-1)/2 per distinct name — quadratic in name
+    LENGTH, constant in corpus size — and the same-name ED-0 exclusion
+    and multiplicity algebra carry over from the ED-1 forms."""
+    return _fuzzy_join_xlen(spark, sf_dir, depth=2, out_cnt="n_ed2")

@@ -820,3 +820,26 @@ def test_fuzzy_join_blocks_never_all_pairs(spark, sf_dir):
     js = join_strategies(df)
     assert js.get("CartesianProduct", 0) == 0
     assert js.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_fuzzy_join_xlen_blocks_never_all_pairs(spark, sf_dir):
+    """The cross-length ED<=1 and ED<=2 joins must ride the deletion-
+    neighborhood-member block equi-join with levenshtein as residual —
+    never a cartesian/BNLJ all-pairs plan — at both depths."""
+    for name in ("q_fuzzy_join_ed1_xlen", "q_fuzzy_join_ed2"):
+        df = _q(name, spark, sf_dir)
+        js = join_strategies(df)
+        assert js.get("CartesianProduct", 0) == 0, name
+        assert js.get("BroadcastNestedLoopJoin", 0) == 0, name
+
+
+def test_bm25_persisted_search_is_postings_join(spark, sf_dir):
+    """The persisted-index search keeps the broadcast postings shape:
+    query vocab and query-derived df broadcast into the bucket-pruned
+    postings read — no cartesian, no 1-row cross attach (stats come
+    from the manifest, not a plan node)."""
+    df = _q("q_bm25_index_persisted", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
+    assert js.get("BroadcastHashJoin", 0) >= 2
