@@ -1078,3 +1078,151 @@ def q_dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(-F.col("b.ns"), F.lit(0)).alias("max_span_start"),
         F.coalesce("n_dup_raw", F.lit(0)).alias("n_dup"),
     )
+
+
+# ---- BPE tokenizer TRAINING loop -------------------------------------
+# q_bpe_pair_counts computes round one's statistic; this is the real
+# workload: N merge rounds, each picking the single best pair
+# (count DESC, then left/right symbol text — a total, engine-free
+# order), rewriting the vocabulary, and recounting. Words encode as
+# '<sym><sym>...' so a merge is ONE string replace: the pattern
+# '<x><y>' is anchored on both ends by the bracket delimiters (no
+# symbol contains '<' or '>' — the corpus filter guarantees it), and
+# replace()'s left-to-right non-overlapping scan IS greedy BPE merge
+# semantics, including runs: '<a><a><a><a>' under (a,a) -> '<aa><aa>'.
+_BPE_ROUNDS = 10
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """The training loop unrolled as a MATERIALIZED CTE chain (the
+    PageRank oracle discipline): v0 is the encoded distinct-word
+    rollup; each round r materializes the pair counts (p{r}), the
+    winning pair (b{r}), and the rewritten vocabulary (v{r})."""
+    ctes = [
+        f"""base AS MATERIALIZED (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 AND regexp_matches(w, '{_BPE_WORD_RE}')
+      GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS wstr, c FROM base
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT l[i] AS x, l[i + 1] AS y, CAST(SUM(c) AS BIGINT) AS n
+      FROM (
+        SELECT l, c, unnest(range(1, len(l))) AS i
+        FROM (SELECT regexp_extract_all(wstr, '<([^>]*)>', 1) AS l, c
+              FROM {prev})
+      ) GROUP BY x, y
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT x, y, n FROM p{r} ORDER BY n DESC, x, y LIMIT 1
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT replace(wstr,
+                     '<' || (SELECT x FROM b{r}) || '><'
+                         || (SELECT y FROM b{r}) || '>',
+                     '<' || (SELECT x FROM b{r})
+                         || (SELECT y FROM b{r}) || '>') AS wstr, c
+      FROM {prev}
+    )""")
+        ctes.append(
+            f"m{r} AS (SELECT {r} AS round, x AS left_sym, y AS right_sym,"
+            f" n AS pair_n FROM b{r})"
+        )
+    union = "\n      UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT round, left_sym, right_sym, pair_n FROM ({union})"
+    )
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    tags=("llm-prep", "text", "tokenizer", "iterative", "scale"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING: {_BPE_ROUNDS} merge rounds over the
+    corpus, returning the learned merge table (round, left symbol,
+    right symbol, winning pair count) — the artifact a tokenizer ships.
+
+    The loop is the SentencePiece shape: the corpus collapses ONCE to
+    the distinct-word frequency rollup (vocabulary-sized — Zipf makes
+    |vocab| ~ sqrt(corpus)), and every round after that is
+    vocabulary-sized, never corpus-sized: count adjacent symbol pairs
+    weighted by word multiplicity, pick the winner by the total
+    (count DESC, symbol text) order, rewrite each word's encoding with
+    one anchored string replace whose left-to-right non-overlapping
+    scan is exactly greedy BPE (runs merge pairwise: aaaa -> aa aa).
+    The winner extraction is a 1-row broadcast joined into the rewrite
+    (the PageRank dangling-sum pattern: a bounded per-iteration
+    action, never a corpus collect), and the vocabulary is
+    localCheckpoint'ed per round so round r's plan starts from
+    materialized state instead of r stacked replaces — per-round cost
+    is O(|vocab|) regardless of r, pinned in tests/test_scale_ops.py.
+
+    At 100 TB: the only corpus-sized work is the first word rollup
+    (one shuffle with map-side combine); 10k merge rounds later the
+    loop is still iterating over the same few-million-row vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 2) & F.col("w").rlike(_BPE_WORD_RE)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.regexp_replace("w", "(.)", "<$1>").alias("wstr"), "c"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            v.select(
+                F.expr("regexp_extract_all(wstr, '<([^>]*)>', 1)").alias("l"),
+                "c",
+            )
+            .filter(F.size("l") >= 2)
+            .select(
+                F.expr(
+                    "explode(transform(sequence(1, size(l) - 1), i -> "
+                    "struct(element_at(l, i) AS x, element_at(l, i + 1) AS y)))"
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n"), "x", "y")
+            .limit(1)
+            .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        v = (
+            v.crossJoin(F.broadcast(best.select("x", "y")))
+            .select(
+                F.expr(
+                    "replace(wstr, concat('<', x, '><', y, '>'), "
+                    "concat('<', x, y, '>'))"
+                ).alias("wstr"),
+                "c",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges.select(
+        "round",
+        F.col("x").alias("left_sym"),
+        F.col("y").alias("right_sym"),
+        F.col("n").alias("pair_n"),
+    )
