@@ -158,6 +158,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**9,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method, INTEGER-EXACT so a SQL
     oracle can restate it bit-for-bit: ranks live in ``scale`` units
@@ -184,6 +185,16 @@ def pagerank(
     nodes — random walk with restart to the seeds, the proximity
     ranking behind graph recommendations. ``seeds=None`` degenerates
     to every node seeded, which is exactly the global form.
+
+    ``weight_col`` names a positive integer edge-weight column for
+    EDGE-WEIGHTED PageRank: a src node's mass splits proportionally to
+    weight — per-edge contribution ``(rank * w) DIV sum_w(src)`` —
+    still pure integer arithmetic (one multiply, one floor divide per
+    edge; rank <= scale and integer weights keep the product far from
+    64-bit range), so the unrolled-CTE oracle discipline carries over
+    unchanged. ``weight_col=None`` keeps the uniform ``rank DIV
+    out_degree`` split (== the weighted form with w = 1 everywhere).
+    The dangling/teleport machinery is weight-oblivious either way.
     """
     # Materialize the graph ONCE: edges/deg are consumed by every
     # iteration (contrib join + dangling anti-join), and an expensive
@@ -191,9 +202,15 @@ def pagerank(
     # otherwise recompute per round — measured 3x on the purchase-graph
     # fixture. The checkpoint is the Pregel "load the graph" step.
     edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=True)
+    if weight_col is None:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        contrib_expr = "rank DIV deg"
+    else:
+        deg = edges.groupBy("src").agg(
+            F.sum(weight_col).cast("long").alias("deg")
+        )
+        contrib_expr = f"(rank * {weight_col}) DIV deg"
+    deg = deg.localCheckpoint(eager=True)
     if seeds is None:
         nodes = nodes.select("node", F.lit(True).alias("_seed"))
     else:
@@ -227,7 +244,7 @@ def pagerank(
             edges.join(deg, "src")
             .join(r.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.expr("rank DIV deg")).alias("contrib"))
+            .agg(F.sum(F.expr(contrib_expr)).alias("contrib"))
         )
         r = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")

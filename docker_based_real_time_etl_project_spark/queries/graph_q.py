@@ -409,6 +409,113 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_weighted_oracle_sql() -> str:
+    """The weighted power method unrolled: q_pagerank's CTE chain with
+    the edge list carrying the per-pair purchase count and the per-edge
+    contribution restated as (rank * w) // sum_w(src) — integer, so
+    still bit-exact."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY src
+    ),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, (SELECT {_PR_SCALE} // n FROM nn) AS rank FROM nodes
+    )"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f""",
+    d{k} AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+      FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
+      WHERE deg.src IS NULL
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(SUM((r.rank * e.w) // d.sw) AS BIGINT) AS contrib
+      FROM e JOIN deg d ON e.src = d.src JOIN r{k - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((SELECT (CAST({_PR_SCALE} AS BIGINT) * {100 - _PR_DAMP} // 100)
+                     // nn.n FROM nn)
+             + (SELECT (dang * {_PR_DAMP} // 100) // (SELECT nn.n FROM nn)
+                FROM d{k})
+             + COALESCE(c.contrib, 0) * {_PR_DAMP} // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+           node // 2 AS key, rank AS pr_nano, rnk
+    FROM (
+      SELECT node, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+      FROM r{_PR_ITERS})
+    WHERE rnk <= 100
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_pagerank_weighted",
+    oracle=_pagerank_weighted_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE-WEIGHTED PAGERANK over the purchase graph: the weight the
+    global form distinct-ed away — lineitem count per (customer,
+    supplier) pair, the natural purchase intensity — now splits each
+    customer's mass proportionally: contribution = (rank * w) DIV
+    sum_w(src), one integer multiply and floor divide per edge, so the
+    unrolled-CTE oracle still matches bit-for-bit with no epsilon.
+    Same 5-iteration / d=0.85 / nano-rank / dangling-correction
+    machinery as q_pagerank (every supplier still dangles), same
+    TakeOrderedAndProject top-100."""
+    from pyspark.sql import Window
+
+    from docker_based_real_time_etl_project_spark.operators.graph import (
+        pagerank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    r = pagerank(
+        nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+        weight_col="w",
+    )
+    top = r.orderBy(F.col("rank").desc(), "node").limit(100)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.when(F.col("node") % 2 == 0, F.lit("cust"))
+        .otherwise(F.lit("supp"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("key"),
+        F.col("rank").alias("pr_nano"),
+        "rnk",
+    )
+
+
 _PPR_SEED = "node % 2000 = 0"  # customers with c_custkey % 1000 = 0
 
 

@@ -843,3 +843,13 @@ def test_bm25_persisted_search_is_postings_join(spark, sf_dir):
     assert js.get("CartesianProduct", 0) == 0
     assert js.get("BroadcastNestedLoopJoin", 0) == 0
     assert js.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_pagerank_weighted_topk_never_global_sort(spark, sf_dir):
+    """Weighted PageRank keeps the global form's plan contract:
+    TakeOrderedAndProject top-100 over checkpointed final ranks, no
+    cartesian anywhere in the per-iteration lineage."""
+    df = _q("q_pagerank_weighted", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
