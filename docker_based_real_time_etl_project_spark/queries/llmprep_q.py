@@ -1094,11 +1094,13 @@ _BPE_ROUNDS = 10
 _BPE_WORD_RE = "^[a-z0-9]+$"
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final: str = "merges") -> str:
     """The training loop unrolled as a MATERIALIZED CTE chain (the
     PageRank oracle discipline): v0 is the encoded distinct-word
     rollup; each round r materializes the pair counts (p{r}), the
-    winning pair (b{r}), and the rewritten vocabulary (v{r})."""
+    winning pair (b{r}), and the rewritten vocabulary (v{r}).
+    ``final`` picks the projection: the merge table ("merges") or the
+    exploded final-vocabulary token stats ("encode")."""
     ctes = [
         f"""base AS MATERIALIZED (
       SELECT w, COUNT(*) AS c FROM (
@@ -1136,11 +1138,19 @@ def _bpe_oracle(rounds: int) -> str:
             f" n AS pair_n FROM b{r})"
         )
     union = "\n      UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
-    return (
-        "\n    WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT round, left_sym, right_sym, pair_n FROM ({union})"
-    )
+    if final == "merges":
+        tail = f"SELECT round, left_sym, right_sym, pair_n FROM ({union})"
+    elif final == "encode":
+        tail = f"""SELECT token,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_vocab_positions
+    FROM (
+      SELECT unnest(regexp_extract_all(wstr, '<([^>]*)>', 1)) AS token, c
+      FROM v{rounds})
+    GROUP BY token"""
+    else:
+        raise ValueError(f"unknown final {final!r}")
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + tail
 
 
 @register(
@@ -1171,6 +1181,25 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the only corpus-sized work is the first word rollup
     (one shuffle with map-side combine); 10k merge rounds later the
     loop is still iterating over the same few-million-row vocabulary."""
+    merges, _ = _bpe_train_loop(spark, sf_dir)
+    return merges.select(
+        "round",
+        F.col("x").alias("left_sym"),
+        F.col("y").alias("right_sym"),
+        F.col("n").alias("pair_n"),
+    )
+
+
+def _bpe_train_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared training loop: returns (merge table with columns
+    round/x/y/n, final encoded vocabulary wstr/c). The final
+    vocabulary IS the corpus encoded under the learned merges — the
+    trainer's rewrite state doubles as the encoder's output, which is
+    why q_bpe_encode costs nothing beyond the training it already
+    shares (and why the two queries can never disagree on merge
+    application order)."""
     d = table(spark, sf_dir, "documents")
     v = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1220,9 +1249,37 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return merges.select(
-        "round",
-        F.col("x").alias("left_sym"),
-        F.col("y").alias("right_sym"),
-        F.col("n").alias("pair_n"),
+    return merges, v
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_oracle(_BPE_ROUNDS, final="encode"),
+    tags=("llm-prep", "text", "tokenizer", "iterative", "scale"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under the trained merges: the learned token
+    vocabulary applied back to the corpus — per final token, its total
+    weighted occurrence count (positions x word multiplicity) and its
+    vocabulary position count. This is the tokenize step of the
+    pipeline (token-budget accounting, vocabulary coverage audits) and
+    it reuses the training loop's final rewrite state outright: after
+    round N the vocabulary table already holds every distinct word in
+    fully-merged form, so encoding is one explode + one
+    vocabulary-sized rollup — the corpus is never re-tokenized.
+    Deterministic: integer counts, token text as the tiebreak-free
+    group key; the oracle unrolls the same chain and explodes v{N}."""
+    _, v = _bpe_train_loop(spark, sf_dir)
+    return (
+        v.select(
+            F.explode(
+                F.expr("regexp_extract_all(wstr, '<([^>]*)>', 1)")
+            ).alias("token"),
+            "c",
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_vocab_positions"),
+        )
     )
