@@ -631,3 +631,122 @@ def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("pr_nano"),
         "rnk",
     )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle_sql() -> str:
+    """Synchronous label propagation unrolled (the PageRank CTE
+    discipline): each round every node adopts its neighbors' most
+    frequent label, ties broken by the SMALLER label — a total order,
+    so the fixed-round state is engine-independent. The undirected
+    edge list materializes both directions once."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS lbl FROM (SELECT a AS node FROM e0
+                                     UNION SELECT b FROM e0)
+    )"""
+    its = []
+    for k in range(1, _LPA_ITERS + 1):
+        its.append(f""",
+    l{k} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT e.dst AS node, l.lbl,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM e JOIN l{k - 1} l ON e.src = l.node
+        GROUP BY e.dst, l.lbl)
+      WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT lbl AS community, n_members, n_cust, n_supp, rnk
+    FROM (
+      SELECT lbl, COUNT(*) AS n_members,
+             CAST(COUNT(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_cust,
+             CAST(COUNT(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_supp,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lbl) AS rnk
+      FROM l{_LPA_ITERS}
+      GROUP BY lbl)
+    WHERE rnk <= 100
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION COMMUNITY DETECTION on the undirected purchase
+    graph: {_LPA_ITERS} synchronous rounds where every node adopts its
+    neighborhood's most frequent label, ties to the smaller label —
+    the classic near-linear community algorithm (Raghavan 2007),
+    deterministic here because the (count DESC, label ASC) argmax is a
+    total order and the round count is fixed (synchronous LPA on a
+    bipartite graph can oscillate; a fixed horizon makes the state
+    well-defined for the bit-exact oracle either way). Output: the
+    100 largest communities with member counts split by node side.
+
+    Scale shape: per round ONE shuffle — labels join edges on src,
+    hash-aggregate (dst, label) counts, per-node argmax via
+    max(struct(count, -label)) (no sort, no window over the full node
+    set) — the Pregel shape PageRank uses, with localCheckpoint
+    truncating per-round lineage; the edge table is materialized once
+    and its partitioning is reusable every round at cluster scale."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LPA_ITERS):
+        lbl = (
+            e.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.neg")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    comm = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cust"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_supp"),
+    )
+    top = comm.orderBy(F.col("n_members").desc(), "lbl").limit(100)
+    w = Window.orderBy(F.col("n_members").desc(), F.col("lbl"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("lbl").alias("community"), "n_members", "n_cust", "n_supp", "rnk"
+    )

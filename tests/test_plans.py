@@ -853,3 +853,13 @@ def test_pagerank_weighted_topk_never_global_sort(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_no_global_sort_no_cartesian(spark, sf_dir):
+    """LPA keeps the Pregel plan contract: per-round argmax via
+    max(struct) hash aggregation (no full-node-set window), top-100
+    via TakeOrderedAndProject, no cartesian in the lineage."""
+    df = _q("q_label_propagation", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
