@@ -118,6 +118,12 @@ HEADLINE = [
     "q_itemset_pairs",          # per-basket pair mining with lift
     "q_fuzzy_join",             # ED-1 join via deletion-neighborhood blocks
     "q_pagerank_ppr",           # random-walk-with-restart proximity ranking
+    # round 12 additions
+    "q_bm25_index_persisted",   # maintained lake BM25 index, bucket-pruned reads
+    "q_fuzzy_join_ed1_xlen",    # cross-length ED<=1, deletion-neighborhood blocks
+    "q_bpe_train",              # 10-round BPE merge loop, vocab-sized per round
+    "q_pagerank_weighted",      # (rank*w) DIV sum_w integer power method
+    "q_label_propagation",      # 4-round LPA community detection
 ]
 
 

@@ -797,3 +797,49 @@ def test_asof_forward_tolerance_drops_distant_matches(spark):
     }
     assert out[1] == (None, None)   # next quote 40 min away > 15 min
     assert out[2] == (9, 5.0)       # 10 min away, within bound
+
+
+@_slow
+@given(
+    names=st.lists(
+        st.from_regex(r"[ab]{1,5}", fullmatch=True),
+        min_size=2, max_size=12, unique=True,
+    ),
+    depth=st.sampled_from([1, 2]),
+)
+def test_deletion_neighborhood_blocking_is_complete(spark, names, depth):
+    """The SymSpell intersection property, held on adversarial tiny
+    alphabets (runs of repeated chars, cross-length edits): every pair
+    within levenshtein <= depth must co-occupy at least one depth-k
+    deletion-neighborhood member — the completeness claim the
+    q_fuzzy_join_ed1_xlen / q_fuzzy_join_ed2 block joins rest on."""
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        _deletion_neighborhood,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+    v = df.select(
+        "nm", F.explode(F.expr(_deletion_neighborhood(depth))).alias("v")
+    )
+    b = v.select(F.col("nm").alias("bnm"), "v")
+    got = {
+        (r["nm"], r["bnm"])
+        for r in v.join(b, "v")
+        .filter(
+            (F.col("nm") != F.col("bnm"))
+            & (F.levenshtein("nm", "bnm") <= depth)
+        )
+        .select("nm", "bnm")
+        .distinct()
+        .collect()
+    }
+    truth = {
+        (r["nm"], r["bnm"])
+        for r in df.crossJoin(b.select(F.col("bnm")).distinct())
+        .filter(
+            (F.col("nm") != F.col("bnm"))
+            & (F.levenshtein("nm", "bnm") <= depth)
+        )
+        .collect()
+    }
+    assert got == truth
