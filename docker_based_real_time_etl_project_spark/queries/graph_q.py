@@ -750,3 +750,139 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w)).select(
         F.col("lbl").alias("community"), "n_members", "n_cust", "n_supp", "rnk"
     )
+
+
+_BFS_ITERS = 4
+_BFS_SEED = "node % 2000 = 0"  # customers with c_custkey % 1000 = 0
+_BFS_INF = 1 << 30  # unreached sentinel: pure integer MIN algebra
+
+
+def _bfs_oracle_sql() -> str:
+    """Hop-distance BFS unrolled: d0 seeds the frontier at 0 with an
+    integer sentinel for unreached (NULL-free MIN algebra — engines
+    disagree on NULL handling in least/MIN, integers never do); each
+    round takes min(own, min-over-neighbors + 1)."""
+    head = f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ),
+    d0 AS MATERIALIZED (
+      SELECT node, CASE WHEN {_BFS_SEED} THEN 0 ELSE {_BFS_INF} END AS dist
+      FROM (SELECT a AS node FROM e0 UNION SELECT b FROM e0)
+    )"""
+    its = []
+    for k in range(1, _BFS_ITERS + 1):
+        its.append(f""",
+    n{k} AS MATERIALIZED (
+      SELECT e.dst AS node, MIN(d.dist) + 1 AS nd
+      FROM e JOIN d{k - 1} d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT d.node,
+             CAST(CASE WHEN n.nd IS NULL OR d.dist <= n.nd
+                       THEN d.dist ELSE n.nd END AS BIGINT) AS dist
+      FROM d{k - 1} d LEFT JOIN n{k} n ON d.node = n.node
+    )""")
+    tail = f"""
+    SELECT dist AS hop, COUNT(*) AS n_nodes,
+           CAST(COUNT(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_supp,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM d{_BFS_ITERS}
+    WHERE dist < {_BFS_INF}
+    GROUP BY dist
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_bfs_levels",
+    oracle=_bfs_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP-DISTANCE BFS from a sparse seed set on the undirected
+    purchase graph: {_BFS_ITERS} synchronous min-propagation rounds —
+    dist'(v) = min(dist(v), 1 + min over in-neighbors) — the
+    degrees-of-separation / blast-radius primitive (how far does an
+    entity's influence reach in k hops), rolled up to per-level node
+    counts split by side. Unreached nodes carry an integer sentinel
+    rather than NULL so every step is pure integer MIN algebra (NULL
+    semantics in least()/MIN aggregation differ across engines;
+    integers never do) and the unrolled-CTE oracle matches exactly.
+
+    Scale shape: the PageRank/LPA Pregel loop — per round ONE shuffle
+    (distances join edges on src, hash-MIN on dst) plus a keyed left
+    join back to the full distance vector, lineage truncated per round;
+    the edge table is checkpointed once. A frontier-only optimization
+    (join only nodes whose distance changed) would cut traffic on
+    high-diameter graphs; on this diameter-~4 bipartite graph the full
+    vector IS the frontier after round 1, so the simple form is the
+    honest one."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    d = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.expr(_BFS_SEED), F.lit(0))
+            .otherwise(F.lit(_BFS_INF))
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BFS_ITERS):
+        nbr = (
+            e.join(d.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        d = (
+            d.join(nbr, d.node == nbr.dst, "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nd").isNull() | (F.col("dist") <= F.col("nd")),
+                    F.col("dist"),
+                )
+                .otherwise(F.col("nd"))
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.filter(F.col("dist") < _BFS_INF)
+        .groupBy(F.col("dist").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cust"),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_supp"),
+            F.min("node").cast("bigint").alias("min_node"),
+        )
+    )

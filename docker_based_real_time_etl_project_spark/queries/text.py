@@ -1034,3 +1034,86 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro"),
         )
     )
+
+
+# Phrase-search benchmark queries: exact 2-word phrases over the
+# corpus vocabulary (adjacency, not bag-of-words — the inverted-index
+# workload BM25's unordered postings cannot answer).
+_PHRASES = (
+    (1, "batch", "merge"),
+    (2, "fast", "scan"),
+    (3, "spark", "join"),
+    (4, "the", "customer"),
+)
+_PHRASES_SQL = ", ".join(f"({i}, '{x}', '{y}')" for i, x, y in _PHRASES)
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH p AS (SELECT * FROM (VALUES {_PHRASES_SQL}) v(phrase_id, x, y)),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pos AS (
+      SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks
+      WHERE len(l) >= 2
+    ),
+    hits AS (
+      SELECT p.phrase_id, pos.doc_id, COUNT(*) AS n_matches
+      FROM pos JOIN p ON pos.l[i] = p.x AND pos.l[i + 1] = p.y
+      GROUP BY p.phrase_id, pos.doc_id
+    )
+    SELECT phrase_id, doc_id, n_matches, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY phrase_id
+                                   ORDER BY n_matches DESC, doc_id) AS rnk
+      FROM hits)
+    WHERE rnk <= 20
+    """,
+    tags=("text", "retrieval"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PHRASE SEARCH by POSITIONAL POSTINGS: top-20 documents per
+    2-word phrase, ranked by occurrence count — the adjacency-aware
+    inverted-index workload (quote matching, verbatim-span retrieval)
+    that BM25's unordered postings cannot answer. The positional
+    posting list (doc_id, position, word) is filtered to the phrases'
+    words by a broadcast semi-join BEFORE anything wide, then the
+    first word's postings equi-join the second's on (doc_id, position
+    + 1) — candidate cost is the matching words' posting sizes, never
+    a corpus scan per phrase and never doc x phrase. Counts are
+    per-position (overlapping occurrences each count: 'x x x' holds
+    'x x' twice — the positional definition both engines restate
+    identically; a substring-replace count would miss overlaps).
+    Integer counts + doc_id tiebreak: total order, hash-exact."""
+    d = table(spark, sf_dir, "documents")
+    p = spark.createDataFrame(
+        list(_PHRASES), "phrase_id int, x string, y string"
+    )
+    words = p.select(F.col("x").alias("word")).union(
+        p.select(F.col("y").alias("word"))
+    ).distinct()
+    post = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("i", "word"),
+        )
+        .join(F.broadcast(words), "word")
+    )
+    first = post.select("doc_id", "i", F.col("word").alias("x"))
+    second = post.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("word").alias("y")
+    )
+    hits = (
+        first.join(second, ["doc_id", "i"])
+        .join(F.broadcast(p), ["x", "y"])
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id")
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("phrase_id", "doc_id", "n_matches", "rnk")
+    )

@@ -863,3 +863,22 @@ def test_label_propagation_no_global_sort_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_is_postings_adjacency_join(spark, sf_dir):
+    """Phrase search must filter positional postings to the phrases'
+    words via broadcast BEFORE the adjacency equi-join on (doc_id,
+    position) — never a cartesian/BNLJ, never a corpus scan per
+    phrase."""
+    df = _q("q_phrase_search", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
+    assert js.get("BroadcastHashJoin", 0) >= 2  # word filter + phrase attach
+
+
+def test_bfs_levels_no_cartesian(spark, sf_dir):
+    """BFS keeps the Pregel shape: per-round keyed joins only, no
+    cartesian anywhere in the unrolled lineage."""
+    df = _q("q_bfs_levels", spark, sf_dir)
+    assert "CartesianProduct" not in formatted_plan(df)
