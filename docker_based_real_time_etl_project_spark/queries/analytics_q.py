@@ -738,3 +738,97 @@ def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("lift_micro"),
         )
     )
+
+
+@register(
+    "q_regr_trend",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM (
+        SELECT o_orderpriority, o_orderdate,
+               CAST(day(o_orderdate) AS BIGINT) AS x,
+               CAST(CAST(o_totalprice * 100 AS BIGINT) // 100 AS BIGINT) AS y
+        FROM orders)
+      GROUP BY 1, 2, 3
+    )
+    SELECT priority, yr, mo, n,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+                AS BIGINT) AS slope_micro,
+           CAST(ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+                AS BIGINT) AS intercept_micro,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    tags=("agg", "analytics"),
+)
+def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS REGRESSION AGGREGATES (regr_slope / regr_intercept / r2
+    shape): per (order priority, year, month), the least-squares trend
+    of order value (whole dollars, integer floor) against day of
+    month. The moment sums n/Sx/Sy/Sxy/Sxx/Syy are EXACT int64 — day
+    <= 31 and dollars <= ~600k bound every combination term (n*Sxy,
+    Sx*Sy, Sy*Sxx...) under ~2.4e14 at sf1, inside int64 through
+    ~sf100 — and the closed forms convert those exact integers to
+    double ONCE (correctly-rounded int->double in both engines) for a
+    fixed 2-3-operation expression tree, so no summation order or
+    intermediate float ever varies a bit. Degenerate groups (single
+    row, zero x- or y-variance) are filtered by the same integer
+    predicates on both sides.
+
+    This is the analyst's drift/trend primitive done shuffle-light:
+    one hash aggregate over six map-side-combined integer sums — the
+    same pass regr_slope/regr_r2 cost — never a per-group sort or
+    window."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(CAST(o_totalprice * 100 AS BIGINT) DIV 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    s = base.groupBy("priority", "yr", "mo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return s.filter(
+        (F.col("n") >= 2) & (denx > 0) & (deny > 0)
+    ).select(
+        "priority", "yr", "mo", "n",
+        F.round(num.cast("double") / denx.cast("double") * 1e6)
+        .cast("bigint")
+        .alias("slope_micro"),
+        F.round(inum.cast("double") / denx.cast("double") * 1e6)
+        .cast("bigint")
+        .alias("intercept_micro"),
+        F.round(
+            num.cast("double") * num.cast("double")
+            / (denx.cast("double") * deny.cast("double")),
+            6,
+        ).alias("r2"),
+    )
