@@ -761,18 +761,22 @@ def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3
     )
     SELECT priority, yr, mo, n,
-           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+           CAST(ROUND((nd * sxyd - sxd * syd)
+                      / (nd * sxxd - sxd * sxd) * 1000000)
                 AS BIGINT) AS slope_micro,
-           CAST(ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+           CAST(ROUND((syd * sxxd - sxd * sxyd)
+                      / (nd * sxxd - sxd * sxd) * 1000000)
                 AS BIGINT) AS intercept_micro,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
-    FROM s
-    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                 6) AS r2
+    FROM (
+      SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM s)
+    WHERE n >= 2 AND nd * sxxd - sxd * sxd > 0
+      AND nd * syyd - syd * syd > 0
     """,
     tags=("agg", "analytics"),
 )
@@ -780,15 +784,16 @@ def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS REGRESSION AGGREGATES (regr_slope / regr_intercept / r2
     shape): per (order priority, year, month), the least-squares trend
     of order value (whole dollars, integer floor) against day of
-    month. The moment sums n/Sx/Sy/Sxy/Sxx/Syy are EXACT int64 — day
-    <= 31 and dollars <= ~600k bound every combination term (n*Sxy,
-    Sx*Sy, Sy*Sxx...) under ~2.4e14 at sf1, inside int64 through
-    ~sf100 — and the closed forms convert those exact integers to
-    double ONCE (correctly-rounded int->double in both engines) for a
-    fixed 2-3-operation expression tree, so no summation order or
-    intermediate float ever varies a bit. Degenerate groups (single
-    row, zero x- or y-variance) are filtered by the same integer
-    predicates on both sides.
+    month. The moment sums n/Sx/Sy/Sxy/Sxx/Syy are EXACT int64 (day
+    <= 31 and whole dollars keep even Syy inside int64 through
+    ~sf1000 per month-group); each sum then converts to double ONCE
+    (correctly rounded in both engines) and the closed forms are
+    fixed-shape double expression trees -- bit-identical across
+    engines with no intermediate whose order could vary, and free of
+    the int64 ceiling the all-integer n*Syy - Sy^2 combination would
+    hit around sf10 (ANSI overflow caught in the sf10 spot; this is
+    the fix). Degenerate groups (single row, zero x- or y-variance)
+    are filtered by the same double predicates on both sides.
 
     This is the analyst's drift/trend primitive done shuffle-light:
     one hash aggregate over six map-side-combined integer sums — the
@@ -812,23 +817,23 @@ def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
-    return s.filter(
-        (F.col("n") >= 2) & (denx > 0) & (deny > 0)
-    ).select(
+    # Combinations in DOUBLE from the double-cast exact sums: each
+    # int64 sum converts once (correctly rounded in both engines) and
+    # the closed forms are fixed-shape expression trees, so the result
+    # is bit-identical across engines AND free of the int64 ceiling
+    # the n*syy - sy*sy product would hit around sf10 (ANSI mode
+    # caught exactly that during the sf10 spot).
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd, syyd = (
+        F.col(c).cast("double") for c in ("sxy", "sxx", "syy")
+    )
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    inum = syd * sxxd - sxd * sxyd
+    return s.filter((F.col("n") >= 2) & (denx > 0) & (deny > 0)).select(
         "priority", "yr", "mo", "n",
-        F.round(num.cast("double") / denx.cast("double") * 1e6)
-        .cast("bigint")
-        .alias("slope_micro"),
-        F.round(inum.cast("double") / denx.cast("double") * 1e6)
-        .cast("bigint")
-        .alias("intercept_micro"),
-        F.round(
-            num.cast("double") * num.cast("double")
-            / (denx.cast("double") * deny.cast("double")),
-            6,
-        ).alias("r2"),
+        F.round(num / denx * 1e6).cast("bigint").alias("slope_micro"),
+        F.round(inum / denx * 1e6).cast("bigint").alias("intercept_micro"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
     )
