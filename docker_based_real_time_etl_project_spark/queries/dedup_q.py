@@ -759,3 +759,101 @@ def q_fuzzy_join_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     LENGTH, constant in corpus size — and the same-name ED-0 exclusion
     and multiplicity algebra carry over from the ED-1 forms."""
     return _fuzzy_join_xlen(spark, sf_dir, depth=2, out_cnt="n_ed2")
+
+
+@register(
+    "q_fuzzy_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS k, {_XLEN_NM_SQL} AS nm
+      FROM customer WHERE {_XLEN_PRED}
+    ),
+    names AS (SELECT nm FROM c GROUP BY nm),
+    p AS (
+      SELECT a.nm AS nm_a, b.nm AS nm_b
+      FROM names a JOIN names b
+        ON a.nm < b.nm AND levenshtein(a.nm, b.nm) = 1
+    ),
+    edges AS (
+      SELECT nm_a AS src, nm_b AS dst FROM p
+      UNION SELECT nm_b, nm_a FROM p
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    reps AS (
+      SELECT src AS nm, LEAST(src, MIN(dst)) AS rep_nm
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT c.k, COALESCE(r.rep_nm, c.nm) AS rep_nm
+      FROM c LEFT JOIN reps r ON c.nm = r.nm
+    ),
+    cl AS (
+      SELECT rep_nm, CAST(MIN(k) AS BIGINT) AS cluster_key,
+             COUNT(*) AS n_entities
+      FROM labeled GROUP BY rep_nm
+    )
+    SELECT l.k AS cust_key, cl.cluster_key, cl.n_entities,
+           l.k = cl.cluster_key AS is_rep
+    FROM labeled l JOIN cl ON l.rep_nm = cl.rep_nm
+    """,
+    tags=("dedup", "fuzzy", "graph"),
+)
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION END-TO-END: the cross-length ED<=1 name pairs
+    (deletion-neighborhood blocks, q_fuzzy_join_ed1_xlen's machinery)
+    become edges of an identity graph over DISTINCT names, connected
+    components collapse typo chains into one entity cluster ("C19" ~
+    "C190" ~ "C199" link transitively even though the ends are ED 2
+    apart), and every customer key receives its cluster's survivor
+    (minimum key) plus the cluster population — the
+    match-cluster-survive pipeline every MDM / record-linkage stack
+    runs. Same-name keys are ED-0 members of the same cluster by
+    construction (they share the name node).
+
+    Scale: pair generation is the blocked join over DISTINCT names
+    (never key x key), the components fixpoint is min-label
+    propagation with per-round checkpoints over NAME nodes
+    (vocabulary-sized, not corpus-sized), and keys attach back by one
+    name equi-join. Oracled against the recursive-CTE transitive
+    closure of the exact levenshtein pair set."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    c = _xlen_base(spark, sf_dir)
+    names = c.select("nm").distinct()
+    variants = names.select(
+        "nm", F.explode(F.expr(_deletion_neighborhood(1))).alias("v")
+    )
+    b = variants.select(F.col("nm").alias("bnm"), "v")
+    pairs = (
+        variants.join(b, "v")
+        .filter(
+            (F.col("nm") < F.col("bnm"))
+            & (F.levenshtein(F.col("nm"), F.col("bnm")) == 1)
+        )
+        .select("nm", "bnm")
+        .distinct()
+    )
+    comp = connected_components(
+        names.withColumnRenamed("nm", "id"), pairs, a_col="nm", b_col="bnm"
+    )
+    labeled = c.join(
+        comp.select(F.col("id").alias("nm"), F.col("rep").alias("rep_nm")),
+        "nm",
+        "left",
+    ).select("k", F.coalesce("rep_nm", "nm").alias("rep_nm"))
+    cl = labeled.groupBy("rep_nm").agg(
+        F.min("k").cast("bigint").alias("cluster_key"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+    return labeled.join(cl, "rep_nm").select(
+        F.col("k").alias("cust_key"),
+        "cluster_key",
+        "n_entities",
+        (F.col("k") == F.col("cluster_key")).alias("is_rep"),
+    )

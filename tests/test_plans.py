@@ -882,3 +882,13 @@ def test_bfs_levels_no_cartesian(spark, sf_dir):
     cartesian anywhere in the unrolled lineage."""
     df = _q("q_bfs_levels", spark, sf_dir)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_fuzzy_clusters_blocks_never_all_pairs(spark, sf_dir):
+    """The entity-resolution pipeline's pair generation must stay a
+    deletion-neighborhood block equi-join (no cartesian/BNLJ) all the
+    way through the components fixpoint and survivor attach."""
+    df = _q("q_fuzzy_clusters", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
