@@ -362,3 +362,148 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", F.explode(F.array(*projected)).alias("p")
     ).select("vec_id", "label", "p.comp", "p.proj", "p.eigenvalue")
+
+
+# ---- Distributed Lloyd's k-means, INTEGER-EXACT -----------------------
+_KM_K = 4
+_KM_ITERS = 3
+_KM_Q = 1_000_000  # micro-unit coordinate quantization
+
+
+def _kmeans_oracle_sql() -> str:
+    """Lloyd's unrolled (the PageRank CTE discipline): coordinates
+    quantize to integer micro-units ONCE, so every distance is an
+    exact integer sum (summation order can never matter), every
+    assignment argmin carries a centroid-id tiebreak (total order),
+    and every centroid update is FLOOR(sum / count) — one double
+    division of exactly-representable integers, identical IEEE op in
+    both engines."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}
+    )"""
+    its = []
+    for k in range(1, _KM_ITERS + 1):
+        its.append(f""",
+    a{k} AS MATERIALIZED (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+                          c.cid) AS rn
+        FROM e, c{k - 1} c) WHERE rn = 1
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT cid, d, CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT) AS m
+      FROM (SELECT cid, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x
+            FROM a{k})
+      GROUP BY cid, d
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT cid, array_agg(m ORDER BY d) AS c FROM s{k} GROUP BY cid
+    )""")
+    tail = f"""
+    SELECT a.cid, COUNT(*) AS n_members,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MIN(list_sum(c.c)) AS BIGINT) AS centroid_sum
+    FROM a{_KM_ITERS} a JOIN c{_KM_ITERS} c ON a.cid = c.cid
+    GROUP BY a.cid
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=_kmeans_oracle_sql(),
+    tags=("similarity", "iterative", "scale"),
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED LLOYD'S K-MEANS held to a BIT-EXACT oracle — the
+    iterative-ML workload behind every IVF index build and embedding
+    clustering pass, made engine-independent the integer way:
+    coordinates quantize to micro-units once, so the per-pair squared
+    L2 distance is an exact 64-term INTEGER sum (order-free — no
+    float summation anywhere), assignment is argmin with a
+    centroid-id tiebreak (total), and the update step is
+    FLOOR(sum/count) per dimension — sums stay under 2^53 so the one
+    double division is exact-operand, correctly rounded, and
+    bit-identical across engines. 4 centroids seeded from vec_id 0-3,
+    3 synchronous iterations, per-cluster rollup output (size, min
+    member, centroid coordinate sum). An emptied centroid drops out
+    of the update identically on both sides.
+
+    Scale shape: assignment is vectors x K broadcast (K rows — the
+    ivf_train pattern), the update is one posexplode + (cid, dim)
+    hash aggregate (4*64 groups), per-round lineage checkpointed; at
+    100 TB this is exactly the plan a production IVF trainer runs,
+    here with a correctness gate the float version cannot have."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "v",
+                "cid",
+                F.expr(
+                    "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),"
+                    " 0L, (acc, x) -> acc + x)"
+                ).alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("m"),
+                F.first("v").alias("v"),  # identical across the K rows
+            )
+            .select("vec_id", "v", F.col("m.cid").alias("cid"))
+            .localCheckpoint(eager=True)
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("m"),
+            )
+        )
+        cents = sums.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, m))), x -> x.m)"
+            ).alias("c")
+        ).localCheckpoint(eager=True)
+    return (
+        assigned.join(
+            cents.select(
+                "cid",
+                F.expr("aggregate(c, 0L, (acc, x) -> acc + x)").alias(
+                    "centroid_sum"
+                ),
+            ),
+            "cid",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.min("centroid_sum").cast("bigint").alias("centroid_sum"),
+        )
+    )

@@ -892,3 +892,12 @@ def test_fuzzy_clusters_blocks_never_all_pairs(spark, sf_dir):
     js = join_strategies(df)
     assert js.get("CartesianProduct", 0) == 0
     assert js.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_kmeans_assignment_is_broadcast_k(spark, sf_dir):
+    """Lloyd's assignment must broadcast the K-row centroid side into
+    the vector table (the ivf_train shape) — the only BNLJ is that
+    bounded broadcast cross, never an unbroadcast cartesian."""
+    df = _q("q_kmeans_lloyd", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
