@@ -886,3 +886,125 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("node").cast("bigint").alias("min_node"),
         )
     )
+
+
+def _ppr_weighted_oracle_sql() -> str:
+    """The weighted power method with seed-restricted teleport/initial
+    mass/dangling redistribution — the remaining cell of the
+    (global|personalized) x (uniform|weighted) matrix, restated with
+    the same integer discipline as both parents."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (
+      SELECT node, ({_PPR_SEED}) AS is_seed FROM (
+        SELECT src AS node FROM e UNION SELECT dst FROM e)
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY src
+    ),
+    nn AS MATERIALIZED (
+      SELECT COUNT(*) FILTER (WHERE is_seed) AS ns FROM nodes
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, is_seed,
+             CASE WHEN is_seed THEN (SELECT {_PR_SCALE} // ns FROM nn)
+                  ELSE 0 END AS rank
+      FROM nodes
+    )"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f""",
+    d{k} AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+      FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
+      WHERE deg.src IS NULL
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(SUM((r.rank * e.w) // d.sw) AS BIGINT) AS contrib
+      FROM e JOIN deg d ON e.src = d.src JOIN r{k - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node, n.is_seed,
+             CAST(CASE WHEN n.is_seed THEN
+               (SELECT (CAST({_PR_SCALE} AS BIGINT) * {100 - _PR_DAMP} // 100)
+                       // nn.ns FROM nn)
+               + (SELECT (dang * {_PR_DAMP} // 100) // (SELECT nn.ns FROM nn)
+                  FROM d{k})
+             ELSE 0 END
+             + COALESCE(c.contrib, 0) * {_PR_DAMP} // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+           node // 2 AS key, rank AS pr_nano, rnk
+    FROM (
+      SELECT node, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+      FROM r{_PR_ITERS})
+    WHERE rnk <= 100
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_pagerank_ppr_weighted",
+    oracle=_ppr_weighted_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+)
+def q_pagerank_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PERSONALIZED PAGERANK — the fourth cell of the
+    (global|personalized) x (uniform|weighted) matrix and the variant a
+    production recommender actually serves: random walk with restart
+    to a sparse customer seed set, each step splitting mass
+    proportionally to purchase intensity ((rank * w) DIV sum_w), so
+    suppliers rank by volume-weighted proximity to the seeds rather
+    than mere connectivity. Both parameters ride the one shared
+    operator (operators/graph.pagerank) — the composition is a
+    parameter product, not new machinery — and the integer discipline
+    survives it verbatim: the unrolled-CTE oracle (weighted
+    contributions + seed-restricted teleport/dangling) matches
+    bit-for-bit. The bipartite structural pin carries over: non-seed
+    customers hold rank exactly 0."""
+    from pyspark.sql import Window
+
+    from docker_based_real_time_etl_project_spark.operators.graph import (
+        pagerank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.expr(_PPR_SEED))
+    r = pagerank(
+        nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+        seeds=seeds, weight_col="w",
+    )
+    top = r.orderBy(F.col("rank").desc(), "node").limit(100)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.when(F.col("node") % 2 == 0, F.lit("cust"))
+        .otherwise(F.lit("supp"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("key"),
+        F.col("rank").alias("pr_nano"),
+        "rnk",
+    )
