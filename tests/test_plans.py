@@ -846,13 +846,14 @@ def test_bm25_persisted_search_is_postings_join(spark, sf_dir):
 
 
 def test_pagerank_weighted_topk_never_global_sort(spark, sf_dir):
-    """Weighted PageRank keeps the global form's plan contract:
-    TakeOrderedAndProject top-100 over checkpointed final ranks, no
-    cartesian anywhere in the per-iteration lineage."""
-    df = _q("q_pagerank_weighted", spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "TakeOrdered" in plan
-    assert "CartesianProduct" not in plan
+    """Both weighted PageRank variants keep the global form's plan
+    contract: TakeOrderedAndProject top-100 over checkpointed final
+    ranks, no cartesian anywhere in the per-iteration lineage."""
+    for name in ("q_pagerank_weighted", "q_pagerank_ppr_weighted"):
+        df = _q(name, spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "TakeOrdered" in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_label_propagation_no_global_sort_no_cartesian(spark, sf_dir):
