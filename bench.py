@@ -124,6 +124,8 @@ HEADLINE = [
     "q_bpe_train",              # 10-round BPE merge loop, vocab-sized per round
     "q_pagerank_weighted",      # (rank*w) DIV sum_w integer power method
     "q_label_propagation",      # 4-round LPA community detection
+    "q_fuzzy_clusters",         # entity resolution: pairs -> components -> survivor
+    "q_kmeans_lloyd",           # integer-exact Lloyd's, broadcast-K assignment
 ]
 
 
