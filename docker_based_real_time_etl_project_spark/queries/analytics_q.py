@@ -742,7 +742,7 @@ def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_regr_trend",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT o_orderpriority AS priority,
              CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -767,9 +767,11 @@ def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND((syd * sxxd - sxd * sxyd)
                       / (nd * sxxd - sxd * sxd) * 1000000)
                 AS BIGINT) AS intercept_micro,
-           ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
-                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
-                 6) AS r2
+           {sql_dround(
+               "(nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)"
+               " / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))",
+               6,
+           )} AS r2
     FROM (
       SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
              CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
@@ -835,5 +837,5 @@ def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "yr", "mo", "n",
         F.round(num / denx * 1e6).cast("bigint").alias("slope_micro"),
         F.round(inum / denx * 1e6).cast("bigint").alias("intercept_micro"),
-        F.round(num * num / (denx * deny), 6).alias("r2"),
+        dround(num * num / (denx * deny), 6).alias("r2"),
     )

@@ -420,6 +420,34 @@ def _kmeans_oracle_sql() -> str:
     return head + "".join(its) + tail
 
 
+def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd's assignment round: broadcast the K-row centroid side
+    into the vector table (a bounded BroadcastNestedLoopJoin — the
+    ivf_train shape, never an unbroadcast cartesian), exact integer
+    squared-L2 per pair, argmin with cid tiebreak. Factored out so the
+    plan test can pin the broadcast shape on the per-round subplan —
+    the eager localCheckpoint in the training loop truncates it out of
+    the final lineage."""
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.expr(
+                "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dist"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("v").alias("v"),  # identical across the K rows
+        )
+        .select("vec_id", "v", F.col("m.cid").alias("cid"))
+    )
+
+
 @register(
     "q_kmeans_lloyd",
     oracle=_kmeans_oracle_sql(),
@@ -457,25 +485,7 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = None
     for _ in range(_KM_ITERS):
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "v",
-                "cid",
-                F.expr(
-                    "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),"
-                    " 0L, (acc, x) -> acc + x)"
-                ).alias("dist"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cid")).alias("m"),
-                F.first("v").alias("v"),  # identical across the K rows
-            )
-            .select("vec_id", "v", F.col("m.cid").alias("cid"))
-            .localCheckpoint(eager=True)
-        )
+        assigned = _km_assign(e, cents).localCheckpoint(eager=True)
         sums = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from docker_based_real_time_etl_project_spark.queries.materialize import (
+    table_fingerprint,
+)
 from docker_based_real_time_etl_project_spark.queries.registry import (
     dsum,
     register,
@@ -136,8 +139,11 @@ _IV_DAYS = "o_orderkey % 14"
 # would re-pay two column-pruned input scans — and approx_percentile's
 # partitioning-dependent result could move the width (and therefore the
 # plan fingerprint) between builds. Correctness is width-independent;
-# caching pins cost AND fingerprint within a process.
-_IOB_WIDTH_CACHE: dict[str, int] = {}
+# caching pins cost AND fingerprint within a process. Keyed by
+# (sf_dir, table_fingerprint(orders)) — the materialize_once
+# discipline — so an in-process regeneration of the tables under an
+# sf_dir invalidates the cached width instead of silently reusing it.
+_IOB_WIDTH_CACHE: dict[tuple, int] = {}
 # Bucket width is ADAPTIVE (operators/interval.py: P99 interval
 # length), so any typical interval covers <= 2 buckets and a skewed
 # long tail pays explode rows instead of widening the bucket.
@@ -202,13 +208,14 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(_IV_DAYS).cast("long") * 86400
         ).alias("iv_e"),
     )
-    if sf_dir not in _IOB_WIDTH_CACHE:
-        _IOB_WIDTH_CACHE[sf_dir] = adaptive_bucket_s(
+    cache_key = (sf_dir, table_fingerprint(sf_dir, "orders"))
+    if cache_key not in _IOB_WIDTH_CACHE:
+        _IOB_WIDTH_CACHE[cache_key] = adaptive_bucket_s(
             w, iv, ("w_s", "w_e"), ("iv_s", "iv_e")
         )
     pairs = interval_overlap_join(
         w, iv, ("w_s", "w_e"), ("iv_s", "iv_e"),
-        bucket_s=_IOB_WIDTH_CACHE[sf_dir],
+        bucket_s=_IOB_WIDTH_CACHE[cache_key],
     )
     return pairs.groupBy("w_key").agg(
         F.count(F.lit(1)).alias("n_overlap"),

@@ -902,3 +902,28 @@ def test_kmeans_assignment_is_broadcast_k(spark, sf_dir):
     df = _q("q_kmeans_lloyd", spark, sf_dir)
     js = join_strategies(df)
     assert js.get("CartesianProduct", 0) == 0
+    # The final lineage is checkpoint-truncated, so the broadcast-K
+    # shape must be pinned on the per-round assignment subplan itself:
+    # exactly one BroadcastNestedLoopJoin (the bounded K-row cross),
+    # zero cartesian — a regression to an unbroadcast K-join would
+    # otherwise pass the truncated-plan cartesian check alone.
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _KM_K, _KM_Q, _km_assign,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))"
+        ).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    rjs = join_strategies(_km_assign(e, cents))
+    assert rjs.get("CartesianProduct", 0) == 0
+    assert rjs.get("BroadcastNestedLoopJoin", 0) == 1, rjs

@@ -919,3 +919,28 @@ def test_interval_concurrency_survives_midstream_timeout(spark, tmp_path):
         return sorted(exp)
 
     assert sorted(got) == truth()
+
+
+def test_fuzzy_gate_update_mode_emits_each_key_once(spark, sf_dir):
+    """q_stream_fuzzy_gate runs its verdict aggregate in UPDATE mode;
+    each cust_key's entire deletion neighborhood arrives in one replay
+    slice, so the aggregate changes exactly once per key and the sink
+    must receive exactly one row per key — never the complete-mode
+    re-emission of the whole admission ledger every micro-batch (the
+    round-12 verdict's O(batch) sink-write ask). The returned memory
+    table IS the raw sink content, so total rows == distinct keys pins
+    the write volume."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+
+    out = REGISTRY["q_stream_fuzzy_gate"].fn(spark, sf_dir)
+    rows = out.collect()
+    keys = [r["cust_key"] for r in rows]
+    # one emission per key: any complete-mode regression re-emits the
+    # cumulative ledger (8 batches -> ~4.5x the key count here)
+    assert len(keys) == len(set(keys))
+    expected = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_custkey % 10 = 5")
+        .count()
+    )
+    assert len(keys) == expected
