@@ -126,6 +126,8 @@ HEADLINE = [
     "q_label_propagation",      # 4-round LPA community detection
     "q_fuzzy_clusters",         # entity resolution: pairs -> components -> survivor
     "q_kmeans_lloyd",           # integer-exact Lloyd's, broadcast-K assignment
+    # round 13 additions
+    "q_dedup_semantic",         # SemDeDup: cluster -> in-cluster cosine -> survive
 ]
 
 

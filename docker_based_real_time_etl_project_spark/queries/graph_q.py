@@ -640,6 +640,60 @@ def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scoped shuffle-partition sizing for the undirected-edge iterative
+# family (round-12 verdict item 4): at sf10 the per-round (dst, label)
+# / (dst, dist) hash aggregates OOM under the session's 32 shuffle
+# partitions (multi-million-group hash maps per task x 32 concurrent
+# tasks — the honest finding in SCALE.md), while a GLOBAL partition
+# raise was measured and rejected (30-55% slowdown on the whole
+# iterative family at sf0.1). The scoped fix sizes
+# spark.sql.shuffle.partitions PER QUERY from the edge-build input's
+# on-disk bytes — the same rule a cluster deployment applies per data
+# scale — for exactly the duration of the eager per-round checkpoints,
+# restoring the session value after. At the shipped SFs the estimate
+# never exceeds the session value (sf0.1 lineitem ~11 MB, sf1 ~184 MB
+# -> unchanged plans, bench stays in the noise band); at sf10
+# (~1.8 GB) it lands at ~116, in the range the env-override sweep
+# proved sufficient (128).
+_GRAPH_PART_TARGET_BYTES = 16 << 20
+
+
+def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """max(session value, min(256, ceil(edge-input bytes / 16 MiB)))."""
+    import os
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return session
+    est = -(-nbytes // _GRAPH_PART_TARGET_BYTES)
+    return max(session, min(256, est))
+
+
+class _scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions for the duration of a query's
+    eager per-round builds; restore the session value on exit (the
+    run_to_memory state_partitions discipline, scoped to batch)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 _LPA_ITERS = 4
 
 
@@ -711,38 +765,41 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its partitioning is reusable every round at cluster scale."""
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
+    with _scoped_shuffle_partitions(
+        spark, _graph_shuffle_partitions(spark, sf_dir)
+    ):
+        o = table(spark, sf_dir, "orders")
+        li = table(spark, sf_dir, "lineitem")
+        e0 = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("a"),
+                (F.col("l_suppkey") * 2 + 1).alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    e = (
-        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    lbl = (
-        e0.select(F.col("a").alias("node"))
-        .union(e0.select(F.col("b").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_LPA_ITERS):
-        lbl = (
-            e.join(lbl.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("dst")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias("m"))
-            .select(F.col("dst").alias("node"), (-F.col("m.neg")).alias("lbl"))
+        e = (
+            e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
             .localCheckpoint(eager=True)
         )
+        lbl = (
+            e0.select(F.col("a").alias("node"))
+            .union(e0.select(F.col("b").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(_LPA_ITERS):
+            lbl = (
+                e.join(lbl.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst", "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("dst")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias("m"))
+                .select(F.col("dst").alias("node"), (-F.col("m.neg")).alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
     comm = lbl.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
@@ -831,54 +888,57 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-diameter graphs; on this diameter-~4 bipartite graph the full
     vector IS the frontier after round 1, so the simple form is the
     honest one."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
+    with _scoped_shuffle_partitions(
+        spark, _graph_shuffle_partitions(spark, sf_dir)
+    ):
+        o = table(spark, sf_dir, "orders")
+        li = table(spark, sf_dir, "lineitem")
+        e0 = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("a"),
+                (F.col("l_suppkey") * 2 + 1).alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    e = (
-        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    d = (
-        e0.select(F.col("a").alias("node"))
-        .union(e0.select(F.col("b").alias("node")))
-        .distinct()
-        .select(
-            "node",
-            F.when(F.expr(_BFS_SEED), F.lit(0))
-            .otherwise(F.lit(_BFS_INF))
-            .cast("long")
-            .alias("dist"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_BFS_ITERS):
-        nbr = (
-            e.join(d.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg((F.min("dist") + 1).alias("nd"))
+        e = (
+            e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .localCheckpoint(eager=True)
         )
         d = (
-            d.join(nbr, d.node == nbr.dst, "left")
+            e0.select(F.col("a").alias("node"))
+            .union(e0.select(F.col("b").alias("node")))
+            .distinct()
             .select(
                 "node",
-                F.when(
-                    F.col("nd").isNull() | (F.col("dist") <= F.col("nd")),
-                    F.col("dist"),
-                )
-                .otherwise(F.col("nd"))
+                F.when(F.expr(_BFS_SEED), F.lit(0))
+                .otherwise(F.lit(_BFS_INF))
                 .cast("long")
                 .alias("dist"),
             )
             .localCheckpoint(eager=True)
         )
+        for _ in range(_BFS_ITERS):
+            nbr = (
+                e.join(d.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg((F.min("dist") + 1).alias("nd"))
+            )
+            d = (
+                d.join(nbr, d.node == nbr.dst, "left")
+                .select(
+                    "node",
+                    F.when(
+                        F.col("nd").isNull() | (F.col("dist") <= F.col("nd")),
+                        F.col("dist"),
+                    )
+                    .otherwise(F.col("nd"))
+                    .cast("long")
+                    .alias("dist"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return (
         d.filter(F.col("dist") < _BFS_INF)
         .groupBy(F.col("dist").alias("hop"))

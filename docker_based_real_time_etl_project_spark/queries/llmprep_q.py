@@ -1094,17 +1094,24 @@ _BPE_ROUNDS = 10
 _BPE_WORD_RE = "^[a-z0-9]+$"
 
 
-def _bpe_oracle(rounds: int, final: str = "merges") -> str:
+def _bpe_oracle(
+    rounds: int, final: str = "merges", train_pred: str | None = None
+) -> str:
     """The training loop unrolled as a MATERIALIZED CTE chain (the
     PageRank oracle discipline): v0 is the encoded distinct-word
     rollup; each round r materializes the pair counts (p{r}), the
     winning pair (b{r}), and the rewritten vocabulary (v{r}).
-    ``final`` picks the projection: the merge table ("merges") or the
-    exploded final-vocabulary token stats ("encode")."""
+    ``final`` picks the projection: the merge table ("merges"), the
+    exploded final-vocabulary token stats ("encode"), the UNSEEN-slice
+    token stats under the trained merges ("encode_unseen"), or the
+    per-document unseen tokenization ("encode_unseen_docs" — the
+    streaming twin's shape). ``train_pred`` restricts the training
+    corpus (the unseen modes hold out its complement)."""
+    where_train = f"WHERE {train_pred}" if train_pred else ""
     ctes = [
         f"""base AS MATERIALIZED (
       SELECT w, COUNT(*) AS c FROM (
-        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents {where_train})
       WHERE length(w) >= 2 AND regexp_matches(w, '{_BPE_WORD_RE}')
       GROUP BY w
     ),
@@ -1148,6 +1155,53 @@ def _bpe_oracle(rounds: int, final: str = "merges") -> str:
       SELECT unnest(regexp_extract_all(wstr, '<([^>]*)>', 1)) AS token, c
       FROM v{rounds})
     GROUP BY token"""
+    elif final in ("encode_unseen", "encode_unseen_docs"):
+        # the held-out slice is the complement of the training slice;
+        # apply the b{r} winners IN ORDER to the unseen words — the
+        # tokenizer-apply step, never re-training
+        assert train_pred, "unseen modes need a train predicate"
+        if final == "encode_unseen":
+            ctes.append(f"""u0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS wstr, c FROM (
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          WHERE NOT ({train_pred}))
+        WHERE length(w) >= 2 AND regexp_matches(w, '{_BPE_WORD_RE}')
+        GROUP BY w)
+    )""")
+            sel_c = ", c"
+        else:
+            ctes.append(f"""u0 AS MATERIALIZED (
+      SELECT doc_id, regexp_replace(w, '(.)', '<\\1>', 'g') AS wstr FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE NOT ({train_pred}))
+      WHERE length(w) >= 2 AND regexp_matches(w, '{_BPE_WORD_RE}')
+    )""")
+            sel_c = ", doc_id"
+        for r in range(1, rounds + 1):
+            ctes.append(f"""u{r} AS MATERIALIZED (
+      SELECT replace(wstr,
+                     '<' || (SELECT x FROM b{r}) || '><'
+                         || (SELECT y FROM b{r}) || '>',
+                     '<' || (SELECT x FROM b{r})
+                         || (SELECT y FROM b{r}) || '>') AS wstr{sel_c}
+      FROM u{r - 1}
+    )""")
+        if final == "encode_unseen":
+            tail = f"""SELECT token,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_vocab_positions
+    FROM (
+      SELECT unnest(regexp_extract_all(wstr, '<([^>]*)>', 1)) AS token, c
+      FROM u{rounds})
+    GROUP BY token"""
+        else:
+            tail = f"""SELECT doc_id, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT t) AS n_distinct_tokens
+    FROM (
+      SELECT doc_id, unnest(regexp_extract_all(wstr, '<([^>]*)>', 1)) AS t
+      FROM u{rounds})
+    GROUP BY doc_id"""
     else:
         raise ValueError(f"unknown final {final!r}")
     return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + tail
@@ -1191,7 +1245,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train_loop(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, train_pred: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The shared training loop: returns (merge table with columns
     round/x/y/n, final encoded vocabulary wstr/c). The final
@@ -1199,8 +1253,12 @@ def _bpe_train_loop(
     trainer's rewrite state doubles as the encoder's output, which is
     why q_bpe_encode costs nothing beyond the training it already
     shares (and why the two queries can never disagree on merge
-    application order)."""
+    application order). ``train_pred`` restricts the training corpus
+    (the unseen-encode family trains on a slice and applies to the
+    held-out complement)."""
     d = table(spark, sf_dir, "documents")
+    if train_pred:
+        d = d.filter(F.expr(train_pred))
     v = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(
@@ -1272,6 +1330,112 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v = _bpe_train_loop(spark, sf_dir)
     return (
         v.select(
+            F.explode(
+                F.expr("regexp_extract_all(wstr, '<([^>]*)>', 1)")
+            ).alias("token"),
+            "c",
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_vocab_positions"),
+        )
+    )
+
+
+# BPE tokenizer-APPLY: train on 90% of the corpus, tokenize the
+# held-out 10% the trainer never saw — the production step every data
+# pipeline runs (the trainer runs once; the apply step runs on every
+# new document forever).
+_BPE_TRAIN_PRED = "doc_id % 10 <> 7"
+
+
+def _bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge table trained on the _BPE_TRAIN_PRED slice,
+    materialized once per (sf_dir, fingerprint): the training loop is
+    10 Spark jobs, and both the batch and streaming unseen-encode
+    queries consume the identical artifact — at 100 TB this is the
+    tokenizer file shipped to every apply job."""
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once, table_fingerprint,
+    )
+
+    def build() -> str:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="bpe_trained_merges_")
+        merges, _ = _bpe_train_loop(spark, sf_dir, train_pred=_BPE_TRAIN_PRED)
+        merges.select("round", "x", "y").write.mode("overwrite").parquet(out)
+        return out
+
+    return spark.read.parquet(
+        materialize_once(
+            ("bpe_trained_merges", sf_dir, _BPE_ROUNDS, _BPE_TRAIN_PRED,
+             table_fingerprint(sf_dir, "documents")),
+            build,
+        )
+    )
+
+
+def _bpe_merge_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge list as ONE row holding the round-ordered
+    array<struct<round,x,y>> — broadcastable into any apply join, and
+    foldable with a single ``aggregate()`` expression (the merge list
+    is vocabulary-training-rounds long: tiny by construction)."""
+    return _bpe_trained_merges(spark, sf_dir).agg(
+        F.expr("array_sort(collect_list(struct(round, x, y)))").alias("marr")
+    )
+
+
+# the in-order merge fold: greedy-BPE-apply N merges to one encoded
+# word with one expression — each replace()'s left-to-right
+# non-overlapping scan is the greedy merge pass, and the array fold
+# applies the merges in training order (array_sort on round)
+_BPE_APPLY = (
+    "aggregate(marr, {w}, (acc, m) -> "
+    "replace(acc, concat('<', m.x, '><', m.y, '>'), "
+    "concat('<', m.x, m.y, '>')))"
+)
+
+
+@register(
+    "q_bpe_encode_unseen",
+    oracle=_bpe_oracle(
+        _BPE_ROUNDS, final="encode_unseen", train_pred=_BPE_TRAIN_PRED
+    ),
+    tags=("llm-prep", "text", "tokenizer", "scale"),
+)
+def q_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE OF UNSEEN TEXT: the merge table trained on the 90%
+    slice (doc_id % 10 <> 7) is applied to the held-out 10% the
+    trainer NEVER saw — the tokenizer-apply step, not a training-state
+    replay (q_bpe_encode's gap, round-12 verdict item 3). The held-out
+    docs collapse to their own distinct-word rollup, the broadcast
+    merge array folds over each encoded word IN TRAINING ORDER with a
+    single aggregate() expression (N sequential anchored replaces —
+    greedy BPE apply), and one vocabulary-sized rollup emits per-token
+    occurrence/position stats.
+
+    Scale: the merge list is tiny (rounds rows) and broadcasts; apply
+    cost is O(new-docs vocabulary) expression work with NO iteration
+    over jobs — unlike training, applying 10k merges is still one
+    stage. Oracled against the training chain unrolled THEN the merge
+    winners re-applied step-by-step to the unseen rollup."""
+    marr = _bpe_merge_array(spark, sf_dir)
+    held = (
+        table(spark, sf_dir, "documents")
+        .filter(F.expr(f"NOT ({_BPE_TRAIN_PRED})"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("wstr"), "c")
+    )
+    enc = held.crossJoin(F.broadcast(marr)).select(
+        F.expr(_BPE_APPLY.format(w="wstr")).alias("wstr"), "c"
+    )
+    return (
+        enc.select(
             F.explode(
                 F.expr("regexp_extract_all(wstr, '<([^>]*)>', 1)")
             ).alias("token"),

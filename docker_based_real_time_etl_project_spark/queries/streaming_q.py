@@ -2584,3 +2584,66 @@ def q_stream_fuzzy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # admission ledger (the q_stream_corpus_gate discipline;
     # round-12 verdict "What's wrong" #3).
     return run_to_memory(out, output_mode="update", state_partitions=8)
+
+
+def _bpe_unseen_docs_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _BPE_ROUNDS, _BPE_TRAIN_PRED, _bpe_oracle,
+    )
+
+    return _bpe_oracle(
+        _BPE_ROUNDS, final="encode_unseen_docs", train_pred=_BPE_TRAIN_PRED
+    )
+
+
+@register(
+    "q_stream_bpe_encode",
+    oracle=_bpe_unseen_docs_oracle(),
+    tags=("streaming", "llm", "tokenizer"),
+)
+def q_stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE-ON-INGEST: held-out documents (doc_id % 10 = 7, the
+    slice the BPE trainer never saw) arrive as an 8-micro-batch stream
+    and each is tokenized AS IT ARRIVES under the trained merge table —
+    the streaming tokenizer-apply step of every continuous-ingest
+    training-data pipeline. The merge table is static (trained once,
+    materialized — the same artifact q_bpe_encode_unseen applies) and
+    rides in via a stream-static broadcast join; the entire encode is
+    per-row expression work: filter words, bracket-encode, fold the
+    merge array in training order (greedy BPE apply), explode-free
+    token accounting via flatten/array_distinct. Emits per-doc token
+    stats.
+
+    ZERO state: no watermark, no stateful aggregate — a doc's verdict
+    is a pure function of its row and the static merge list, so the
+    stream runs in append mode and sink writes are exactly O(batch).
+    Hash-matched against the training chain unrolled + per-doc
+    re-application in SQL."""
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _BPE_APPLY, _BPE_TRAIN_PRED, _BPE_WORD_RE, _bpe_merge_array,
+    )
+
+    # one-row static side; eagerly materialized by _bpe_trained_merges'
+    # materialize_once, so each micro-batch re-reads a tiny parquet,
+    # never re-trains
+    marr = _bpe_merge_array(spark, sf_dir)
+    enc_word = _BPE_APPLY.format(w="regexp_replace(w, '(.)', '<$1>')")
+    flat = (
+        "flatten(transform("
+        f"  filter(split(text, ' '), w -> length(w) >= 2 AND w RLIKE '{_BPE_WORD_RE}'),"
+        f"  w -> regexp_extract_all({enc_word}, '<([^>]*)>', 1)))"
+    )
+    out = (
+        _doc_stream(spark, sf_dir)
+        .filter(F.expr(f"NOT ({_BPE_TRAIN_PRED})"))
+        .crossJoin(F.broadcast(marr))
+        .select("doc_id", F.expr(flat).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("bigint")
+            .alias("n_distinct_tokens"),
+        )
+    )
+    return run_to_memory(out, output_mode="append", state_partitions=8)

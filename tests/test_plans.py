@@ -927,3 +927,43 @@ def test_kmeans_assignment_is_broadcast_k(spark, sf_dir):
     rjs = join_strategies(_km_assign(e, cents))
     assert rjs.get("CartesianProduct", 0) == 0
     assert rjs.get("BroadcastNestedLoopJoin", 0) == 1, rjs
+
+
+def test_semdedup_pairs_never_all_pairs(spark, sf_dir):
+    """SemDeDup's candidate generation must stay a (cluster,
+    sub-bucket) equi-self-join — no cartesian, no BNLJ anywhere in the
+    pair plan (the k-means broadcast-K BNLJ is checkpoint-truncated
+    upstream; the surviving plan is the bucketed join + residual)."""
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _sd_corpus, _sd_pairs,
+    )
+
+    corpus = _sd_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    js = join_strategies(_sd_pairs(corpus))
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_semdedup_subsplit_bounds_bucket_size(spark, sf_dir):
+    """The mega-cluster guard must actually engage and actually bound:
+    at least one cluster exceeds _SD_CAP members and gets sub-split
+    (n_sub > 1), and every (cid, sb) join bucket stays within 2x the
+    cap (id-mod splitting of dense-ish ids is near-uniform; the factor
+    absorbs planted-twin id offsets). This pins the property that a
+    skewed clustering pays more BUCKETS, never a bigger bucket."""
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _SD_CAP, _sd_corpus, _sd_sub,
+    )
+
+    corpus = _sd_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    sub = _sd_sub(corpus)
+    buckets = sub.groupBy("cid", "sb").count().collect()
+    n_subs_per_cid = {}
+    for r in buckets:
+        assert r["count"] <= 2 * _SD_CAP, (r["cid"], r["sb"], r["count"])
+        n_subs_per_cid[r["cid"]] = max(
+            n_subs_per_cid.get(r["cid"], 0), r["sb"] + 1
+        )
+    assert any(n > 1 for n in n_subs_per_cid.values()), n_subs_per_cid
