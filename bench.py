@@ -128,6 +128,8 @@ HEADLINE = [
     "q_kmeans_lloyd",           # integer-exact Lloyd's, broadcast-K assignment
     # round 13 additions
     "q_dedup_semantic",         # SemDeDup: cluster -> in-cluster cosine -> survive
+    "q_bpe_encode_unseen",      # tokenizer-apply: broadcast merge fold, one stage
+    "q_sample_dsir",            # DSIR: two bigram LMs, integer log-ratio resample
 ]
 
 

@@ -653,9 +653,16 @@ def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restoring the session value after. At the shipped SFs the estimate
 # never exceeds the session value (sf0.1 lineitem ~11 MB, sf1 ~184 MB
 # -> unchanged plans, bench stays in the noise band); at sf10
-# (~1.8 GB) it lands at ~116, in the range the env-override sweep
-# proved sufficient (128).
-_GRAPH_PART_TARGET_BYTES = 16 << 20
+# (~1.8 GB) it lands at ~220. Partition count alone is NOT enough on
+# the default 16 GiB heap (measured this round: heap OOM in a round-5
+# aggregate at 110 partitions): the checkpointed undirected edge table
+# (~110 M rows at sf10) also squats on the unified memory region the
+# per-round hash aggregates need, so in big-scale mode (estimate >
+# session value) the edge checkpoint is stored DISK_ONLY — lineage
+# truncation without the storage-memory tax; each round re-streams the
+# edges from local disk, which the sf10 spot prices honestly. At the
+# shipped SFs big-scale mode never engages and plans are unchanged.
+_GRAPH_PART_TARGET_BYTES = 8 << 20
 
 
 def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
@@ -676,6 +683,18 @@ def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
         return session
     est = -(-nbytes // _GRAPH_PART_TARGET_BYTES)
     return max(session, min(256, est))
+
+
+def _graph_ckpt_level(big: bool):
+    """Storage level for the giant edge-table checkpoint: DISK_ONLY in
+    big-scale mode (frees the unified memory region for the per-round
+    hash aggregates — the measured sf10 OOM cause), engine default
+    otherwise (None keeps the shipped-SF plans byte-identical)."""
+    if not big:
+        return None
+    from pyspark import StorageLevel
+
+    return StorageLevel.DISK_ONLY
 
 
 class _scoped_shuffle_partitions:
@@ -765,9 +784,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its partitioning is reusable every round at cluster scale."""
     from pyspark.sql import Window
 
-    with _scoped_shuffle_partitions(
-        spark, _graph_shuffle_partitions(spark, sf_dir)
-    ):
+    n_parts = _graph_shuffle_partitions(spark, sf_dir)
+    big = n_parts > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _scoped_shuffle_partitions(spark, n_parts):
         o = table(spark, sf_dir, "orders")
         li = table(spark, sf_dir, "lineitem")
         e0 = (
@@ -781,7 +800,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = (
             e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_graph_ckpt_level(big))
         )
         lbl = (
             e0.select(F.col("a").alias("node"))
@@ -888,9 +907,9 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-diameter graphs; on this diameter-~4 bipartite graph the full
     vector IS the frontier after round 1, so the simple form is the
     honest one."""
-    with _scoped_shuffle_partitions(
-        spark, _graph_shuffle_partitions(spark, sf_dir)
-    ):
+    n_parts = _graph_shuffle_partitions(spark, sf_dir)
+    big = n_parts > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _scoped_shuffle_partitions(spark, n_parts):
         o = table(spark, sf_dir, "orders")
         li = table(spark, sf_dir, "lineitem")
         e0 = (
@@ -904,7 +923,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = (
             e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_graph_ckpt_level(big))
         )
         d = (
             e0.select(F.col("a").alias("node"))

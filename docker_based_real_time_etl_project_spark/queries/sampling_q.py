@@ -464,3 +464,220 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inv_p_micro"),
     )
+
+
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw-corpus
+# document by how much more likely a TARGET-domain n-gram LM finds it
+# than the corpus LM, and resample with probability proportional to
+# that likelihood ratio. Here the target slice is the hash-ticket top
+# 10% (ticket >= 9000 — the q_contamination/benchmark convention) and
+# both LMs are the q_lm_perplexity add-one-smoothed bigram machinery.
+_DSIR_SHIFT = 30_000_000  # > max |cost_c - cost_t| in micro-units
+
+
+@register(
+    "q_sample_dsir",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_sql_ticket('doc_id')} AS ticket
+      FROM documents
+    ),
+    wsr AS (
+      SELECT doc_id, lang, ticket,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM t
+    ),
+    bi AS (
+      SELECT doc_id, ticket, p[1] AS a, p[2] AS b
+      FROM (
+        SELECT doc_id, ticket,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> [w[i], w[i + 1]]
+               )) AS p
+        FROM wsr
+      )
+    ),
+    unic AS (
+      SELECT a, COUNT(*) AS c1 FROM (
+        SELECT unnest(w) AS a FROM wsr WHERE ticket < 9000) GROUP BY a
+    ),
+    vocc AS (SELECT COUNT(*) AS v FROM unic),
+    bic AS (
+      SELECT a, b, COUNT(*) AS c2 FROM bi WHERE ticket < 9000 GROUP BY a, b
+    ),
+    unit AS (
+      SELECT a, COUNT(*) AS c1 FROM (
+        SELECT unnest(w) AS a FROM wsr WHERE ticket >= 9000) GROUP BY a
+    ),
+    voct AS (SELECT COUNT(*) AS v FROM unit),
+    bit AS (
+      SELECT a, b, COUNT(*) AS c2 FROM bi WHERE ticket >= 9000 GROUP BY a, b
+    ),
+    occ AS (
+      SELECT doc_id, a, b, COUNT(*) AS n_occ
+      FROM bi WHERE ticket < 9000 GROUP BY doc_id, a, b
+    ),
+    gram AS (SELECT DISTINCT a, b FROM occ),
+    cost AS (
+      SELECT g.a, g.b,
+             CAST(ROUND(-ln((COALESCE(bc.c2, 0) + 1.0)
+                            / (COALESCE(uc.c1, 0) + (SELECT v FROM vocc)))
+                        * 1000000) AS BIGINT) AS cost_c,
+             CAST(ROUND(-ln((COALESCE(bt.c2, 0) + 1.0)
+                            / (COALESCE(ut.c1, 0) + (SELECT v FROM voct)))
+                        * 1000000) AS BIGINT) AS cost_t
+      FROM gram g
+      LEFT JOIN bic bc ON g.a = bc.a AND g.b = bc.b
+      LEFT JOIN unic uc ON g.a = uc.a
+      LEFT JOIN bit bt ON g.a = bt.a AND g.b = bt.b
+      LEFT JOIN unit ut ON g.a = ut.a
+    ),
+    sc AS (
+      SELECT occ.doc_id,
+             CAST(SUM(occ.n_occ) AS BIGINT) AS n_bigrams,
+             CAST(SUM(occ.n_occ * (cost.cost_c - cost.cost_t
+                                   + {_DSIR_SHIFT})) AS BIGINT) AS s
+      FROM occ JOIN cost ON occ.a = cost.a AND occ.b = cost.b
+      GROUP BY occ.doc_id
+    ),
+    r AS (
+      SELECT doc_id, n_bigrams,
+             CAST(s // n_bigrams - {_DSIR_SHIFT} AS BIGINT) AS ratio_micro
+      FROM sc
+    ),
+    acc AS (
+      SELECT doc_id, n_bigrams, ratio_micro,
+             CAST(ROUND(exp(LEAST(ratio_micro, 0) / 1000000.0) * 1000000)
+                  AS BIGINT) AS accept_micro
+      FROM r
+    )
+    SELECT t.doc_id, t.lang, acc.n_bigrams, acc.ratio_micro, acc.accept_micro
+    FROM acc JOIN t ON acc.doc_id = t.doc_id
+    WHERE t.ticket * 100 < acc.accept_micro
+    """,
+    tags=("sampling", "llm", "text"),
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR IMPORTANCE RESAMPLING: select raw-corpus documents that
+    look like the TARGET domain. Two add-one-smoothed bigram LMs train
+    in-plan (target = ticket >= 9000 slice, corpus = the raw ticket <
+    9000 slice — the q_lm_perplexity machinery twice), each distinct
+    raw bigram's -ln P snaps to integer micro-units ONCE per LM
+    (vocab-sized tables, ulp-stable), and a document's importance
+    score is the MEAN per-bigram log-likelihood-ratio
+    ln P_target - ln P_corpus = cost_c - cost_t — computed as one
+    occurrence-weighted integer sum with a +30e6 shift so the integer
+    division stays on positive operands (Spark `div` and DuckDB `//`
+    agree there unconditionally). Acceptance probability
+    min(1, exp(ratio)) snaps to micro-units once per doc (the one
+    double op, ulp-absorbed by the snap), and the keep decision is the
+    q_sample_weighted hash-ticket cross-multiplication
+    ``ticket * 100 < accept_micro`` — pure int64, no RNG, no float
+    division: identical membership at any parallelism or engine, and
+    re-runs select the exact same rows (Horvitz-Thompson corrections
+    can ride accept_micro directly).
+
+    Scale: two vocab-sized LM tables + one corpus-linear (doc, bigram)
+    rollup — the same shuffle budget as running perplexity scoring
+    twice; nothing is all-pairs, the target slice is read once. At
+    100 TB the LM cost tables are the artifacts a production DSIR run
+    persists and reuses across selection sweeps."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "text",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+    )
+    ws = t.select(
+        "doc_id", "lang", "ticket",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("w"),
+    )
+    bi = ws.select(
+        "doc_id", "ticket",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                ),
+            ).otherwise(
+                F.expr("CAST(array() AS array<struct<a:string,b:string>>)")
+            )
+        ).alias("p"),
+    ).select("doc_id", "ticket", "p.a", "p.b")
+
+    def _lm(pred: str):
+        uni = (
+            ws.filter(F.expr(pred))
+            .select(F.explode("w").alias("a"))
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("c1"))
+        )
+        voc = uni.agg(F.count(F.lit(1)).alias("v"))
+        big = (
+            bi.filter(F.expr(pred))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+        return uni, voc, big
+
+    unic, vocc, bic = _lm("ticket < 9000")
+    unit, voct, bit_ = _lm("ticket >= 9000")
+    occ = (
+        bi.filter("ticket < 9000")
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    gram = occ.select("a", "b").distinct()
+
+    cost = (
+        gram.join(bic, ["a", "b"], "left")
+        .join(unic, "a", "left")
+        .withColumnRenamed("c2", "c2c").withColumnRenamed("c1", "c1c")
+        .join(bit_, ["a", "b"], "left")
+        .join(unit, "a", "left")
+        .withColumnRenamed("c2", "c2t").withColumnRenamed("c1", "c1t")
+        .crossJoin(F.broadcast(vocc.withColumnRenamed("v", "vc")))
+        .crossJoin(F.broadcast(voct.withColumnRenamed("v", "vt")))
+        .select(
+            "a", "b",
+            F.round(
+                -F.log((F.coalesce("c2c", F.lit(0)) + 1.0)
+                       / (F.coalesce("c1c", F.lit(0)) + F.col("vc")))
+                * 1e6
+            ).cast("bigint").alias("cost_c"),
+            F.round(
+                -F.log((F.coalesce("c2t", F.lit(0)) + 1.0)
+                       / (F.coalesce("c1t", F.lit(0)) + F.col("vt")))
+                * 1e6
+            ).cast("bigint").alias("cost_t"),
+        )
+    )
+    sc = (
+        occ.join(cost, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("n_occ")
+                * (F.col("cost_c") - F.col("cost_t") + _DSIR_SHIFT)
+            ).cast("bigint").alias("s"),
+        )
+    )
+    acc = sc.select(
+        "doc_id", "n_bigrams",
+        (F.expr("s div n_bigrams") - _DSIR_SHIFT)
+        .cast("bigint").alias("ratio_micro"),
+    ).select(
+        "doc_id", "n_bigrams", "ratio_micro",
+        F.round(
+            F.exp(F.least(F.col("ratio_micro"), F.lit(0)) / 1e6) * 1e6
+        ).cast("bigint").alias("accept_micro"),
+    )
+    return (
+        acc.join(t.select("doc_id", "lang", "ticket"), "doc_id")
+        .filter(F.col("ticket") * 100 < F.col("accept_micro"))
+        .select("doc_id", "lang", "n_bigrams", "ratio_micro", "accept_micro")
+    )
