@@ -826,3 +826,160 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_member",
         )
     )
+
+
+# Streaming semantic-dedup gate fixtures: the KNOWN corpus is
+# vec_id % 10 <> 5; probes are the held-out originals (% 10 = 5 —
+# random, so they must NOT match) plus in-stream-derived +10-milli
+# twins of known % 7 == 0 vectors at the corpus-derived id offset
+# (they MUST match their source). Seeds are the 8 smallest known ids.
+_SG_KNOWN = "vec_id % 10 <> 5"
+_SG_SEED = f"vec_id <= 8 AND {_SG_KNOWN}"
+
+
+def _sem_gate_oracle_sql() -> str:
+    """q_stream_semantic_gate's truth: k-means over the KNOWN slice
+    unrolled (the _semdedup_oracle_sql pattern), incoming probes
+    assigned to the final centroids, LEFT-joined against their
+    cluster's known members under the exact int64 cosine predicate."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    off AS MATERIALIZED (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+    known AS MATERIALIZED (SELECT id, v FROM e WHERE id % 10 <> 5),
+    inc AS MATERIALIZED (
+      SELECT id, v FROM e WHERE id % 10 = 5
+      UNION ALL
+      SELECT id + (SELECT o FROM off),
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN i = 1 THEN v[i] + 10 ELSE v[i] END)
+      FROM known WHERE id % 7 = 0
+    ),
+    c0 AS MATERIALIZED (SELECT id AS cid, v AS c FROM known WHERE id <= 8)"""
+    its = []
+    for k in range(1, _SD_ITERS + 1):
+        its.append(f""",
+    a{k} AS MATERIALIZED (
+      SELECT id, v, cid FROM (
+        SELECT known.id, known.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY known.id
+                 ORDER BY list_sum(list_transform(range(1, len(known.v) + 1),
+                          i -> (known.v[i] - c.c[i]) * (known.v[i] - c.c[i]))),
+                          c.cid) AS rn
+        FROM known, c{k - 1} c) WHERE rn = 1
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT cid, d, CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT) AS m
+      FROM (SELECT cid, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x
+            FROM a{k})
+      GROUP BY cid, d
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT cid, array_agg(m ORDER BY d) AS c FROM s{k} GROUP BY cid
+    )""")
+    tail = f""",
+    kn AS MATERIALIZED (
+      SELECT id, v, cid, list_sum(list_transform(v, x -> x * x)) AS nn
+      FROM a{_SD_ITERS}
+    ),
+    pi AS MATERIALIZED (
+      SELECT id, v, cid, nn FROM (
+        SELECT inc.id, inc.v, c.cid,
+               list_sum(list_transform(inc.v, x -> x * x)) AS nn,
+               ROW_NUMBER() OVER (
+                 PARTITION BY inc.id
+                 ORDER BY list_sum(list_transform(range(1, len(inc.v) + 1),
+                          i -> (inc.v[i] - c.c[i]) * (inc.v[i] - c.c[i]))),
+                          c.cid) AS rn
+        FROM inc, c{_SD_ITERS} c) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT probe_id, kid FROM (
+        SELECT pi.id AS probe_id, kn.id AS kid,
+               list_sum(list_transform(range(1, len(pi.v) + 1),
+                        i -> pi.v[i] * kn.v[i])) AS dot,
+               pi.nn AS na, kn.nn AS nb
+        FROM pi JOIN kn ON pi.cid = kn.cid
+      ) WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
+    )
+    SELECT CAST(pi.id AS BIGINT) AS probe_id,
+           COUNT(h.kid) > 0 AS known_match,
+           CAST(COUNT(h.kid) AS BIGINT) AS n_near,
+           CAST(MIN(h.kid) AS BIGINT) AS min_match_id
+    FROM pi LEFT JOIN hits h ON pi.id = h.probe_id
+    GROUP BY pi.id
+    """
+    return head + "".join(its) + tail
+
+
+def _sem_gate_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the gate's static side once per (sf_dir,
+    fingerprint): (members_dir, centroids_dir). Members = the KNOWN
+    slice's final cluster assignment (cid, kid, kv, knn); centroids =
+    the trained (cid, c) table the stream assigns probes against. At
+    100 TB both are maintained lake tables (the IVF-index pattern)."""
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once, table_fingerprint,
+    )
+
+    def build() -> str:
+        import os
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sem_gate_idx_")
+        known = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.expr(_SG_KNOWN))
+            .select(
+                "vec_id",
+                F.expr(
+                    f"transform(embedding, x -> "
+                    f"CAST(ROUND(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT))"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cents = known.filter(F.expr(_SG_SEED)).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+        assigned = None
+        for _ in range(_SD_ITERS):
+            assigned = _km_assign(known, cents).localCheckpoint(eager=True)
+            sums = (
+                assigned.select("cid", F.posexplode("v").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(
+                    F.floor(F.sum("x") / F.count(F.lit(1)))
+                    .cast("bigint")
+                    .alias("m"),
+                )
+            )
+            cents = sums.groupBy("cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, m))), x -> x.m)"
+                ).alias("c")
+            ).localCheckpoint(eager=True)
+        assigned.select(
+            "cid",
+            F.col("vec_id").alias("kid"),
+            F.col("v").alias("kv"),
+            F.expr(
+                "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"
+            ).alias("knn"),
+        ).write.mode("overwrite").parquet(os.path.join(out, "members"))
+        cents.write.mode("overwrite").parquet(os.path.join(out, "centroids"))
+        return out
+
+    root = materialize_once(
+        ("sem_gate_idx", sf_dir, _SD_Q, _SD_K, _SD_ITERS,
+         table_fingerprint(sf_dir, "embeddings")),
+        build,
+    )
+    import os
+
+    return os.path.join(root, "members"), os.path.join(root, "centroids")

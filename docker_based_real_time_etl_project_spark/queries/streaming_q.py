@@ -2647,3 +2647,127 @@ def q_stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, output_mode="append", state_partitions=8)
+
+
+def _sem_gate_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _sem_gate_oracle_sql,
+    )
+
+    return _sem_gate_oracle_sql()
+
+
+@register(
+    "q_stream_semantic_gate",
+    oracle=_sem_gate_oracle(),
+    tags=("streaming", "dedup", "similarity"),
+)
+def q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC NEAR-DUP SCREENING AS AN INGEST GATE — the SemDeDup
+    probe streamed (the q_stream_fuzzy_gate shape with cosine instead
+    of edit distance, closing the (batch|stream) x (fuzzy|semantic)
+    matrix): new embedding records arrive over 8 micro-batches and
+    each is screened against the STATIC clustered corpus — assign to
+    the nearest trained centroid with one expression fold over the
+    broadcast 8-row centroid array (exact integer squared-L2, cid
+    tiebreak — bit-identical to the trainer's argmin), stream-static
+    join ONLY that cluster's known members, exact int64 cosine
+    (400*dot^2 >= 361*|a|^2*|b|^2) as the residual, update-mode
+    per-probe verdict aggregate. Probes = the held-out random slice
+    (vec_id % 10 = 5: must NOT match) plus +10-milli twins of known
+    % 7 == 0 vectors derived IN-STREAM at the corpus-derived id offset
+    (must match their source) — both fates exercised and hash-matched
+    against the full k-means-unrolled LEFT-join oracle.
+
+    Scale: centroids and cluster members materialize once (at 100 TB
+    they are the maintained IVF-index lake tables — the
+    q_ann_ivf_persisted artifact, probed instead of rebuilt); the join
+    is stateless stream-static on cid, per-record work is
+    cluster-sized, state is O(screened probes) of exact integers, and
+    each probe's verdict changes exactly once (its rows live in one
+    batch) so update mode writes O(batch) per micro-batch."""
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _SD_Q, _sd_off, _sem_gate_index,
+    )
+    from docker_based_real_time_etl_project_spark.streaming.replay import (
+        replay_table,
+        slice_table_to_dir,
+    )
+
+    members_dir, cents_dir = _sem_gate_index(spark, sf_dir)
+    members = spark.read.parquet(members_dir)
+    # the 8-row centroid table folded to ONE broadcastable array row,
+    # round-ordered by cid for a deterministic fold
+    carr = spark.read.parquet(cents_dir).agg(
+        F.expr("array_sort(collect_list(struct(cid, c)))").alias("carr")
+    )
+    # corpus-derived twin-id offset, via the shared fingerprint-cached
+    # helper (the loader-side discipline q_stream_fuzzy_gate follows)
+    off = _sd_off(spark, sf_dir)
+    slices = _materialize_once(
+        ("emb_slices", sf_dir, 8, _table_fingerprint(sf_dir, "embeddings")),
+        lambda: slice_table_to_dir(
+            spark, sf_dir, "embeddings", "vec_id", n_slices=8
+        ),
+    )
+    quant = (
+        f"transform(embedding, x -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT))"
+    )
+    stream = replay_table(spark, slices, "embeddings")
+    probes = (
+        stream.filter("vec_id % 10 = 5")
+        .select("vec_id", F.expr(quant).alias("v"))
+        .unionByName(
+            stream.filter("vec_id % 10 <> 5 AND vec_id % 7 = 0").select(
+                (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+                F.expr(
+                    f"transform({quant}, (x, i) -> IF(i = 0, x + 10L, x))"
+                ).alias("v"),
+            )
+        )
+    )
+    assigned = probes.crossJoin(F.broadcast(carr)).select(
+        F.col("vec_id").alias("probe_id"),
+        "v",
+        F.expr(
+            "array_min(transform(carr, s -> struct("
+            "aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, x) -> acc + x) AS dist, s.cid AS cid))).cid"
+        ).alias("cid"),
+        F.expr(
+            "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"
+        ).alias("nn"),
+    )
+    matched = assigned.join(members, "cid", "left").select(
+        "probe_id",
+        F.when(
+            F.col("kid").isNotNull()
+            & (
+                F.expr(
+                    "aggregate(zip_with(v, kv, (x, y) -> x * y),"
+                    " 0L, (acc, x) -> acc + x)"
+                )
+                > 0
+            )
+            & (
+                400
+                * F.expr(
+                    "aggregate(zip_with(v, kv, (x, y) -> x * y),"
+                    " 0L, (acc, x) -> acc + x)"
+                )
+                * F.expr(
+                    "aggregate(zip_with(v, kv, (x, y) -> x * y),"
+                    " 0L, (acc, x) -> acc + x)"
+                )
+                >= 361 * F.col("nn") * F.col("knn")
+            ),
+            F.col("kid"),
+        ).alias("hit_id"),
+    )
+    out = matched.groupBy("probe_id").agg(
+        F.max(F.col("hit_id").isNotNull()).alias("known_match"),
+        F.count("hit_id").cast("bigint").alias("n_near"),
+        F.min("hit_id").cast("bigint").alias("min_match_id"),
+    )
+    return run_to_memory(out, output_mode="update", state_partitions=8)
