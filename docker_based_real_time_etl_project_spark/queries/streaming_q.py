@@ -2771,3 +2771,96 @@ def q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hit_id").cast("bigint").alias("min_match_id"),
     )
     return run_to_memory(out, output_mode="update", state_partitions=8)
+
+
+def _dsir_gate_oracle() -> str:
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _DSIR_ORACLE,
+    )
+
+    return _DSIR_ORACLE
+
+
+@register(
+    "q_stream_dsir_gate",
+    oracle=_dsir_gate_oracle(),
+    tags=("streaming", "sampling", "llm"),
+)
+def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR DATA SELECTION AS AN INGEST GATE — q_sample_dsir's
+    score-on-ingest twin, held to the IDENTICAL oracle: raw-corpus
+    documents arrive over 8 micro-batches, each one's bigrams
+    stream-static join the once-materialized LM cost table
+    (_dsir_cost_table — the persisted artifact both forms consume, so
+    batch and stream cannot drift), and one update-mode per-doc
+    aggregate accumulates the occurrence count and the shifted
+    log-likelihood-ratio sum. The acceptance math (integer-div mean,
+    exp snapped once, hash-ticket cross-multiplication) runs
+    batch-side on the drained verdicts — stateless post-processing of
+    the sink, the q_stream_corpus_gate discipline.
+
+    Scale: the join is stateless stream-static on (a, b) hash keys
+    (the cost table is bigram-vocab-sized — bucketed at 100 TB, never
+    rebuilt per batch); state is one (count, sum) int64 pair per
+    screened doc, merging order-free; each doc's rows live in its one
+    arriving batch, so update mode emits each verdict exactly once and
+    sink writes stay O(batch)."""
+    from docker_based_real_time_etl_project_spark.queries.registry import (
+        table as _t,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _DSIR_SHIFT, _dsir_cost_table, hash_ticket,
+    )
+
+    cost = _dsir_cost_table(spark, sf_dir)
+    stream = (
+        _doc_stream(spark, sf_dir)
+        .filter(hash_ticket(F.col("doc_id")) < 9000)
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda w: w != "").alias("w"),
+        )
+    )
+    bi = stream.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                ),
+            ).otherwise(
+                F.expr("CAST(array() AS array<struct<a:string,b:string>>)")
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    agg = (
+        bi.join(cost, ["a", "b"])  # inner: cost covers every raw bigram
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("cost_c") - F.col("cost_t") + _DSIR_SHIFT
+            ).cast("bigint").alias("s"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="update", state_partitions=8)
+    acc = out.select(
+        "doc_id", "n_bigrams",
+        (F.expr("s div n_bigrams") - _DSIR_SHIFT)
+        .cast("bigint").alias("ratio_micro"),
+    ).select(
+        "doc_id", "n_bigrams", "ratio_micro",
+        F.round(
+            F.exp(F.least(F.col("ratio_micro"), F.lit(0)) / 1e6) * 1e6
+        ).cast("bigint").alias("accept_micro"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", hash_ticket(F.col("doc_id")).alias("ticket")
+    )
+    return (
+        acc.join(docs, "doc_id")
+        .filter(F.col("ticket") * 100 < F.col("accept_micro"))
+        .select("doc_id", "lang", "n_bigrams", "ratio_micro", "accept_micro")
+    )
