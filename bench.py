@@ -130,6 +130,7 @@ HEADLINE = [
     "q_dedup_semantic",         # SemDeDup: cluster -> in-cluster cosine -> survive
     "q_bpe_encode_unseen",      # tokenizer-apply: broadcast merge fold, one stage
     "q_sample_dsir",            # DSIR: two bigram LMs, integer log-ratio resample
+    "q_dedup_semantic_text",    # text -> hash embed -> cluster -> cosine -> survive
 ]
 
 

@@ -577,35 +577,17 @@ def _sd_off(spark: SparkSession, sf_dir: str) -> int:
     return _SD_OFF_CACHE[key]
 
 
-def _semdedup_oracle_sql() -> str:
-    """The SemDeDup loop unrolled for DuckDB: corpus derivation,
-    _SD_ITERS Lloyd's rounds as materialized CTEs (the
-    _kmeans_oracle_sql pattern), the size-capped sub-split, the exact
-    integer cosine pair predicate, and a recursive-CTE transitive
-    closure for survivorship (the q_fuzzy_clusters pattern)."""
+def _sd_closure_sql(corpus_ctes: str) -> str:
+    """The shared SemDeDup oracle machinery: given head CTEs ending in
+    ``corpus(id, v)`` (integer vectors), emit the _SD_ITERS Lloyd's
+    rounds as materialized CTEs (the _kmeans_oracle_sql pattern), the
+    size-capped sub-split, the exact integer cosine pair predicate,
+    and a recursive-CTE transitive closure for survivorship (the
+    q_fuzzy_clusters pattern). Used by q_dedup_semantic (planted-twin
+    embedding corpus) and q_dedup_semantic_text (feature-hashed
+    document vectors)."""
     head = f"""
-    WITH RECURSIVE e AS MATERIALIZED (
-      SELECT vec_id AS id,
-             list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS v
-      FROM embeddings
-    ),
-    off AS MATERIALIZED (
-      SELECT MAX(vec_id) + 1 AS o FROM embeddings
-    ),
-    corpus AS MATERIALIZED (
-      SELECT id, v FROM e
-      UNION ALL
-      SELECT id + (SELECT o FROM off),
-             list_transform(range(1, len(v) + 1),
-               i -> CASE WHEN i = 1 THEN v[i] + 10 ELSE v[i] END)
-      FROM e WHERE id % 7 = 0
-      UNION ALL
-      SELECT id + 2 * (SELECT o FROM off),
-             list_transform(range(1, len(v) + 1),
-               i -> CASE WHEN i = 2 THEN v[i] - 10 ELSE v[i] END)
-      FROM e WHERE id % 21 = 0
-    ),
+    WITH RECURSIVE {corpus_ctes},
     c0 AS MATERIALIZED (
       SELECT id AS cid, v AS c FROM corpus WHERE id < {_SD_K}
     )"""
@@ -668,6 +650,33 @@ def _semdedup_oracle_sql() -> str:
     FROM reps GROUP BY rep
     """
     return head + "".join(its) + tail
+
+
+def _semdedup_oracle_sql() -> str:
+    """q_dedup_semantic's truth: the planted-twin embedding corpus fed
+    through the shared k-means/pairs/closure chain."""
+    return _sd_closure_sql(f"""e AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    off AS MATERIALIZED (
+      SELECT MAX(vec_id) + 1 AS o FROM embeddings
+    ),
+    corpus AS MATERIALIZED (
+      SELECT id, v FROM e
+      UNION ALL
+      SELECT id + (SELECT o FROM off),
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN i = 1 THEN v[i] + 10 ELSE v[i] END)
+      FROM e WHERE id % 7 = 0
+      UNION ALL
+      SELECT id + 2 * (SELECT o FROM off),
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN i = 2 THEN v[i] - 10 ELSE v[i] END)
+      FROM e WHERE id % 21 = 0
+    )""")
 
 
 def _sd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,3 +992,119 @@ def _sem_gate_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
 
     return os.path.join(root, "members"), os.path.join(root, "centroids")
+
+
+def _sd_text_oracle_sql() -> str:
+    """q_dedup_semantic_text's truth: documents feature-hashed to
+    16-dim signed-count integer vectors (the q_embed_feature_hash
+    machinery verbatim), fed through the shared
+    k-means/pairs/closure chain. No quantization step — token counts
+    are already exact integers."""
+    return _sd_closure_sql(f"""tok AS MATERIALIZED (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+      FROM documents
+    ),
+    cells AS MATERIALIZED (
+      SELECT doc_id, {_FH_SQL_H} % {_FH_DIM} AS j,
+             CAST(SUM({_FH_SQL_SIGN}) AS BIGINT) AS v
+      FROM tok GROUP BY doc_id, j
+    ),
+    grid AS (
+      SELECT d.doc_id, CAST(g.j AS BIGINT) AS j
+      FROM documents d, unnest(generate_series(0, {_FH_DIM - 1})) AS g(j)
+    ),
+    corpus AS MATERIALIZED (
+      SELECT grid.doc_id AS id,
+             array_agg(COALESCE(cells.v, 0) ORDER BY grid.j) AS v
+      FROM grid LEFT JOIN cells
+        ON grid.doc_id = cells.doc_id AND grid.j = cells.j
+      GROUP BY grid.doc_id
+    )""")
+
+
+@register(
+    "q_dedup_semantic_text",
+    oracle=_sd_text_oracle_sql(),
+    tags=("dedup", "similarity", "text", "llm", "iterative"),
+)
+def q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP OF RAW TEXT END-TO-END — the full pipeline a
+    training-data run executes, in one oracled plan: documents
+    feature-hash to 16-dim signed-count integer embeddings
+    (q_embed_feature_hash's md5 machinery — deterministic,
+    vocabulary-free, and already integer so no quantization step),
+    then the proven SemDeDup path (integer Lloyd's clustering,
+    within-(cluster, sub-bucket) exact int64-cosine pairs at >= 19/20,
+    connected-components survivorship). Unlike q_dedup_semantic's
+    planted twins, the duplicate groups here are ORGANIC: documents
+    whose hashed token profiles genuinely align (~0.2% of all pairs at
+    this threshold), so the query demonstrates discovery, not just
+    machinery. Zero-vectors (all-hash-cancelled docs) are excluded by
+    the dot > 0 predicate, never by a special case.
+
+    Scale: the embedding step is one narrow (doc, bucket) groupBy (<=
+    16 rows per doc after map-side combine); everything downstream is
+    the bucketed SemDeDup plan — assignment broadcast-K, candidates
+    bucket co-occupancy, components over pair-touched nodes. The
+    16-dim hash embedding is the honest stand-in for a neural encoder
+    column: swap the vector source, keep the whole dedup plan."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("t"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("t").cast("binary")), 9, 1), 16, 10
+        ).cast("bigint") % 2 == 0,
+        1,
+    ).otherwise(-1)
+    cells = (
+        tok.select("doc_id", (h32 % _FH_DIM).alias("j"), sign.alias("s"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+    )
+    grid = d.select("doc_id").crossJoin(
+        spark.range(_FH_DIM).select(F.col("id").cast("bigint").alias("j"))
+    )
+    corpus = (
+        grid.join(cells, ["doc_id", "j"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "named_struct('j', j, 'v', coalesce(v, 0L)))), x -> x.v)"
+            ).alias("v")
+        )
+        .select(F.col("doc_id").alias("vec_id"), "v")
+        .localCheckpoint(eager=True)
+    )
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = _sd_pairs(corpus)
+    comp = connected_components(
+        corpus.select(F.col("vec_id").alias("id")),
+        pairs,
+        a_col="id_a",
+        b_col="id_b",
+    )
+    return (
+        comp.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").cast("bigint").alias("member_id_sum"),
+            F.max("id").cast("bigint").alias("max_member"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("rep").cast("bigint").alias("survivor_id"),
+            "n_members",
+            "member_id_sum",
+            "max_member",
+        )
+    )

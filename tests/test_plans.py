@@ -967,3 +967,50 @@ def test_semdedup_subsplit_bounds_bucket_size(spark, sf_dir):
             n_subs_per_cid.get(r["cid"], 0), r["sb"] + 1
         )
     assert any(n > 1 for n in n_subs_per_cid.values()), n_subs_per_cid
+
+
+def test_semdedup_text_pairs_never_all_pairs(spark, sf_dir):
+    """The text variant's candidate generation rides the same
+    (cluster, sub-bucket) equi-self-join as q_dedup_semantic — no
+    cartesian, no BNLJ in the pair plan. The feature-hash grid's
+    bounded broadcast-16 cross lives upstream of the corpus
+    checkpoint, so the pair plan must not show it either."""
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _FH_DIM, _sd_pairs,
+    )
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    # the query's own corpus construction, verbatim
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("t"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    cells = (
+        tok.select("doc_id", (h32 % _FH_DIM).alias("j"), F.lit(1).alias("s"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+    )
+    grid = d.select("doc_id").crossJoin(
+        spark.range(_FH_DIM).select(F.col("id").cast("bigint").alias("j"))
+    )
+    corpus = (
+        grid.join(cells, ["doc_id", "j"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "named_struct('j', j, 'v', coalesce(v, 0L)))), x -> x.v)"
+            ).alias("v")
+        )
+        .select(F.col("doc_id").alias("vec_id"), "v")
+        .localCheckpoint(eager=True)
+    )
+    js = join_strategies(_sd_pairs(corpus))
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0
