@@ -577,7 +577,7 @@ def _sd_off(spark: SparkSession, sf_dir: str) -> int:
     return _SD_OFF_CACHE[key]
 
 
-def _sd_closure_sql(corpus_ctes: str) -> str:
+def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
     """The shared SemDeDup oracle machinery: given head CTEs ending in
     ``corpus(id, v)`` (integer vectors), emit the _SD_ITERS Lloyd's
     rounds as materialized CTEs (the _kmeans_oracle_sql pattern), the
@@ -644,11 +644,12 @@ def _sd_closure_sql(corpus_ctes: str) -> str:
       SELECT src AS id, LEAST(src, MIN(dst)) AS rep
       FROM reach GROUP BY src
     )
+    """ + (final_sql or """
     SELECT CAST(rep AS BIGINT) AS survivor_id, COUNT(*) AS n_members,
            CAST(SUM(id) AS BIGINT) AS member_id_sum,
            CAST(MAX(id) AS BIGINT) AS max_member
     FROM reps GROUP BY rep
-    """
+    """)
     return head + "".join(its) + tail
 
 
@@ -702,12 +703,13 @@ def _sd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionByName(dup_a).unionByName(dup_b)
 
 
-def _sd_sub(corpus: DataFrame) -> DataFrame:
-    """Cluster + sub-split: integer Lloyd's assignment (broadcast-K,
-    _km_assign), then the mega-cluster guard. Returns
-    (cid, sb, vec_id, v, nn) — the bucketed candidate universe the
-    pair join runs over. ``corpus`` should be checkpointed by the
-    caller (it anchors every k-means round)."""
+def _sd_fit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The SemDeDup clustering: _SD_ITERS integer Lloyd's rounds over
+    ``corpus`` (vec_id, v), seeds = the _SD_K smallest ids. Returns
+    (assigned(vec_id, v, cid), cents(cid, c)) — the fitted model the
+    pair generator, the keep-policy query, and the streaming gate
+    index all consume. ``corpus`` should be checkpointed by the
+    caller (it anchors every round)."""
     cents = corpus.filter(F.col("vec_id") < _SD_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
@@ -728,6 +730,15 @@ def _sd_sub(corpus: DataFrame) -> DataFrame:
                 "transform(array_sort(collect_list(struct(d, m))), x -> x.m)"
             ).alias("c")
         ).localCheckpoint(eager=True)
+    return assigned, cents
+
+
+def _sd_sub(corpus: DataFrame, assigned: DataFrame | None = None) -> DataFrame:
+    """Cluster + sub-split: the fitted assignment (or a fresh _sd_fit),
+    then the mega-cluster guard. Returns (cid, sb, vec_id, v, nn) —
+    the bucketed candidate universe the pair join runs over."""
+    if assigned is None:
+        assigned, _ = _sd_fit(corpus)
     # Mega-cluster guard: a runaway cluster (the known SemDeDup failure
     # mode — one centroid swallows a constant fraction of the corpus
     # and its within-cluster join goes quadratic) is sub-split by
@@ -749,12 +760,14 @@ def _sd_sub(corpus: DataFrame) -> DataFrame:
     )
 
 
-def _sd_pairs(corpus: DataFrame) -> DataFrame:
+def _sd_pairs(
+    corpus: DataFrame, assigned: DataFrame | None = None
+) -> DataFrame:
     """Within-(cluster, sub-bucket)-only near-dup pairs (id_a, id_b):
     a (cid, sb) equi-self-join over _sd_sub's bucketed universe with
     the exact int64 cosine predicate as residual — candidates are
     bucket co-occupancy, NEVER corpus x corpus."""
-    sub = _sd_sub(corpus)
+    sub = _sd_sub(corpus, assigned)
     a = sub.select(
         "cid", "sb",
         F.col("vec_id").alias("id_a"),
@@ -1106,5 +1119,119 @@ def q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "member_id_sum",
             "max_member",
+        )
+    )
+
+
+def _sd_keep_oracle_sql() -> str:
+    """q_dedup_semantic_keep's truth: the shared closure chain, with a
+    per-member squared-distance-to-centroid attach and the
+    farthest-member argmax as the final projection."""
+    final = f""", memb AS (
+      SELECT r.rep, a.id, a.cid, a.v
+      FROM reps r JOIN a{_SD_ITERS} a ON r.id = a.id
+    ),
+    md AS (
+      SELECT memb.rep, memb.id,
+             list_sum(list_transform(range(1, len(memb.v) + 1),
+                      i -> (memb.v[i] - c.c[i]) * (memb.v[i] - c.c[i]))) AS d2
+      FROM memb JOIN c{_SD_ITERS} c ON memb.cid = c.cid
+    ),
+    surv AS (
+      SELECT rep, id AS survivor_id, d2 AS survivor_d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY rep ORDER BY d2 DESC, id) AS rn FROM md)
+      WHERE rn = 1
+    )
+    SELECT CAST(m.rep AS BIGINT) AS group_id, COUNT(*) AS n_members,
+           CAST(MIN(s.survivor_id) AS BIGINT) AS survivor_id,
+           CAST(MIN(s.survivor_d2) AS BIGINT) AS survivor_d2
+    FROM md m JOIN surv s ON m.rep = s.rep
+    GROUP BY m.rep
+    """
+    return _sd_closure_sql(f"""e AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    off AS MATERIALIZED (
+      SELECT MAX(vec_id) + 1 AS o FROM embeddings
+    ),
+    corpus AS MATERIALIZED (
+      SELECT id, v FROM e
+      UNION ALL
+      SELECT id + (SELECT o FROM off),
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN i = 1 THEN v[i] + 10 ELSE v[i] END)
+      FROM e WHERE id % 7 = 0
+      UNION ALL
+      SELECT id + 2 * (SELECT o FROM off),
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN i = 2 THEN v[i] - 10 ELSE v[i] END)
+      FROM e WHERE id % 21 = 0
+    )""", final_sql=final)
+
+
+@register(
+    "q_dedup_semantic_keep",
+    oracle=_sd_keep_oracle_sql(),
+    tags=("dedup", "similarity", "iterative"),
+)
+def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP WITH THE PAPER'S KEEP POLICY: within each duplicate
+    group, keep the member FARTHEST from its cluster centroid (exact
+    integer squared L2; tie -> smaller id) — Abbas et al. 2023 keep
+    low-similarity-to-centroid examples to preserve diversity, the
+    opposite instinct from min-id survivorship and the policy a real
+    SemDeDup run ships. Emits one row per duplicate group: group key
+    (min member id), population, the chosen survivor, and its
+    distance. Same clustering, pair generation, and components as
+    q_dedup_semantic (shared _sd_fit/_sd_pairs — the two queries
+    cannot disagree on the groups), plus one keyed join back to the
+    fitted centroids and a per-group integer argmax.
+
+    Scale: the distance attach is a broadcast join against the K-row
+    centroid table; the argmax is max(struct(d2, -id)) inside the
+    same hash aggregate as the rollup — no window over the corpus."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    corpus = _sd_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    assigned, cents = _sd_fit(corpus)
+    pairs = _sd_pairs(corpus, assigned)
+    comp = connected_components(
+        corpus.select(F.col("vec_id").alias("id")),
+        pairs,
+        a_col="id_a",
+        b_col="id_b",
+    )
+    md = (
+        comp.join(
+            assigned.select(F.col("vec_id").alias("id"), "v", "cid"), "id"
+        )
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "rep",
+            "id",
+            F.expr(
+                "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+    )
+    return (
+        md.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("d2"), (-F.col("id")).alias("neg"))).alias("m"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("rep").cast("bigint").alias("group_id"),
+            "n_members",
+            (-F.col("m.neg")).cast("bigint").alias("survivor_id"),
+            F.col("m.d2").cast("bigint").alias("survivor_d2"),
         )
     )
