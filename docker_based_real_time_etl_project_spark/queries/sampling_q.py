@@ -726,3 +726,81 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ticket") * 100 < F.col("accept_micro"))
         .select("doc_id", "lang", "n_bigrams", "ratio_micro", "accept_micro")
     )
+
+
+_SHARD_N = 8
+
+
+@register(
+    "q_corpus_shard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_ticket('doc_id')} AS ticket,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_toks
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM t WHERE n_toks >= 1),
+    c AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY ticket, doc_id) AS cum
+      FROM t2
+    ),
+    tot AS (SELECT SUM(n_toks) AS total FROM t2)
+    SELECT CAST(((c.cum - c.n_toks) * {_SHARD_N}) // tot.total AS BIGINT)
+             AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(c.n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.doc_id) AS BIGINT) AS doc_id_sum
+    FROM c CROSS JOIN tot
+    GROUP BY 1
+    """,
+    tags=("sampling", "llm", "scale"),
+)
+def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-AND-SHARD — the last step of every training-data run:
+    deterministically shuffle the corpus (order by the md5 ticket — no
+    RNG, identical order at any parallelism or engine) and cut it into
+    {_SHARD_N} TOKEN-BALANCED contiguous shards,
+    shard = floor(start_offset * N / total_tokens) — each shard's
+    token mass differs from ideal by at most one document, the balance
+    a tfrecord/webdataset writer needs so no trainer rank starves.
+    Emits the per-shard manifest (doc count, token mass, id checksum).
+
+    Scale: the running offset comes from the two-phase distributed
+    prefix scan (operators/prefix.py — range partition by the order
+    key, O(partitions) driver offset pass, broadcast offsets; NO
+    single-partition global window), the total is a 1-row broadcast,
+    and the shard id is pure int64 arithmetic on exact token counts —
+    the oracle's global window restates it directly. The same plan at
+    100 TB writes each shard with partitionBy(shard_id) and never
+    materializes a global sort."""
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("bigint")
+        .alias("n_toks"),
+    ).filter(F.col("n_toks") >= 1)
+    total = t.agg(F.sum("n_toks").cast("bigint").alias("total"))
+    c = ordered_prefix_sum(t, ["ticket", "doc_id"], "n_toks", out_col="cum")
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr(f"((cum - n_toks) * {_SHARD_N}) div total")
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        )
+    )

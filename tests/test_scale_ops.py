@@ -601,3 +601,30 @@ def test_bpe_greedy_run_semantics_literal():
         (2, "a", "a", 2),
         (3, "aa", "ab", 2),
     ]
+
+
+def test_corpus_shard_token_balance(spark, sf_dir):
+    """The shuffle-and-shard cut is token-balanced by construction:
+    contiguous prefix-sum ranges mean any two shards' token masses
+    differ by at most the largest single document (the straddle), and
+    every shard id in [0, N) is populated."""
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _SHARD_N,
+    )
+
+    rows = REGISTRY["q_corpus_shard"].fn(spark, sf_dir).collect()
+    assert sorted(r["shard_id"] for r in rows) == list(range(_SHARD_N))
+    masses = [r["n_tokens"] for r in rows]
+    max_doc = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n")
+        )
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert max(masses) - min(masses) <= max_doc, (masses, max_doc)
