@@ -131,6 +131,7 @@ HEADLINE = [
     "q_bpe_encode_unseen",      # tokenizer-apply: broadcast merge fold, one stage
     "q_sample_dsir",            # DSIR: two bigram LMs, integer log-ratio resample
     "q_dedup_semantic_text",    # text -> hash embed -> cluster -> cosine -> survive
+    "q_lsh_index_persisted",    # maintained lake LSH index, bucketed self-join
 ]
 
 

@@ -76,9 +76,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_artifact(spark, sf_dir)
 
 
-@register(
-    "q_dedup_minhash_pairs",
-    oracle="""
+# shared by q_dedup_minhash_pairs and q_lsh_index_persisted: the
+# all-pairs exact-Jaccard truth — serving pairs from a maintained lake
+# index must never change the pair set
+_MINHASH_PAIRS_ORACLE = """
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -95,7 +96,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.grams, b.grams))
           / CAST(len(a.grams) + len(b.grams)
                  - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.4
-    """,
+    """
+
+
+@register(
+    "q_dedup_minhash_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
     tags=("dedup", "sketch"),
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,4 +862,153 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_key",
         "n_entities",
         (F.col("k") == F.col("cluster_key")).alias("is_rep"),
+    )
+
+
+# LSH band-postings index persisted as a maintained lake table — the
+# q_bm25_index_persisted / q_ann_ivf_persisted discipline applied to
+# near-dup detection. 64-way band-hash bucket partitioning.
+_LSH_NB = 64
+
+
+def _lsh_band_rows(df: DataFrame) -> DataFrame:
+    """(bkt, band_idx, band_hash, doc_id): each document's 16 LSH band
+    hashes (3-shingles, 64-hash MinHash, 16 bands x 3 rows — identical
+    parameters to minhash_neardup_pairs, so index-served candidates
+    equal the from-scratch candidates), bucketed for partition
+    layout."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        band_hashes, minhash_signatures_agg, shingles,
+    )
+
+    sh = df.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(shingles("text", 3)).alias("_sh"),
+    )
+    sigs = minhash_signatures_agg(sh, "_id", "_sh", 64)
+    return (
+        sigs.select(
+            "_id", F.explode(band_hashes(F.col("sig"), 16, 3)).alias("_b")
+        )
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("_b.band_idx"), F.col("_b.band_hash")),
+                F.lit(_LSH_NB),
+            ).alias("bkt"),
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_hash").alias("band_hash"),
+            F.col("_id").alias("doc_id"),
+        )
+    )
+
+
+def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
+    """The LSH index's committed version history (the BM25-index
+    fixture shape):
+      v1  init with 90% of the corpus (doc_id % 10 != 7);
+      v2  MoR MERGE appending the held-out docs' band rows — write I/O
+          O(the new docs' rows), no partition rewritten;
+      v3  a WRONG maintenance batch: MoR tombstones of the %10==3
+          docs' rows (delete files only);
+      v4  RESTORE to v2 — zero data I/O, full corpus back.
+    The registered query searches latest (= restored v2)."""
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+        snap_restore,
+    )
+
+    def build() -> str:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sg_lsh_index_")
+        d = table(spark, sf_dir, "documents")
+        assert snap_init(
+            spark,
+            _lsh_band_rows(d.filter("doc_id % 10 != 7")),
+            out,
+            "bkt",
+            sort_by=("band_hash", "doc_id"),
+        ) == 1
+        assert snap_merge(
+            spark,
+            out,
+            _lsh_band_rows(d.filter("doc_id % 10 = 7")),
+            key_cols=("doc_id", "band_idx"),
+            mode="mor",
+        ) == 2
+        wrong = _lsh_band_rows(d.filter("doc_id % 10 = 3")).withColumn(
+            "_del", F.lit(True)
+        )
+        assert snap_merge(
+            spark, out, wrong, key_cols=("doc_id", "band_idx"),
+            delete_col="_del", mode="mor",
+        ) == 3
+        assert snap_restore(spark, out, 2) == 4
+        return out
+
+    return materialize_once(
+        ("lsh_index_snap", sf_dir, _LSH_NB,
+         table_fingerprint(sf_dir, "documents")),
+        build,
+    )
+
+
+@register(
+    "q_lsh_index_persisted",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    tags=("dedup", "sketch", "lakesnap", "scale"),
+)
+def q_lsh_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP PAIRS SERVED FROM THE MAINTAINED LAKE LSH INDEX —
+    completing the persisted-index family (BM25 postings, IVF cells,
+    now LSH bands): the band-hash postings live as a snapshot table
+    partitioned by 64-way band-hash bucket, maintained with MoR DML
+    (90%-init -> append merge -> a WRONG tombstone batch -> RESTORE),
+    and candidate pairs come from the index's bucketed SELF-JOIN on
+    (band_idx, band_hash) at the restored latest version — then the
+    exact-Jaccard verify against in-plan gram sets, exactly the
+    from-scratch pipeline's residual. Shares q_dedup_minhash_pairs'
+    all-pairs oracle VERBATIM: maintenance must never move the pair
+    set — hash-parity proves the append merge carried the new docs'
+    bands AND the restore brought the tombstoned ones back (a stale
+    v3 read would lose every %10==3 doc's pairs).
+
+    Scale: the corpus-sized signature pass is paid once at build; each
+    corpus delta pays O(its own band rows) through the MoR merge; the
+    candidate join shuffles on the band hash (uniform by
+    construction), reading index rows instead of recomputing 64
+    hashes per doc per audit — the deployed per-snapshot pair-table
+    pattern with the index, not the corpus, as the hot input."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        exact_jaccard, shingles,
+    )
+
+    idx = snap_read(spark, _lsh_index_snap(spark, sf_dir))
+    left = idx.select(
+        "bkt", "band_idx", "band_hash", F.col("doc_id").alias("id_a")
+    )
+    right = idx.select(
+        "bkt", "band_idx", "band_hash", F.col("doc_id").alias("id_b")
+    )
+    pairs = (
+        left.join(right, ["bkt", "band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", "jaccard")
     )

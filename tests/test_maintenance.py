@@ -44,3 +44,26 @@ def test_compaction_noop_below_threshold(spark, sf_dir):
     res = compact_parquet_dir(spark, path, min_files=8)
     assert res["compacted"] is False
     assert compaction_plan(path)["n_files"] == 4
+
+
+def test_lsh_index_restore_matters(spark, sf_dir):
+    """q_lsh_index_persisted's version history must be load-bearing:
+    the wrong v3 tombstone batch visibly loses the %10==3 docs' band
+    rows (a stale read would lose their pairs), and the restored
+    latest brings every band row back to the full-corpus v2 state."""
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_read
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        _lsh_index_snap,
+    )
+
+    path = _lsh_index_snap(spark, sf_dir)
+    v3 = snap_read(spark, path, version=3)
+    assert v3.filter(F.expr("doc_id % 10 = 3")).count() == 0
+    latest = snap_read(spark, path)
+    n3 = latest.filter(F.expr("doc_id % 10 = 3")).count()
+    assert n3 > 0
+    # full corpus: every doc carries exactly 16 band rows
+    n_docs = latest.select("doc_id").distinct().count()
+    assert latest.count() == 16 * n_docs
