@@ -980,12 +980,23 @@ def q_lsh_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), reading index rows instead of recomputing 64
     hashes per doc per audit — the deployed per-snapshot pair-table
     pattern with the index, not the corpus, as the hot input."""
+    return _lsh_pairs_from_index(spark, sf_dir, _lsh_index_snap(spark, sf_dir))
+
+
+def _lsh_pairs_from_index(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The index-served pair pipeline: bucketed band self-join at the
+    snapshot's latest version, distinct candidate pairs, exact-Jaccard
+    verify against in-plan gram sets — shared by the batch-maintained
+    and stream-maintained index queries, both held to the all-pairs
+    oracle."""
     from docker_based_real_time_etl_project_spark.lakesnap import snap_read
     from docker_based_real_time_etl_project_spark.operators.dedup import (
-        exact_jaccard, shingles,
+        exact_jaccard,
     )
 
-    idx = snap_read(spark, _lsh_index_snap(spark, sf_dir))
+    idx = snap_read(spark, path)
     left = idx.select(
         "bkt", "band_idx", "band_hash", F.col("doc_id").alias("id_a")
     )
@@ -1011,4 +1022,98 @@ def q_lsh_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.4)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _lsh_index_stream_lake(spark: SparkSession, sf_dir: str) -> str:
+    """The LSH index maintained by CONTINUOUS INGEST: documents replay
+    as an 8-micro-batch stream and a foreachBatch sink commits each
+    batch's band rows as one snapshot version — v1 init, then seven
+    MoR append merges whose write I/O is O(the batch's band rows).
+    The manifest's batch_id is the idempotence ledger (the
+    make_cdc_snap_sink discipline), so a crash-replayed batch can
+    never double-commit a version."""
+    import os
+
+    from docker_based_real_time_etl_project_spark.lakesnap import (
+        snap_init,
+        snap_merge,
+        snap_meta,
+        snap_versions,
+    )
+
+    def build() -> str:
+        import tempfile
+
+        from docker_based_real_time_etl_project_spark.queries.streaming_q import (
+            _doc_stream,
+        )
+
+        lake = tempfile.mkdtemp(prefix="sg_lsh_stream_")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            if snap_versions(lake):
+                last = snap_meta(lake).get("batch_id")
+                if last is not None and batch_id <= last:
+                    return  # replayed batch: already a committed version
+                snap_merge(
+                    s,
+                    lake,
+                    _lsh_band_rows(batch_df),
+                    key_cols=("doc_id", "band_idx"),
+                    mode="mor",
+                    meta={"batch_id": batch_id},
+                )
+            else:
+                snap_init(
+                    s,
+                    _lsh_band_rows(batch_df),
+                    lake,
+                    "bkt",
+                    sort_by=("band_hash", "doc_id"),
+                    meta={"batch_id": batch_id},
+                )
+
+        q = (
+            _doc_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(lake, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return lake
+
+    return materialize_once(
+        ("lsh_index_stream", sf_dir, _LSH_NB,
+         table_fingerprint(sf_dir, "documents")),
+        build,
+    )
+
+
+@register(
+    "q_stream_lsh_index_maintain",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    tags=("dedup", "sketch", "streaming", "lakesnap"),
+)
+def q_stream_lsh_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH INDEX MAINTENANCE UNDER CONTINUOUS INGEST: the corpus
+    arrives as an 8-micro-batch stream, each batch's band rows commit
+    as one MoR snapshot version (init + seven O(batch) append merges,
+    batch-id idempotence ledger in the manifest), and the near-dup
+    pair set served from the FINAL version hash-matches the all-pairs
+    exact-Jaccard truth — the same oracle as q_dedup_minhash_pairs and
+    the batch-maintained q_lsh_index_persisted, proving that a
+    version-per-batch maintained index converges to exactly the
+    from-scratch index regardless of arrival slicing. The read goes
+    straight through the accumulated MoR debris (no compaction — the
+    read-side merge is part of what is under test).
+
+    Scale: per-batch write cost tracks the BATCH's band rows (never
+    the buckets they graze), search cost is the bucketed self-join —
+    continuous corpus growth pays O(delta) forever, with
+    snap_compact_partitions retiring debris on maintenance cadence."""
+    return _lsh_pairs_from_index(
+        spark, sf_dir, _lsh_index_stream_lake(spark, sf_dir)
     )
