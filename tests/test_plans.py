@@ -1014,3 +1014,31 @@ def test_semdedup_text_pairs_never_all_pairs(spark, sf_dir):
     js = join_strategies(_sd_pairs(corpus))
     assert js.get("CartesianProduct", 0) == 0
     assert js.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_corpus_shard_no_global_window(spark, sf_dir):
+    """q_corpus_shard's running offset rides the two-phase distributed
+    scan (the q_token_budget discipline): the one Window is
+    partitioned on the range-partition id, and the only
+    SinglePartition exchange is the 1-row total aggregate."""
+    import re
+
+    df = _q("q_corpus_shard", spark, sf_dir)
+    p = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "hashpartitioning(_pid" in p
+    assert p.count("SinglePartition") == 1
+
+
+def test_bpe_unseen_apply_is_bounded(spark, sf_dir):
+    """q_bpe_encode_unseen's merge APPLY must be one expression fold,
+    not a per-merge job chain: the trained merge table reads from its
+    materialized parquet (training truncated out), the only non-equi
+    join is the 1-row broadcast merge-array cross, and the apply plan
+    holds a bounded exchange count (word rollup + array agg + token
+    rollup) that would not change if the merge list were 10k rows."""
+    df = _q("q_bpe_encode_unseen", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    assert js.get("BroadcastNestedLoopJoin", 0) <= 1
+    assert count_exchanges(df) <= 4
