@@ -132,6 +132,8 @@ HEADLINE = [
     "q_sample_dsir",            # DSIR: two bigram LMs, integer log-ratio resample
     "q_dedup_semantic_text",    # text -> hash embed -> cluster -> cosine -> survive
     "q_lsh_index_persisted",    # maintained lake LSH index, bucketed self-join
+    "q_dedup_semantic_keep",    # SemDeDup paper keep policy, centroid argmax
+    "q_corpus_shard",           # token-balanced sharding via distributed scan
 ]
 
 
