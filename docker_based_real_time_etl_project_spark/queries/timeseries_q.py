@@ -954,3 +954,103 @@ def q_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_views_1h",
         "view_cents_1h",
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id AS trade_id, user_id, ts AS trade_ts, value AS trade_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.trade_id, t.user_id,
+           epoch_us(t.trade_ts) AS trade_ts_us, t.trade_value,
+           q.quote_id, q.quote_value,
+           epoch_us(q.ts) - epoch_us(t.trade_ts) AS signed_lag_us
+    FROM trades t
+    LEFT JOIN LATERAL (
+      SELECT quote_id, quote_value, ts
+      FROM quotes q
+      WHERE q.user_id = t.user_id
+      ORDER BY abs(epoch_us(q.ts) - epoch_us(t.trade_ts)) ASC,
+               (epoch_us(q.ts) > epoch_us(t.trade_ts)) ASC,
+               q.quote_id DESC
+      LIMIT 1
+    ) q ON TRUE
+    """,
+    tags=("join", "timeseries"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest' / kdb
+    wj): every purchase paired with the user's view CLOSEST in time,
+    either direction — equal distances resolve BACKWARD (the earlier
+    quote; a quote exactly at t has distance 0 on both sides and both
+    carries elect the same row), same-timestamp ties to the greatest
+    quote id, matching both parents' conventions. Completes the as-of
+    matrix: backward, backward+tolerance, forward+lookahead, nearest.
+
+    Plan: the global nearest among backward candidates IS the backward
+    carry's winner (max ts <= t) and among forward candidates the
+    forward carry's winner (min ts >= t), so nearest = run BOTH
+    existing carry scans and pick the closer winner per trade with one
+    integer comparison — two keyed |L|+|R| sorts and a trade-keyed
+    join of two 1-row-per-trade outputs, never a pair blow-up, never a
+    per-trade window over all quotes (which is what the oracle's
+    O(n^2) LATERAL abs-distance sort spells out)."""
+    from docker_based_real_time_etl_project_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    e = table(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("trade_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("value").alias("trade_value"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    back = asof_join_backward(
+        trades,
+        quotes,
+        on=["user_id"],
+        left_ts="t_ts",
+        right_ts="ts",
+        carry={"event_id": "b_id", "value": "b_value", "ts": "b_ts"},
+        right_tiebreak="event_id",
+    ).select("trade_id", "b_id", "b_value", "b_ts")
+    fwd = asof_join_forward(
+        trades,
+        quotes,
+        on=["user_id"],
+        left_ts="t_ts",
+        right_ts="ts",
+        carry={"event_id": "f_id", "value": "f_value", "ts": "f_ts"},
+        right_tiebreak="event_id",
+    ).select("trade_id", "user_id", "t_ts", "trade_value",
+             "f_id", "f_value", "f_ts")
+    j = fwd.join(back, "trade_id")
+    t_us = F.unix_micros(F.col("t_ts"))
+    d_b = t_us - F.unix_micros(F.col("b_ts"))
+    d_f = F.unix_micros(F.col("f_ts")) - t_us
+    # pick the closer winner; a missing side loses automatically, equal
+    # distances resolve backward (the earlier quote)
+    use_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (d_b <= d_f)
+    )
+    return j.select(
+        "trade_id",
+        "user_id",
+        t_us.alias("trade_ts_us"),
+        "trade_value",
+        F.when(use_back, F.col("b_id")).otherwise(F.col("f_id")).alias("quote_id"),
+        F.when(use_back, F.col("b_value")).otherwise(F.col("f_value"))
+        .alias("quote_value"),
+        F.when(use_back, -d_b).otherwise(d_f).cast("bigint")
+        .alias("signed_lag_us"),
+    )
