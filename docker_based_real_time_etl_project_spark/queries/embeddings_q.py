@@ -545,11 +545,12 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector table outgrows it (caught honestly by the 20k-vector vsf1
 # fixture: duplicate ids made the assignment's first("v") pick
 # nondeterministically and the engines diverged). Base, twin-A and
-# twin-B id ranges are disjoint by construction at every corpus size,
-# and the shipped fixtures' max ids (500/2000/20k/200k) are all
-# 2^a*5^b, so the id-mod sub-split below keeps planted pairs
-# co-bucketed for the small n_sub values that arise (a split pair is
-# mirrored by the oracle either way).
+# twin-B id ranges are disjoint by construction at every corpus size.
+# The round-14 locality-aware sub-split keeps planted pairs
+# co-bucketed BY CONSTRUCTION — a twin sits 10 milli-units from its
+# base, so their distances-to-centroid are near-equal and their ranks
+# adjacent (only a band boundary between them can split a pair, and a
+# split pair is mirrored by the oracle either way).
 _SD_Q = 1000        # milli-unit coordinate quantization
 _SD_K = 8           # k-means clusters
 _SD_ITERS = 2       # Lloyd's iterations
@@ -614,12 +615,19 @@ def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
       SELECT cid, array_agg(m ORDER BY d) AS c FROM s{k} GROUP BY cid
     )""")
     tail = f""",
-    sz AS (SELECT cid, COUNT(*) AS n FROM a{_SD_ITERS} GROUP BY cid),
-    sub AS MATERIALIZED (
+    dd AS MATERIALIZED (
       SELECT a.id, a.v, a.cid,
-             a.id % ((sz.n + {_SD_CAP - 1}) // {_SD_CAP}) AS sb,
+             list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i]))) AS d2,
              list_sum(list_transform(a.v, x -> x * x)) AS nn
-      FROM a{_SD_ITERS} a JOIN sz USING (cid)
+      FROM a{_SD_ITERS} a JOIN c{_SD_ITERS} c ON a.cid = c.cid
+    ),
+    sub AS MATERIALIZED (
+      SELECT id, v, cid, nn,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY d2, id) - 1)
+               // {_SD_CAP} AS BIGINT) AS sb
+      FROM dd
     ),
     p AS MATERIALIZED (
       SELECT id_a, id_b FROM (
@@ -733,41 +741,80 @@ def _sd_fit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     return assigned, cents
 
 
-def _sd_sub(corpus: DataFrame, assigned: DataFrame | None = None) -> DataFrame:
-    """Cluster + sub-split: the fitted assignment (or a fresh _sd_fit),
-    then the mega-cluster guard. Returns (cid, sb, vec_id, v, nn) —
-    the bucketed candidate universe the pair join runs over."""
-    if assigned is None:
-        assigned, _ = _sd_fit(corpus)
-    # Mega-cluster guard: a runaway cluster (the known SemDeDup failure
-    # mode — one centroid swallows a constant fraction of the corpus
-    # and its within-cluster join goes quadratic) is sub-split by
-    # id-mod into ceil(n / _SD_CAP) buckets, bounding every join
-    # bucket at ~_SD_CAP rows regardless of cluster skew. sz is
-    # K rows -> broadcast join.
-    sz = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        assigned.join(F.broadcast(sz), "cid")
+def _sd_sub(
+    corpus: DataFrame,
+    fitted: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Cluster + sub-split: the fitted (assigned, cents) pair (or a
+    fresh _sd_fit), then the mega-cluster guard. Returns
+    (cid, sb, vec_id, v, nn) — the bucketed candidate universe the
+    pair join runs over.
+
+    Mega-cluster guard, LOCALITY-AWARE (round 14): a runaway cluster
+    (the known SemDeDup failure mode — one centroid swallows a
+    constant fraction of the corpus and its within-cluster join goes
+    quadratic) is sub-split into rank bands of exactly _SD_CAP
+    members ordered by squared distance to the fitted centroid
+    (tie -> id). Near-duplicates have near-equal d2, so they land in
+    ADJACENT ranks and co-bucket (the id-mod split through round 13
+    tore them apart with probability 1 - 1/n_sub); only a pair
+    straddling a band boundary is missed, and the oracle replays the
+    identical banding so that approximation is part of the pinned
+    semantics. Every bucket is bounded by _SD_CAP exactly — a skewed
+    clustering pays more BUCKETS, never a bigger bucket.
+
+    Scale: the distance attach is a broadcast join against the K-row
+    centroid table; the per-cluster rank is NOT a partition-by-cid
+    window (a mega-cluster would drag through one task) but the
+    two-phase distributed prefix scan (operators/prefix.py) over the
+    narrow (cid, d2, vec_id) projection, with per-cluster start
+    offsets (K rows, broadcast) subtracted to turn the global running
+    count into a within-cluster rank; vectors rejoin by vec_id."""
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    if fitted is None:
+        fitted = _sd_fit(corpus)
+    assigned, cents = fitted
+    da = assigned.join(F.broadcast(cents), "cid").select(
+        "cid",
+        "vec_id",
+        "v",
+        F.expr(
+            "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("d2"),
+        F.expr(
+            "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"
+        ).alias("nn"),
+    )
+    cum = ordered_prefix_sum(
+        da.select("cid", "d2", "vec_id", F.lit(1).cast("bigint").alias("_one")),
+        ["cid", "d2", "vec_id"],
+        "_one",
+        out_col="_cum",
+    )
+    starts = cum.groupBy("cid").agg(F.min("_cum").alias("_start"))  # K rows
+    sb = (
+        cum.join(F.broadcast(starts), "cid")
         .select(
-            "cid",
             "vec_id",
-            "v",
-            F.expr(f"vec_id % ((n + {_SD_CAP - 1}) div {_SD_CAP})").alias("sb"),
-            F.expr(
-                "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"
-            ).alias("nn"),
+            F.expr(f"(_cum - _start) div {_SD_CAP}").alias("sb"),
         )
     )
+    return da.join(sb, "vec_id").select("cid", "sb", "vec_id", "v", "nn")
 
 
 def _sd_pairs(
-    corpus: DataFrame, assigned: DataFrame | None = None
+    corpus: DataFrame,
+    fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Within-(cluster, sub-bucket)-only near-dup pairs (id_a, id_b):
     a (cid, sb) equi-self-join over _sd_sub's bucketed universe with
     the exact int64 cosine predicate as residual — candidates are
     bucket co-occupancy, NEVER corpus x corpus."""
-    sub = _sd_sub(corpus, assigned)
+    sub = _sd_sub(corpus, fitted)
     a = sub.select(
         "cid", "sb",
         F.col("vec_id").alias("id_a"),
@@ -816,9 +863,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering, so the approximation is part of the pinned semantics.
 
     Scale: assignment is the broadcast-K BNLJ (vectors x 8 rows),
-    sub-split bounds every candidate bucket at ~_SD_CAP rows even
-    under total cluster skew (a mega-cluster pays more BUCKETS, never
-    a bigger bucket), the pair join shuffles on (cid, sb), and the
+    the locality-aware sub-split (distance-to-centroid rank bands —
+    _sd_sub) bounds every candidate bucket at exactly _SD_CAP rows
+    even under total cluster skew (a mega-cluster pays more BUCKETS,
+    never a bigger bucket) while keeping near neighbors co-bucketed,
+    the pair join shuffles on (cid, sb), and the
     components fixpoint runs over pair-touched nodes only. No stage is
     ever corpus x corpus — the no-cartesian plan pin holds it there."""
     from docker_based_real_time_etl_project_spark.operators.dedup import (
@@ -1007,6 +1056,47 @@ def _sem_gate_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return os.path.join(root, "members"), os.path.join(root, "centroids")
 
 
+def _sd_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v): documents feature-hashed to 16-dim signed-count
+    integer vectors — the q_embed_feature_hash machinery densified to
+    array form. Shared by q_dedup_semantic_text and the plan test
+    that pins its pair join (ADVICE r13: one construction, not two
+    copies that can drift)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("t"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("t").cast("binary")), 9, 1), 16, 10
+        ).cast("bigint") % 2 == 0,
+        1,
+    ).otherwise(-1)
+    cells = (
+        tok.select("doc_id", (h32 % _FH_DIM).alias("j"), sign.alias("s"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+    )
+    grid = d.select("doc_id").crossJoin(
+        spark.range(_FH_DIM).select(F.col("id").cast("bigint").alias("j"))
+    )
+    return (
+        grid.join(cells, ["doc_id", "j"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "named_struct('j', j, 'v', coalesce(v, 0L)))), x -> x.v)"
+            ).alias("v")
+        )
+        .select(F.col("doc_id").alias("vec_id"), "v")
+    )
+
+
 def _sd_text_oracle_sql() -> str:
     """q_dedup_semantic_text's truth: documents feature-hashed to
     16-dim signed-count integer vectors (the q_embed_feature_hash
@@ -1061,40 +1151,7 @@ def q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket co-occupancy, components over pair-touched nodes. The
     16-dim hash embedding is the honest stand-in for a neural encoder
     column: swap the vector source, keep the whole dedup plan."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("t"),
-    )
-    h32 = F.conv(
-        F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10
-    ).cast("bigint")
-    sign = F.when(
-        F.conv(
-            F.substring(F.md5(F.col("t").cast("binary")), 9, 1), 16, 10
-        ).cast("bigint") % 2 == 0,
-        1,
-    ).otherwise(-1)
-    cells = (
-        tok.select("doc_id", (h32 % _FH_DIM).alias("j"), sign.alias("s"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("s").cast("bigint").alias("v"))
-    )
-    grid = d.select("doc_id").crossJoin(
-        spark.range(_FH_DIM).select(F.col("id").cast("bigint").alias("j"))
-    )
-    corpus = (
-        grid.join(cells, ["doc_id", "j"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list("
-                "named_struct('j', j, 'v', coalesce(v, 0L)))), x -> x.v)"
-            ).alias("v")
-        )
-        .select(F.col("doc_id").alias("vec_id"), "v")
-        .localCheckpoint(eager=True)
-    )
+    corpus = _sd_text_corpus(spark, sf_dir).localCheckpoint(eager=True)
     from docker_based_real_time_etl_project_spark.operators.dedup import (
         connected_components,
     )
@@ -1200,7 +1257,7 @@ def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _sd_corpus(spark, sf_dir).localCheckpoint(eager=True)
     assigned, cents = _sd_fit(corpus)
-    pairs = _sd_pairs(corpus, assigned)
+    pairs = _sd_pairs(corpus, (assigned, cents))
     comp = connected_components(
         corpus.select(F.col("vec_id").alias("id")),
         pairs,

@@ -666,7 +666,8 @@ _GRAPH_PART_TARGET_BYTES = 8 << 20
 
 
 def _graph_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
-    """max(session value, min(256, ceil(edge-input bytes / 16 MiB)))."""
+    """max(session value, min(256, ceil(edge-input bytes /
+    _GRAPH_PART_TARGET_BYTES = 8 MiB)))."""
     import os
 
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -947,12 +947,11 @@ def test_semdedup_pairs_never_all_pairs(spark, sf_dir):
 def test_semdedup_subsplit_bounds_bucket_size(spark, sf_dir):
     """The mega-cluster guard must actually engage and actually bound:
     at least one cluster exceeds _SD_CAP members and gets sub-split
-    (n_sub > 1), and every (cid, sb) join bucket stays within 2x the
-    cap (id-mod splitting of dense-ish ids is near-uniform; the factor
-    absorbs planted-twin id offsets). This pins the property that a
-    skewed clustering pays more BUCKETS, never a bigger bucket."""
-    from pyspark.sql import functions as F
-
+    (n_sub > 1), and every (cid, sb) join bucket holds at most
+    _SD_CAP rows EXACTLY — the round-14 distance-rank banding cuts
+    bands of cap-many members, so unlike the old id-mod split there
+    is no 2x slack. This pins the property that a skewed clustering
+    pays more BUCKETS, never a bigger bucket."""
     from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
         _SD_CAP, _sd_corpus, _sd_sub,
     )
@@ -962,7 +961,7 @@ def test_semdedup_subsplit_bounds_bucket_size(spark, sf_dir):
     buckets = sub.groupBy("cid", "sb").count().collect()
     n_subs_per_cid = {}
     for r in buckets:
-        assert r["count"] <= 2 * _SD_CAP, (r["cid"], r["sb"], r["count"])
+        assert r["count"] <= _SD_CAP, (r["cid"], r["sb"], r["count"])
         n_subs_per_cid[r["cid"]] = max(
             n_subs_per_cid.get(r["cid"], 0), r["sb"] + 1
         )
@@ -978,39 +977,12 @@ def test_semdedup_text_pairs_never_all_pairs(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
-        _FH_DIM, _sd_pairs,
+        _sd_pairs, _sd_text_corpus,
     )
-    from docker_based_real_time_etl_project_spark.queries.registry import table
 
-    # the query's own corpus construction, verbatim
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("t"),
-    )
-    h32 = F.conv(
-        F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10
-    ).cast("bigint")
-    cells = (
-        tok.select("doc_id", (h32 % _FH_DIM).alias("j"), F.lit(1).alias("s"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("s").cast("bigint").alias("v"))
-    )
-    grid = d.select("doc_id").crossJoin(
-        spark.range(_FH_DIM).select(F.col("id").cast("bigint").alias("j"))
-    )
-    corpus = (
-        grid.join(cells, ["doc_id", "j"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list("
-                "named_struct('j', j, 'v', coalesce(v, 0L)))), x -> x.v)"
-            ).alias("v")
-        )
-        .select(F.col("doc_id").alias("vec_id"), "v")
-        .localCheckpoint(eager=True)
-    )
+    # the query's own corpus construction — the SHARED helper, so the
+    # pinned plan can never drift from what the query runs (ADVICE r13)
+    corpus = _sd_text_corpus(spark, sf_dir).localCheckpoint(eager=True)
     js = join_strategies(_sd_pairs(corpus))
     assert js.get("CartesianProduct", 0) == 0
     assert js.get("BroadcastNestedLoopJoin", 0) == 0

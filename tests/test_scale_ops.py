@@ -627,4 +627,64 @@ def test_corpus_shard_token_balance(spark, sf_dir):
         .agg(F.max("n"))
         .collect()[0][0]
     )
-    assert max(masses) - min(masses) <= max_doc, (masses, max_doc)
+    # The floor-boundary construction guarantees each shard within
+    # one document of the ideal mass (so the spread is < 2*max_doc);
+    # asserting spread <= max_doc would be stronger than the invariant
+    # and could flake on a new fixture (ADVICE r13).
+    ideal = sum(masses) / _SHARD_N
+    for m in masses:
+        assert abs(m - ideal) < max_doc, (masses, max_doc)
+
+
+def _semdedup_overcap_corpus(spark):
+    """A synthetic SemDeDup corpus with ONE over-cap cluster and a
+    planted identical pair (ids 200, 201) in its interior.
+
+    Seeds (vec_id < _SD_K = 8): seed 0 sits at the blob center P;
+    seeds 1..7 are flung far along distinct axes so no blob member
+    assigns to them. Blob: 128 members symmetric around P (+/- delta
+    on dim 1, so the integer mean stays exactly P), plus the planted
+    pair exactly AT P. Cluster 0 therefore holds 131 rows (> _SD_CAP
+    = 64) and must be sub-split; the pair's distance-to-centroid is 0
+    on both members, so any locality-aware split keeps them together,
+    while id-mod (200 % 3 = 2, 201 % 3 = 0 at n_sub = 3) tears them
+    apart."""
+    P = 1000
+    rows = [(0, [P, 0, 0, 0])]
+    for k in range(1, 8):
+        far = [0, 0, 0, 0]
+        far[k % 4] = (10 ** 6) * (1 if k < 4 else -1)
+        rows.append((k, far))
+    for j in range(64):
+        rows.append((10 + 2 * j, [P, j + 3, 0, 0]))
+        rows.append((11 + 2 * j, [P, -(j + 3), 0, 0]))
+    rows.append((200, [P, 0, 0, 0]))
+    rows.append((201, [P, 0, 0, 0]))
+    return spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in rows],
+        "vec_id long, v array<long>",
+    )
+
+
+def test_semdedup_subsplit_keeps_planted_pair(spark):
+    """ROUND-14 GAP TEST (written first, red against the id-mod
+    sub-split): a genuine near-duplicate pair inside an over-cap
+    cluster must survive the mega-cluster guard. The locality-aware
+    split banding members by distance-to-centroid rank co-buckets the
+    pair (their d2 are equal); the old id-mod split missed it."""
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _SD_CAP, _sd_pairs, _sd_sub,
+    )
+
+    corpus = _semdedup_overcap_corpus(spark).localCheckpoint(eager=True)
+    sub = _sd_sub(corpus)
+    # the blob really is one over-cap cluster, and the guard holds:
+    # every (cid, sb) bucket is bounded by the cap exactly
+    sizes = sub.groupBy("cid").count().collect()
+    assert max(r["count"] for r in sizes) > _SD_CAP
+    buckets = sub.groupBy("cid", "sb").count().collect()
+    assert all(r["count"] <= _SD_CAP for r in buckets), buckets
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in _sd_pairs(corpus).collect()
+    }
+    assert (200, 201) in pairs, sorted(pairs)[:20]
