@@ -192,6 +192,33 @@ def main() -> None:
         _time_once(REGISTRY[SENTINEL].fn, spark) for _ in range(3)
     )
 
+    # Persisted-index BUILDS, timed separately (round-13 verdict #3:
+    # build/serve conflation). Each build runs once per session via
+    # materialize_once; forcing them here means (a) the one-time build
+    # cost is its own auditable number, and (b) every q_*_persisted
+    # headline entry below times pure SERVE — a serve regression can
+    # no longer hide under build amortization, and the build artifact
+    # (a per-decade cost at scale) can't inflate the headline total.
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        _lsh_index_snap,
+    )
+    from docker_based_real_time_etl_project_spark.queries.similarity_q import (
+        _ivf_index_snap,
+    )
+    from docker_based_real_time_etl_project_spark.queries.text import (
+        _bm25_index_snap,
+    )
+
+    index_builds: dict[str, float] = {}
+    for bname, bfn in (
+        ("lsh_index_build", _lsh_index_snap),
+        ("bm25_index_build", _bm25_index_snap),
+        ("ivf_index_build", _ivf_index_snap),
+    ):
+        t0 = time.perf_counter()
+        bfn(spark, SF_DIR)
+        index_builds[bname] = round(time.perf_counter() - t0, 3)
+
     # best-of-3: single-run timings at this scale carry ~30% scheduler/JIT
     # noise; the min is the reproducible cost of the plan, and n=3 makes
     # a round-over-round regression provable instead of arguable
@@ -242,6 +269,7 @@ def main() -> None:
         "queries": timings,
         "samples": samples,
         "plan_fingerprints": plans,
+        "index_builds": index_builds,
         "sentinel": {
             "query": SENTINEL,
             "first": sentinel_first,
@@ -277,6 +305,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "sentinel_drift": payload["sentinel"]["drift"],
+        "index_builds": index_builds,
         "full_payload": out.name,
     }
     print(json.dumps(compact))

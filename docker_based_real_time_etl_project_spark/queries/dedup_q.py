@@ -867,11 +867,32 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # LSH band-postings index persisted as a maintained lake table — the
 # q_bm25_index_persisted / q_ann_ivf_persisted discipline applied to
-# near-dup detection. 64-way band-hash bucket partitioning.
-_LSH_NB = 64
+# near-dup detection. Band-hash bucket partitioning, count DERIVED
+# from corpus size (round 14).
+_LSH_NB = 64        # FLOOR bucket count (shipped-SF layouts keep it)
+_LSH_DOCS_PER_BKT = 512
 
 
-def _lsh_band_rows(df: DataFrame) -> DataFrame:
+def _lsh_nb(sf_dir: str) -> int:
+    """Data-derived bucket count for the persisted band-postings
+    layout: next-pow2(n_docs / 512) floored at _LSH_NB, from a
+    parquet-footer row count (no scan). 16 band rows per doc means a
+    bucket holds ~8 k rows at the target density; 500 k docs -> 1024
+    buckets, shipped SFs (<= 5 k docs) resolve to exactly the
+    round-13 constant so shipped layouts and hash gates are unchanged
+    (pinned in tests). Both the batch build and every streaming
+    maintenance batch derive it from the SAME source-table row count,
+    so the immutable-partition-key contract holds across versions."""
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        buckets_for, table_rows,
+    )
+
+    return buckets_for(
+        table_rows(sf_dir, "documents"), _LSH_DOCS_PER_BKT, _LSH_NB
+    )
+
+
+def _lsh_band_rows(df: DataFrame, nb: int = _LSH_NB) -> DataFrame:
     """(bkt, band_idx, band_hash, doc_id): each document's 16 LSH band
     hashes (3-shingles, 64-hash MinHash, 16 bands x 3 rows — identical
     parameters to minhash_neardup_pairs, so index-served candidates
@@ -893,7 +914,7 @@ def _lsh_band_rows(df: DataFrame) -> DataFrame:
         .select(
             F.pmod(
                 F.xxhash64(F.col("_b.band_idx"), F.col("_b.band_hash")),
-                F.lit(_LSH_NB),
+                F.lit(nb),
             ).alias("bkt"),
             F.col("_b.band_idx").alias("band_idx"),
             F.col("_b.band_hash").alias("band_hash"),
@@ -922,10 +943,11 @@ def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         out = tempfile.mkdtemp(prefix="sg_lsh_index_")
+        nb = _lsh_nb(sf_dir)
         d = table(spark, sf_dir, "documents")
         assert snap_init(
             spark,
-            _lsh_band_rows(d.filter("doc_id % 10 != 7")),
+            _lsh_band_rows(d.filter("doc_id % 10 != 7"), nb),
             out,
             "bkt",
             sort_by=("band_hash", "doc_id"),
@@ -933,11 +955,11 @@ def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
         assert snap_merge(
             spark,
             out,
-            _lsh_band_rows(d.filter("doc_id % 10 = 7")),
+            _lsh_band_rows(d.filter("doc_id % 10 = 7"), nb),
             key_cols=("doc_id", "band_idx"),
             mode="mor",
         ) == 2
-        wrong = _lsh_band_rows(d.filter("doc_id % 10 = 3")).withColumn(
+        wrong = _lsh_band_rows(d.filter("doc_id % 10 = 3"), nb).withColumn(
             "_del", F.lit(True)
         )
         assert snap_merge(
@@ -948,7 +970,7 @@ def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
         return out
 
     return materialize_once(
-        ("lsh_index_snap", sf_dir, _LSH_NB,
+        ("lsh_index_snap", sf_dir, _lsh_nb(sf_dir),
          table_fingerprint(sf_dir, "documents")),
         build,
     )
@@ -1050,6 +1072,7 @@ def _lsh_index_stream_lake(spark: SparkSession, sf_dir: str) -> str:
         )
 
         lake = tempfile.mkdtemp(prefix="sg_lsh_stream_")
+        nb = _lsh_nb(sf_dir)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             s = batch_df.sparkSession
@@ -1060,7 +1083,7 @@ def _lsh_index_stream_lake(spark: SparkSession, sf_dir: str) -> str:
                 snap_merge(
                     s,
                     lake,
-                    _lsh_band_rows(batch_df),
+                    _lsh_band_rows(batch_df, nb),
                     key_cols=("doc_id", "band_idx"),
                     mode="mor",
                     meta={"batch_id": batch_id},
@@ -1068,7 +1091,7 @@ def _lsh_index_stream_lake(spark: SparkSession, sf_dir: str) -> str:
             else:
                 snap_init(
                     s,
-                    _lsh_band_rows(batch_df),
+                    _lsh_band_rows(batch_df, nb),
                     lake,
                     "bkt",
                     sort_by=("band_hash", "doc_id"),
@@ -1086,7 +1109,7 @@ def _lsh_index_stream_lake(spark: SparkSession, sf_dir: str) -> str:
         return lake
 
     return materialize_once(
-        ("lsh_index_stream", sf_dir, _LSH_NB,
+        ("lsh_index_stream", sf_dir, _lsh_nb(sf_dir),
          table_fingerprint(sf_dir, "documents")),
         build,
     )

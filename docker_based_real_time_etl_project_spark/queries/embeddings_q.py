@@ -552,9 +552,23 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adjacent (only a band boundary between them can split a pair, and a
 # split pair is mirrored by the oracle either way).
 _SD_Q = 1000        # milli-unit coordinate quantization
-_SD_K = 8           # k-means clusters
+_SD_K = 8           # k-means clusters: FLOOR (shipped SFs resolve here)
 _SD_ITERS = 2       # Lloyd's iterations
 _SD_CAP = 64        # mega-cluster guard: sub-split clusters above this
+_SD_K_TARGET = 4096  # target corpus rows per cluster for derived K
+
+
+def _sd_k_for(n: int) -> int:
+    """Data-derived cluster count: K = max(_SD_K, n // _SD_K_TARGET)
+    — a fixed K=8 over a growing corpus makes every cluster a
+    mega-cluster and pushes all the work onto the sub-split bands
+    (round-13 verdict). Shipped SFs and the 20 k-vector vsf1 fixture
+    all resolve to the floor (pinned in tests), so driver hash gates
+    are unchanged; the 200 k-vector vsf10 corpus derives K=58 and the
+    sf10 spot prices it. The ORACLE derives the identical value from
+    COUNT(*) in-plan (the kk CTE), so query and truth can never
+    disagree on K at any scale."""
+    return max(_SD_K, n // _SD_K_TARGET)
 
 # off = max(vec_id) + 1 per (sf_dir, fingerprint): one bounded 1-row
 # aggregate, cached so repeated builds neither re-pay the scan nor
@@ -589,8 +603,11 @@ def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
     document vectors)."""
     head = f"""
     WITH RECURSIVE {corpus_ctes},
+    kk AS MATERIALIZED (
+      SELECT GREATEST({_SD_K}, COUNT(*) // {_SD_K_TARGET}) AS k FROM corpus
+    ),
     c0 AS MATERIALIZED (
-      SELECT id AS cid, v AS c FROM corpus WHERE id < {_SD_K}
+      SELECT id AS cid, v AS c FROM corpus WHERE id < (SELECT k FROM kk)
     )"""
     its = []
     for k in range(1, _SD_ITERS + 1):
@@ -718,7 +735,8 @@ def _sd_fit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     pair generator, the keep-policy query, and the streaming gate
     index all consume. ``corpus`` should be checkpointed by the
     caller (it anchors every round)."""
-    cents = corpus.filter(F.col("vec_id") < _SD_K).select(
+    k = _sd_k_for(corpus.count())
+    cents = corpus.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     assigned = None

@@ -44,6 +44,47 @@ def table_fingerprint(sf_dir: str, table: str) -> tuple[int, int]:
     return (st.st_mtime_ns, st.st_size)
 
 
+def table_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTERS — no Spark job, no data
+    read (a file's metadata carries num_rows). The input to every
+    data-derived sizing decision (bucket counts, K): cheap enough to
+    recompute, cached per fingerprint anyway. Directory datasets sum
+    their part files."""
+    key = ("table_rows", sf_dir, table, table_fingerprint(sf_dir, table))
+    if key not in _ROWS_CACHE:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(p):
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(p, "*.parquet"))
+            )
+        else:
+            n = pq.ParquetFile(p).metadata.num_rows
+        _ROWS_CACHE[key] = n
+    return _ROWS_CACHE[key]
+
+
+_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def buckets_for(n_rows: int, rows_per_bucket: int, floor: int) -> int:
+    """Data-derived partition-bucket count: the next power of two of
+    ceil(n_rows / rows_per_bucket), floored at ``floor`` so small
+    corpora keep the shipped layout (and shipped-SF plans stay
+    byte-identical — pinned in tests). Power-of-two keeps bucket
+    counts stable under modest growth (a 2x corpus at most doubles
+    the layout) and composes with pmod hashing evenly."""
+    need = -(-n_rows // max(rows_per_bucket, 1))
+    nb = 1
+    while nb < need:
+        nb <<= 1
+    return max(floor, nb)
+
+
 def materialize_once(key: tuple, build: Callable[[], str]) -> str:
     """``build() -> dir`` runs once per key; the dir is cached for the
     session and cleaned up at exit."""

@@ -430,10 +430,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_NB = 64  # term-hash buckets the persisted postings partition on
+_BM25_NB = 64       # FLOOR bucket count (shipped-SF layouts keep it)
+_BM25_DOCS_PER_BKT = 512
 
 
-def _bm25_postings(docs: DataFrame) -> DataFrame:
+def _bm25_nb(sf_dir: str) -> int:
+    """Data-derived bucket count for the persisted postings layout:
+    next-pow2(n_docs / 512), floored at _BM25_NB — the
+    adaptive_bucket_s discipline applied to index partitioning. A
+    parquet-footer row count (no scan) sizes the layout so a bucket
+    stays file-pruneable at any corpus scale: 500 k docs -> 1024
+    buckets, shipped SFs (<= 5 k docs) resolve to exactly the
+    round-13 constant, so shipped layouts and hash gates are
+    unchanged (pinned in tests). The chosen value is persisted in
+    the index manifest meta — the serve path reads it from there,
+    never re-derives, so build/serve can never disagree."""
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        buckets_for, table_rows,
+    )
+
+    return buckets_for(
+        table_rows(sf_dir, "documents"), _BM25_DOCS_PER_BKT, _BM25_NB
+    )
+
+
+def _bm25_postings(docs: DataFrame, nb: int = _BM25_NB) -> DataFrame:
     """(word, doc_id, tf, dl, bucket) postings rows for ``docs`` — the
     persisted-index row format. ``dl`` rides every posting row
     (Lucene-norm denormalization): the query path then needs ONE table,
@@ -450,7 +471,7 @@ def _bm25_postings(docs: DataFrame) -> DataFrame:
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     return tf.join(dl, "doc_id").select(
         "word", "doc_id", "tf", "dl",
-        F.pmod(F.xxhash64("word"), F.lit(_BM25_NB)).alias("bucket"),
+        F.pmod(F.xxhash64("word"), F.lit(nb)).alias("bucket"),
     )
 
 
@@ -503,26 +524,27 @@ def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         out = tempfile.mkdtemp(prefix="sg_bm25_index_")
+        nb = _bm25_nb(sf_dir)
         d = table(spark, sf_dir, "documents")
         base = d.filter("doc_id % 10 != 7")
         held = d.filter("doc_id % 10 = 7")
         assert snap_init(
             spark,
-            _bm25_postings(base),
+            _bm25_postings(base, nb),
             out,
             "bucket",
             sort_by=("word", "doc_id"),
-            meta=_bm25_corpus_stats(base),
+            meta={**_bm25_corpus_stats(base), "bm25_nb": nb},
         ) == 1
         assert snap_merge(
             spark,
             out,
-            _bm25_postings(held),
+            _bm25_postings(held, nb),
             key_cols=("word", "doc_id"),
             mode="mor",
-            meta=_bm25_corpus_stats(d),
+            meta={**_bm25_corpus_stats(d), "bm25_nb": nb},
         ) == 2
-        wrong = _bm25_postings(d.filter("doc_id % 10 = 3")).withColumn(
+        wrong = _bm25_postings(d.filter("doc_id % 10 = 3"), nb).withColumn(
             "_del", F.lit(True)
         )
         assert snap_merge(
@@ -532,13 +554,15 @@ def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
             key_cols=("word", "doc_id"),
             delete_col="_del",
             mode="mor",
-            meta=_bm25_corpus_stats(d.filter("doc_id % 10 != 3")),
+            meta={**_bm25_corpus_stats(d.filter("doc_id % 10 != 3")),
+                  "bm25_nb": nb},
         ) == 3
         assert snap_restore(spark, out, 2) == 4
         return out
 
     return materialize_once(
-        ("bm25_index_snap", sf_dir, table_fingerprint(sf_dir, "documents")),
+        ("bm25_index_snap", sf_dir, _bm25_nb(sf_dir),
+         table_fingerprint(sf_dir, "documents")),
         build,
     )
 
@@ -569,10 +593,11 @@ def _bm25_topk_persisted(
 
     m = snap_meta(path)
     n_docs, tot_dl = m["bm25_n_docs"], m["bm25_tot_dl"]
+    nb = int(m.get("bm25_nb", _BM25_NB))  # the layout the index was built with
     buckets = sorted(
         str(r[0])
         for r in qterms.select(
-            F.pmod(F.xxhash64("word"), F.lit(_BM25_NB)).alias("b")
+            F.pmod(F.xxhash64("word"), F.lit(nb)).alias("b")
         ).distinct().collect()
     )
     qwords = qterms.select("word").distinct()

@@ -688,3 +688,63 @@ def test_semdedup_subsplit_keeps_planted_pair(spark):
         (r["id_a"], r["id_b"]) for r in _sd_pairs(corpus).collect()
     }
     assert (200, 201) in pairs, sorted(pairs)[:20]
+
+
+def test_derived_scale_params_floor_at_shipped_sfs(spark, sf_dir):
+    """Round-14 data-derived sizing: K and the index bucket counts are
+    functions of corpus row counts with floors at the round-13
+    constants. At every shipped SF (and the 20 k-vector vsf1 fixture)
+    the derivations resolve to exactly those constants — so driver
+    hash gates and persisted layouts are byte-identical to round 13 —
+    while the decade fixtures (200 k vectors, 500 k docs) make them
+    engage (priced by the sf10 spot, recorded in SCALE.md)."""
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        _LSH_NB, _lsh_nb,
+    )
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _SD_K, _sd_k_for,
+    )
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        buckets_for, table_rows,
+    )
+    from docker_based_real_time_etl_project_spark.queries.text import (
+        _BM25_NB, _bm25_nb,
+    )
+
+    # shipped corpora: every derivation sits on its floor
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        n_emb = table_rows(sf, "embeddings")
+        n_corpus = n_emb + n_emb // 7 + n_emb // 21  # planted twins
+        assert _sd_k_for(n_corpus) == _SD_K, (sf, n_corpus)
+        assert _lsh_nb(sf) == _LSH_NB, sf
+        assert _bm25_nb(sf) == _BM25_NB, sf
+    # the vsf1 decade point (20 k vectors) still floors; vsf10 engages
+    assert _sd_k_for(20_000 + 20_000 // 7 + 20_000 // 21) == _SD_K
+    assert _sd_k_for(200_000 + 200_000 // 7 + 200_000 // 21) == 58
+    # bucket derivation: exact next-pow2 with floor
+    assert buckets_for(5_000, 512, 64) == 64
+    assert buckets_for(50_000, 512, 64) == 128
+    assert buckets_for(500_000, 512, 64) == 1024
+    assert buckets_for(0, 512, 64) == 64
+    # parquet-footer row counts agree with a real scan
+    from docker_based_real_time_etl_project_spark.queries.registry import table
+
+    assert table_rows(sf_dir, "documents") == table(
+        spark, sf_dir, "documents"
+    ).count()
+
+
+def test_bm25_index_manifest_records_its_bucket_count(spark, sf_dir):
+    """The persisted BM25 index is self-describing: the bucket count
+    the build derived is in the manifest meta, and the serve path
+    reads it from there (never re-derives) — build/serve can never
+    disagree on the layout even if the corpus file changes between
+    them."""
+    from docker_based_real_time_etl_project_spark.lakesnap import snap_meta
+    from docker_based_real_time_etl_project_spark.queries.text import (
+        _bm25_index_snap, _bm25_nb,
+    )
+
+    path = _bm25_index_snap(spark, sf_dir)
+    assert int(snap_meta(path)["bm25_nb"]) == _bm25_nb(sf_dir)
