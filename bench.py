@@ -134,6 +134,10 @@ HEADLINE = [
     "q_lsh_index_persisted",    # maintained lake LSH index, bucketed self-join
     "q_dedup_semantic_keep",    # SemDeDup paper keep policy, centroid argmax
     "q_corpus_shard",           # token-balanced sharding via distributed scan
+    # round 14 additions
+    "q_corpus_pipeline_full",   # 8-stage capstone: quality->dedup3x->screen->
+                                # DSIR->temperature->shard, persisted artifacts
+    "q_dedup_span_remove",      # ExactSubstr removal: excise + reassemble text
 ]
 
 

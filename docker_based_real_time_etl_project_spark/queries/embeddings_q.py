@@ -592,15 +592,16 @@ def _sd_off(spark: SparkSession, sf_dir: str) -> int:
     return _SD_OFF_CACHE[key]
 
 
-def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
-    """The shared SemDeDup oracle machinery: given head CTEs ending in
-    ``corpus(id, v)`` (integer vectors), emit the _SD_ITERS Lloyd's
-    rounds as materialized CTEs (the _kmeans_oracle_sql pattern), the
-    size-capped sub-split, the exact integer cosine pair predicate,
-    and a recursive-CTE transitive closure for survivorship (the
-    q_fuzzy_clusters pattern). Used by q_dedup_semantic (planted-twin
-    embedding corpus) and q_dedup_semantic_text (feature-hashed
-    document vectors)."""
+def _sd_pairs_sql(corpus_ctes: str) -> str:
+    """The SemDeDup PAIR machinery as CTE text: given head CTEs ending
+    in ``corpus(id, v)`` (integer vectors), emit the derived-K seed
+    (kk), the _SD_ITERS Lloyd's rounds, the distance-rank-band
+    sub-split (dd, sub), and the exact integer cosine pair predicate
+    — ending at CTE ``p(id_a, id_b)``. Factored out of
+    _sd_closure_sql (round 14) so q_corpus_pipeline_full can consume
+    the shared full-corpus pair set and run its OWN survivor-restricted
+    closure downstream. Reserved CTE names: corpus, kk, c0..c{{iters}},
+    a1.., s1.., dd, sub, p."""
     head = f"""
     WITH RECURSIVE {corpus_ctes},
     kk AS MATERIALIZED (
@@ -655,7 +656,17 @@ def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
         FROM sub a JOIN sub b
           ON a.cid = b.cid AND a.sb = b.sb AND a.id < b.id
       ) WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
-    ),
+    )"""
+    return head + "".join(its) + tail
+
+
+def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
+    """The shared SemDeDup oracle machinery: _sd_pairs_sql's chain plus
+    a recursive-CTE transitive closure for survivorship (the
+    q_fuzzy_clusters pattern). Used by q_dedup_semantic (planted-twin
+    embedding corpus), q_dedup_semantic_keep, and
+    q_dedup_semantic_text (feature-hashed document vectors)."""
+    tail = """,
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM p
       UNION SELECT id_b, id_a FROM p
@@ -675,7 +686,7 @@ def _sd_closure_sql(corpus_ctes: str, final_sql: str | None = None) -> str:
            CAST(MAX(id) AS BIGINT) AS max_member
     FROM reps GROUP BY rep
     """)
-    return head + "".join(its) + tail
+    return _sd_pairs_sql(corpus_ctes) + tail
 
 
 def _semdedup_oracle_sql() -> str:
@@ -1115,13 +1126,10 @@ def _sd_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sd_text_oracle_sql() -> str:
-    """q_dedup_semantic_text's truth: documents feature-hashed to
-    16-dim signed-count integer vectors (the q_embed_feature_hash
-    machinery verbatim), fed through the shared
-    k-means/pairs/closure chain. No quantization step — token counts
-    are already exact integers."""
-    return _sd_closure_sql(f"""tok AS MATERIALIZED (
+# The feature-hash text corpus as CTE text — shared by
+# q_dedup_semantic_text's closure oracle and q_corpus_pipeline_full's
+# survivor-restricted pipeline oracle (one construction, not two).
+_SD_TEXT_CORPUS_CTES = f"""tok AS MATERIALIZED (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
       FROM documents
     ),
@@ -1140,7 +1148,44 @@ def _sd_text_oracle_sql() -> str:
       FROM grid LEFT JOIN cells
         ON grid.doc_id = cells.doc_id AND grid.j = cells.j
       GROUP BY grid.doc_id
-    )""")
+    )"""
+
+
+def _sd_text_oracle_sql() -> str:
+    """q_dedup_semantic_text's truth: documents feature-hashed to
+    16-dim signed-count integer vectors (the q_embed_feature_hash
+    machinery verbatim), fed through the shared
+    k-means/pairs/closure chain. No quantization step — token counts
+    are already exact integers."""
+    return _sd_closure_sql(_SD_TEXT_CORPUS_CTES)
+
+
+def sd_text_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus text-SemDeDup near-dup pair set (id_a, id_b),
+    session-materialized once per (sf_dir, fingerprint) — the
+    minhash_pairs_artifact discipline: in deployment the fitted
+    centroids + pair table are one artifact per corpus snapshot,
+    consumed by q_dedup_semantic_text AND the q_corpus_pipeline_full
+    capstone, so the expensive fit/band/pair chain runs once per
+    session instead of once per query (and the two consumers cannot
+    disagree on the pairs)."""
+
+    def _build() -> str:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sg_sd_text_pairs_")
+        corpus = _sd_text_corpus(spark, sf_dir).localCheckpoint(eager=True)
+        _sd_pairs(corpus).write.mode("overwrite").parquet(out)
+        return out
+
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once,
+        table_fingerprint,
+    )
+
+    key = ("sd_text_pairs", sf_dir, _FH_DIM, _SD_ITERS, _SD_CAP,
+           _SD_K_TARGET, table_fingerprint(sf_dir, "documents"))
+    return spark.read.parquet(materialize_once(key, _build))
 
 
 @register(
@@ -1168,15 +1213,16 @@ def q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed SemDeDup plan — assignment broadcast-K, candidates
     bucket co-occupancy, components over pair-touched nodes. The
     16-dim hash embedding is the honest stand-in for a neural encoder
-    column: swap the vector source, keep the whole dedup plan."""
-    corpus = _sd_text_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    column: swap the vector source, keep the whole dedup plan. The
+    pair set serves from sd_text_pairs_artifact (one fit per session,
+    shared with q_corpus_pipeline_full)."""
     from docker_based_real_time_etl_project_spark.operators.dedup import (
         connected_components,
     )
 
-    pairs = _sd_pairs(corpus)
+    pairs = sd_text_pairs_artifact(spark, sf_dir)
     comp = connected_components(
-        corpus.select(F.col("vec_id").alias("id")),
+        table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id")),
         pairs,
         a_col="id_a",
         b_col="id_b",

@@ -1447,3 +1447,583 @@ def q_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vocab_positions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the FULL corpus-pipeline capstone (verdict #6) — every stage
+# a production training-data run executes, composed into one oracled plan
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_full_oracle_sql() -> str:
+    """q_corpus_pipeline_full's truth: the eight pipeline stages as one
+    DuckDB WITH chain. The SemDeDup pair set comes from the SHARED
+    _sd_pairs_sql machinery over the full corpus (the persisted-
+    artifact semantics — centroids/pairs are fitted once per corpus
+    snapshot, then restricted to survivors), exactly as the Spark plan
+    consumes sd_text_pairs_artifact. The MinHash stage restricts
+    FIRST and computes all-pairs Jaccard over exact-dedup survivors
+    only — valid because J(a, b) >= 0.4 is a pairwise property, so
+    full-corpus pairs with both endpoints surviving ARE the
+    survivor-only pair set (and q_dedup_minhash_pairs proves the LSH
+    artifact equals the all-pairs truth at every shipped SF). The
+    DSIR cost table trains on the FULL raw/target slices (the
+    persisted _dsir_cost_table artifact), never on survivors."""
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _SD_TEXT_CORPUS_CTES, _sd_pairs_sql,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _DSIR_SHIFT, _SHARD_N,
+    )
+
+    head = _sd_pairs_sql(_SD_TEXT_CORPUS_CTES)
+    tkt = _sql_ticket("doc_id")
+    return head + f""",
+    pq_q AS MATERIALIZED (
+      SELECT doc_id, lang, source, text, {tkt} AS ticket,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 10000
+        AND length(replace(text, ' ', ''))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2 AND 12
+        AND (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+            / CAST(length(text) AS DOUBLE) < 0.2
+    ),
+    pq_ex AS MATERIALIZED (
+      SELECT doc_id, lang, source, text, ticket, n_toks FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM pq_q) WHERE rn = 1
+    ),
+    pq_sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS grams
+      FROM pq_ex
+    ),
+    pq_mh AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pq_sh a JOIN pq_sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))
+            / CAST(len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.4
+    ),
+    pq_e1 AS (
+      SELECT id_a AS src, id_b AS dst FROM pq_mh
+      UNION SELECT id_b, id_a FROM pq_mh
+    ),
+    pq_r1(src, dst) AS (
+      SELECT src, dst FROM pq_e1
+      UNION
+      SELECT r.src, e.dst FROM pq_r1 r JOIN pq_e1 e ON r.dst = e.src
+    ),
+    pq_rep1 AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS rep FROM pq_r1 GROUP BY src
+    ),
+    pq_s2 AS MATERIALIZED (
+      SELECT e.* FROM pq_ex e LEFT JOIN pq_rep1 r ON e.doc_id = r.id
+      WHERE r.id IS NULL OR r.rep = e.doc_id
+    ),
+    pq_pe AS (
+      SELECT p.id_a, p.id_b FROM p
+      JOIN pq_s2 x ON p.id_a = x.doc_id
+      JOIN pq_s2 y ON p.id_b = y.doc_id
+    ),
+    pq_e2 AS (
+      SELECT id_a AS src, id_b AS dst FROM pq_pe
+      UNION SELECT id_b, id_a FROM pq_pe
+    ),
+    pq_r2(src, dst) AS (
+      SELECT src, dst FROM pq_e2
+      UNION
+      SELECT r.src, e.dst FROM pq_r2 r JOIN pq_e2 e ON r.dst = e.src
+    ),
+    pq_rep2 AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS rep FROM pq_r2 GROUP BY src
+    ),
+    pq_s3 AS MATERIALIZED (
+      SELECT s.* FROM pq_s2 s LEFT JOIN pq_rep2 r ON s.doc_id = r.id
+      WHERE r.id IS NULL OR r.rep = s.doc_id
+    ),
+    pq_evg AS MATERIALIZED (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_distinct({_sql_shingles(5)})) AS g
+        FROM documents WHERE {tkt} >= 9000)
+    ),
+    pq_tg AS (
+      SELECT doc_id, unnest(list_distinct({_sql_shingles(5)})) AS g
+      FROM pq_s3 WHERE ticket < 9000
+    ),
+    pq_ct AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN g IN (SELECT g FROM pq_evg) THEN 1 ELSE 0 END)
+               AS n_shared
+      FROM pq_tg GROUP BY doc_id
+    ),
+    pq_s4 AS MATERIALIZED (
+      SELECT s.* FROM pq_s3 s LEFT JOIN pq_ct c ON s.doc_id = c.doc_id
+      WHERE s.ticket < 9000
+        AND (c.doc_id IS NULL OR 10 * c.n_shared < c.n_grams)
+    ),
+    pq_wsr AS MATERIALIZED (
+      SELECT doc_id, {tkt} AS tkt,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    pq_bi AS MATERIALIZED (
+      SELECT doc_id, tkt, p2[1] AS a, p2[2] AS b FROM (
+        SELECT doc_id, tkt,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> [w[i], w[i + 1]]
+               )) AS p2
+        FROM pq_wsr)
+    ),
+    pq_unic AS (
+      SELECT a, COUNT(*) AS c1 FROM (
+        SELECT unnest(w) AS a FROM pq_wsr WHERE tkt < 9000) GROUP BY a
+    ),
+    pq_vocc AS (SELECT COUNT(*) AS v FROM pq_unic),
+    pq_bic AS (
+      SELECT a, b, COUNT(*) AS c2 FROM pq_bi WHERE tkt < 9000 GROUP BY a, b
+    ),
+    pq_unit AS (
+      SELECT a, COUNT(*) AS c1 FROM (
+        SELECT unnest(w) AS a FROM pq_wsr WHERE tkt >= 9000) GROUP BY a
+    ),
+    pq_voct AS (SELECT COUNT(*) AS v FROM pq_unit),
+    pq_bit AS (
+      SELECT a, b, COUNT(*) AS c2 FROM pq_bi WHERE tkt >= 9000 GROUP BY a, b
+    ),
+    pq_gram AS (SELECT DISTINCT a, b FROM pq_bi WHERE tkt < 9000),
+    pq_cost AS MATERIALIZED (
+      SELECT g.a, g.b,
+             CAST(ROUND(-ln((COALESCE(bc.c2, 0) + 1.0)
+                            / (COALESCE(uc.c1, 0) + (SELECT v FROM pq_vocc)))
+                        * 1000000) AS BIGINT) AS cost_c,
+             CAST(ROUND(-ln((COALESCE(bt.c2, 0) + 1.0)
+                            / (COALESCE(ut.c1, 0) + (SELECT v FROM pq_voct)))
+                        * 1000000) AS BIGINT) AS cost_t
+      FROM pq_gram g
+      LEFT JOIN pq_bic bc ON g.a = bc.a AND g.b = bc.b
+      LEFT JOIN pq_unic uc ON g.a = uc.a
+      LEFT JOIN pq_bit bt ON g.a = bt.a AND g.b = bt.b
+      LEFT JOIN pq_unit ut ON g.a = ut.a
+    ),
+    pq_occ AS (
+      SELECT b.doc_id, b.a, b.b, COUNT(*) AS n_occ
+      FROM pq_bi b JOIN pq_s4 s ON b.doc_id = s.doc_id
+      GROUP BY b.doc_id, b.a, b.b
+    ),
+    pq_sc AS (
+      SELECT o.doc_id,
+             CAST(SUM(o.n_occ) AS BIGINT) AS n_bigrams,
+             CAST(SUM(o.n_occ * (c.cost_c - c.cost_t + {_DSIR_SHIFT}))
+                  AS BIGINT) AS s
+      FROM pq_occ o JOIN pq_cost c ON o.a = c.a AND o.b = c.b
+      GROUP BY o.doc_id
+    ),
+    pq_acc AS (
+      SELECT doc_id,
+             CAST(ROUND(exp(LEAST(CAST(s // n_bigrams - {_DSIR_SHIFT}
+                                       AS BIGINT), 0) / 1000000.0)
+                        * 1000000) AS BIGINT) AS accept_micro
+      FROM pq_sc
+    ),
+    pq_s5 AS MATERIALIZED (
+      SELECT s.* FROM pq_s4 s JOIN pq_acc a ON s.doc_id = a.doc_id
+      WHERE s.ticket * 100 < a.accept_micro
+    ),
+    pq_cs AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(ROUND(SQRT(COUNT(*)) * 1e6) AS BIGINT) AS w
+      FROM pq_s5 GROUP BY source
+    ),
+    pq_gs AS (
+      SELECT source, n, w,
+             SUM(w) OVER () AS tot_w, SUM(n) OVER () AS tot_n
+      FROM pq_cs
+    ),
+    pq_s6 AS MATERIALIZED (
+      SELECT s.doc_id, s.ticket, s.n_toks
+      FROM pq_s5 s JOIN pq_gs g ON s.source = g.source
+      WHERE CAST(s.ticket AS HUGEINT) * g.tot_w * g.n * 10
+            < CAST(g.tot_n AS HUGEINT) * 4 * g.w * 10000
+    ),
+    pq_t8 AS (SELECT doc_id, ticket, n_toks FROM pq_s6 WHERE n_toks >= 1),
+    pq_tot AS (SELECT SUM(n_toks) AS total FROM pq_t8),
+    pq_c8 AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY ticket, doc_id) AS cum
+      FROM pq_t8
+    )
+    SELECT CAST(((c.cum - c.n_toks) * {_SHARD_N}) // t.total AS BIGINT)
+             AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(c.n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.doc_id) AS BIGINT) AS doc_id_sum
+    FROM pq_c8 c CROSS JOIN pq_tot t
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_corpus_pipeline_full",
+    oracle=_pipeline_full_oracle_sql(),
+    tags=("text", "pipeline", "llm", "dedup", "sampling", "scale"),
+)
+def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL TRAINING-DATA PIPELINE CAPSTONE — every stage a
+    production corpus run executes, composed into one oracled plan:
+
+      1. quality gate      (token count / word length / punctuation —
+                            q_corpus_pipeline's predicates, fused into
+                            the scan)
+      2. exact dedup       (min doc_id per content hash — one window
+                            on md5(text))
+      3. MinHash near-dup  (pairs from the PERSISTED
+                            minhash_pairs_artifact restricted to
+                            survivors -> connected components -> keep
+                            min id; restriction is exact because
+                            J >= 0.4 is pairwise)
+      4. SemDeDup          (pairs from the PERSISTED
+                            sd_text_pairs_artifact — the fitted
+                            centroids/bands are per-corpus-snapshot
+                            artifacts, shared verbatim with
+                            q_dedup_semantic_text — restricted to
+                            survivors -> components -> keep min id)
+      5. contamination     (drop train candidates sharing >= 10% of
+                            their distinct 5-grams with the held-out
+                            eval slice; eval docs leave the pipeline
+                            here — they are the screen, not the
+                            product)
+      6. DSIR selection    (the PERSISTED _dsir_cost_table — trained
+                            on the full raw/target slices, never on
+                            survivors — scores each survivor's
+                            bigrams; integer hash-ticket keep)
+      7. temperature mix   (alpha=0.5 per-source rates derived from
+                            the surviving pool, integer
+                            cross-multiplication keep)
+      8. token-balanced shard (the q_corpus_shard two-phase
+                            distributed prefix scan, 8 shards)
+
+    Emits the per-shard manifest (docs, token mass, id checksum): any
+    upstream deviation in ANY stage moves the hash.
+
+    Shuffle budget (stated, pinned by test_plans): one scan of
+    documents feeds stages 1-2 (filters in the scan, 1 exchange for
+    the content-hash window); each dedup stage adds id-restriction
+    joins on the bounded pair artifacts + a components fixpoint over
+    pair-touched nodes only; contamination is one gram-hash join
+    (8-byte keys); DSIR is one (doc, bigram) rollup + a cost-table
+    join; temperature is a broadcast of the ~3-row rate table; the
+    shard id rides the range-partitioned prefix scan — NO stage is
+    corpus x corpus, no global single-task window, no collect beyond
+    O(partitions)/O(sources) scalars.
+
+    Reference parity: the reference's ETL chains row transforms into
+    one flow (etl.py); this is the same composition discipline applied
+    to the LLM-prep surface at 100 TB scale."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+    from docker_based_real_time_etl_project_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+    from docker_based_real_time_etl_project_spark.queries.dedup_q import (
+        minhash_pairs_artifact,
+    )
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        sd_text_pairs_artifact,
+    )
+    from docker_based_real_time_etl_project_spark.queries.sampling_q import (
+        _DSIR_SHIFT, _SHARD_N, _dsir_cost_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    # 1. quality gate (q_corpus_pipeline's exact predicates)
+    n_tokens = F.size(F.split("text", " "))
+    awl = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ) / n_tokens.cast("double")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    q = d.select(
+        "doc_id", "lang", "source", "text",
+        hash_ticket(F.col("doc_id")).alias("ticket"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("bigint").alias("n_toks"),
+    ).filter(n_tokens.between(20, 10000) & awl.between(2, 12) & (punct < 0.2))
+
+    # 2. exact dedup: min doc_id per content hash
+    w = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy("doc_id")
+    s1 = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+
+    def _keep_cc_survivors(surv: DataFrame, pairs: DataFrame) -> DataFrame:
+        """Restrict the full-corpus pair artifact to current survivors,
+        run components, keep each component's min id (isolated nodes
+        keep themselves)."""
+        e = (
+            pairs.select("id_a", "id_b")
+            .join(surv.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+            .join(surv.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        )
+        comp = connected_components(
+            surv.select(F.col("doc_id").alias("id")), e,
+            a_col="id_a", b_col="id_b",
+        )
+        return surv.join(
+            comp.filter(F.col("id") == F.col("rep"))
+            .select(F.col("id").alias("doc_id")),
+            "doc_id", "left_semi",
+        )
+
+    # 3. MinHash near-dup survivorship (persisted pair artifact)
+    s2 = _keep_cc_survivors(s1, minhash_pairs_artifact(spark, sf_dir))
+    # 4. SemDeDup survivorship (persisted fitted-pair artifact)
+    s3 = _keep_cc_survivors(s2, sd_text_pairs_artifact(spark, sf_dir))
+
+    # 5. contamination screen: train candidates vs the eval slice's
+    # distinct 5-grams (8-byte gram hashes in both shuffles)
+    evg = (
+        d.filter(hash_ticket(F.col("doc_id")) >= 9000)
+        .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    tr = s3.filter(F.col("ticket") < 9000)
+    tg = tr.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    ct = (
+        tg.join(evg.withColumn("_hit", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("_hit").alias("n_shared"))
+    )
+    bad = ct.filter(10 * F.col("n_shared") >= F.col("n_grams")).select("doc_id")
+    s4 = tr.join(bad, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # 6. DSIR selection from the persisted LM cost table
+    ws = s4.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    bi = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                ),
+            ).otherwise(
+                F.expr("CAST(array() AS array<struct<a:string,b:string>>)")
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    occ = bi.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n_occ"))
+    cost = _dsir_cost_table(spark, sf_dir)
+    sc = (
+        occ.join(cost, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("n_occ")
+                * (F.col("cost_c") - F.col("cost_t") + _DSIR_SHIFT)
+            ).cast("bigint").alias("s"),
+        )
+    )
+    acc = sc.select(
+        "doc_id",
+        F.round(
+            F.exp(
+                F.least(
+                    (F.expr("s div n_bigrams") - _DSIR_SHIFT).cast("bigint"),
+                    F.lit(0),
+                ) / 1e6
+            ) * 1e6
+        ).cast("bigint").alias("accept_micro"),
+    )
+    s5 = (
+        s4.join(acc, "doc_id")
+        .filter(F.col("ticket") * 100 < F.col("accept_micro"))
+        .select("doc_id", "source", "ticket", "n_toks")
+    )
+
+    # 7. temperature mix (alpha = 0.5) over the surviving pool
+    DEC0 = "decimal(38,0)"
+    cs = s5.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "w", F.round(F.sqrt("n") * 1e6).cast("long")
+    )
+    g_win = Window.partitionBy()
+    gs = cs.withColumn("tot_w", F.sum("w").over(g_win)).withColumn(
+        "tot_n", F.sum("n").over(g_win)
+    )
+    s6 = (
+        s5.join(F.broadcast(gs), "source")
+        .filter(
+            F.col("ticket").cast(DEC0) * F.col("tot_w") * F.col("n") * 10
+            < F.col("tot_n").cast(DEC0) * 4 * F.col("w") * 10000
+        )
+        .select("doc_id", "ticket", "n_toks")
+    )
+
+    # 8. token-balanced shard manifest (two-phase distributed scan)
+    t8 = s6.filter(F.col("n_toks") >= 1)
+    total = t8.agg(F.sum("n_toks").cast("bigint").alias("total"))
+    c8 = ordered_prefix_sum(t8, ["ticket", "doc_id"], "n_toks", out_col="cum")
+    return (
+        c8.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "n_toks",
+            F.expr(f"((cum - n_toks) * {_SHARD_N}) div total")
+            .cast("bigint").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        )
+    )
+
+
+@register(
+    "q_dedup_span_remove",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_sql_shingles(5)} AS gl, {_SQL_TOKS} AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(range(1, len(gl) + 1)) AS pos,
+             unnest(gl) AS gram
+      FROM g WHERE len(gl) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM pos) WHERE rn > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, pos + t.d AS tpos
+      FROM flagged, unnest(generate_series(0, 4)) AS t(d)
+    ),
+    tk AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS tpos, unnest(w) AS tok
+      FROM g WHERE len(w) > 0
+    ),
+    keepw AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tk t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+      WHERE r.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(array_agg(tok ORDER BY tpos), ' ') AS new_text
+      FROM keepw GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks FROM g
+    )
+    SELECT b.doc_id, b.n_toks,
+           CAST(b.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.new_text, '') AS new_text
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+    tags=("llm", "dedup", "text", "scale"),
+)
+def q_dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTSUBSTR REMOVAL — the Lee et al. 2022 step
+    q_dedup_span_corpus only reported: emit the corpus with duplicated
+    spans EXCISED, keep-first-occurrence. For every corpus-duplicated
+    word 5-gram, the occurrence with the smallest (doc_id, position)
+    survives; every other occurrence's 5-token window is cut, cuts
+    union per document (overlapping spans merge naturally at the
+    token level), and the remaining tokens reassemble in order into
+    the deduplicated text. Emits (doc_id, n_toks, n_removed,
+    new_text) — the actual deliverable a training-data run writes
+    back to the lake.
+
+    Plan shape, postings end to end (never doc x doc, no suffix
+    array): one gram explode -> a per-gram ROW_NUMBER window on
+    xxhash64(gram) (8-byte keys; rank 1 = the kept occurrence), each
+    other occurrence explodes into its 5 covered token positions
+    (distinct per doc), one token explode anti-joins that removal
+    set on (doc_id, tpos), and reassembly is the array_sort/
+    collect_list idiom under the same doc_id partitioning.
+    Determinism: token positions are unique per doc, so the sort and
+    the join are total; text reassembly is exact, which is why the
+    full new_text column can sit in the hash gate. The oracle
+    restates the identical algebra over raw grams in DuckDB."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        spread_compact,
+    )
+
+    return _span_remove(spread_compact(table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def _span_remove(docs: DataFrame) -> DataFrame:
+    """The ExactSubstr-removal core over any (doc_id, text) frame —
+    factored out so the literal-corpus unit test pins the keep-first
+    excision semantics on a hand-checkable fixture."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import tokens
+
+    d = docs.select(
+        "doc_id",
+        tokens("text").alias("w"),
+        shingles("text", 5).alias("grams"),
+    ).localCheckpoint(eager=True)
+    pos = (
+        d.filter(F.size("grams") > 0)
+        .select("doc_id", F.posexplode("grams").alias("pos0", "g"))
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("g").alias("gh")
+        )
+    )
+    wg = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    flagged = (
+        pos.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    rem = flagged.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("tpos"),
+    ).distinct()
+    tk = (
+        d.filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode("w").alias("tpos0", "tok"))
+        .select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    )
+    keep = tk.join(rem, ["doc_id", "tpos"], "left_anti")
+    agg = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(tpos, tok))), x -> x.tok), ' ')"
+        ).alias("new_text"),
+    )
+    base = d.select("doc_id", F.size("w").cast("bigint").alias("n_toks"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_toks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint").alias("n_removed"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

@@ -2583,7 +2583,10 @@ def q_stream_fuzzy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # writes O(batch) per micro-batch instead of re-emitting the whole
     # admission ledger (the q_stream_corpus_gate discipline;
     # round-12 verdict "What's wrong" #3).
-    return run_to_memory(out, output_mode="update", state_partitions=8)
+    return run_to_memory(
+        out, output_mode="update", state_partitions=8,
+        expect_unique_key="cust_key",
+    )
 
 
 def _bpe_unseen_docs_oracle() -> str:
@@ -2770,7 +2773,10 @@ def q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit_id").cast("bigint").alias("n_near"),
         F.min("hit_id").cast("bigint").alias("min_match_id"),
     )
-    return run_to_memory(out, output_mode="update", state_partitions=8)
+    return run_to_memory(
+        out, output_mode="update", state_partitions=8,
+        expect_unique_key="probe_id",
+    )
 
 
 def _dsir_gate_oracle() -> str:
@@ -2845,7 +2851,10 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("s"),
         )
     )
-    out = run_to_memory(agg, output_mode="update", state_partitions=8)
+    out = run_to_memory(
+        agg, output_mode="update", state_partitions=8,
+        expect_unique_key="doc_id",
+    )
     acc = out.select(
         "doc_id", "n_bigrams",
         (F.expr("s div n_bigrams") - _DSIR_SHIFT)

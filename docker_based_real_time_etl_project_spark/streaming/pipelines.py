@@ -163,11 +163,24 @@ def run_to_memory(
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
     state_partitions: int | None = None,
+    expect_unique_key: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory
     sink; block until drained; return the sink table as a batch
     DataFrame. The driver's rows-only check and pytest both consume
     this.
+
+    ``expect_unique_key`` is the UPDATE-mode safety latch (ADVICE
+    r13): the update-mode gates (fuzzy / semantic / DSIR) are correct
+    only because every key's rows land in exactly ONE replay
+    micro-batch (slice_table_to_dir slices BY the key column, so one
+    key value -> one contiguous range -> one slice). If that coupling
+    ever breaks — a slicing-key change, an n_slices change that splits
+    a key — a key's verdict updates across batches and the raw memory
+    sink holds multiple rows for it, breaking hash parity in a
+    non-obvious way downstream. Passing the key column name asserts
+    sink rows == distinct keys right here, so the breakage names its
+    cause at the source instead of surfacing as a bare hash mismatch.
 
     ``state_partitions`` right-sizes the stateful-operator partition
     count (captured from ``spark.sql.shuffle.partitions`` at stream
@@ -209,7 +222,21 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name)
+    if expect_unique_key is not None:
+        import pyspark.sql.functions as F
+
+        r = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(expect_unique_key).alias("k"),
+        ).head()
+        if r["n"] != r["k"]:
+            raise AssertionError(
+                f"update-mode sink holds {r['n']} rows for {r['k']} distinct "
+                f"{expect_unique_key!r}: a key's rows were split across "
+                "micro-batches — check slice_table_to_dir's slicing key"
+            )
+    return out
 
 
 def stream_stream_join(

