@@ -211,6 +211,13 @@ def pagerank(
         )
         contrib_expr = f"(rank * {weight_col}) DIV deg"
     deg = deg.localCheckpoint(eager=True)
+    # deg is STATIC across iterations, so attach it to the edge table
+    # once instead of re-joining every round (round 14, guide §2.4:
+    # two operations keyed the same way share one exchange — here the
+    # shared work is hoisted out of the loop entirely). Each iteration
+    # then joins only the CHANGING side (ranks) into the pre-joined
+    # edge+degree table.
+    edeg = edges.join(deg, "src").localCheckpoint(eager=True)
     if seeds is None:
         nodes = nodes.select("node", F.lit(True).alias("_seed"))
     else:
@@ -218,10 +225,14 @@ def pagerank(
             seeds.select("node", F.lit(True).alias("_seed")), "node", "left"
         ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
     nodes = nodes.localCheckpoint(eager=True)  # re-read every iteration
-    n = nodes.count()
+    # one job for both counts (they were two separate actions)
+    _cnt = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("ns"),
+    ).head()
+    n, ns = _cnt["n"], _cnt["ns"] or 0
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
-    ns = nodes.filter("_seed").count()
     if ns == 0:
         raise ValueError("pagerank: seed set is empty / disjoint from nodes")
     tele = (scale * (100 - damping_pct) // 100) // ns
@@ -233,26 +244,39 @@ def pagerank(
         .alias("rank"),
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        dang = (
+        # Dangling mass stays IN-PLAN as a 1-row broadcast instead of a
+        # per-iteration driver head() round trip (round 14): the scalar
+        # only feeds the next rank expression, so folding it into the
+        # same job halves the per-iteration action count — one
+        # synchronization barrier per iteration, which is the real cost
+        # of an iterative driver loop at cluster scale. Integer
+        # arithmetic is unchanged: (dang * d DIV 100) DIV ns with
+        # non-negative operands is the same floor division Python did.
+        dang_df = (
             r.join(deg, r.node == deg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .head()[0]
-            or 0
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0))
+                .cast("long")
+                .alias("_dang")
+            )
         )
-        dang_share = (dang * damping_pct // 100) // ns
         contribs = (
-            edges.join(deg, "src")
-            .join(r.withColumnRenamed("node", "src"), "src")
+            edeg.join(r.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr(contrib_expr)).alias("contrib"))
         )
         r = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang_df))
             .select(
                 "node",
                 (
                     F.when(
-                        F.col("_seed"), F.lit(tele + dang_share)
+                        F.col("_seed"),
+                        F.lit(tele)
+                        + F.expr(
+                            f"(_dang * {damping_pct} DIV 100) DIV {ns}"
+                        ),
                     ).otherwise(F.lit(0))
                     + F.expr(
                         f"coalesce(contrib, 0L) * {damping_pct} DIV 100"

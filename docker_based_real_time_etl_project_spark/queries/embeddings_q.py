@@ -421,30 +421,27 @@ def _kmeans_oracle_sql() -> str:
 
 
 def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """One Lloyd's assignment round: broadcast the K-row centroid side
-    into the vector table (a bounded BroadcastNestedLoopJoin — the
-    ivf_train shape, never an unbroadcast cartesian), exact integer
-    squared-L2 per pair, argmin with cid tiebreak. Factored out so the
-    plan test can pin the broadcast shape on the per-round subplan —
-    the eager localCheckpoint in the training loop truncates it out of
-    the final lineage."""
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            "cid",
-            F.expr(
-                "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("dist"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("m"),
-            F.first("v").alias("v"),  # identical across the K rows
-        )
-        .select("vec_id", "v", F.col("m.cid").alias("cid"))
+    """One Lloyd's assignment round: the K centroids collapse to ONE
+    broadcast row holding array<struct(cid, c)>, and the argmin is a
+    pure per-row PROJECTION — array_min over the K (dist, cid) structs,
+    the identical (dist, cid) total order the old min(struct) hash
+    aggregate used. Round 14 (guide §2.4, remove shuffles outright):
+    the previous shape was crossJoin(K rows) -> groupBy(vec_id), which
+    re-shuffled the ENTIRE vector payload once per Lloyd's round just
+    to pick a minimum Spark can take rowwise; now a round moves zero
+    vector bytes. Still one bounded BroadcastNestedLoopJoin (the 1-row
+    centroid-array attach — the shape the plan test pins); never an
+    unbroadcast cartesian."""
+    carr = cents.agg(F.collect_list(F.struct("cid", "c")).alias("_cs"))
+    return e.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "v",
+        F.expr(
+            "array_min(transform(_cs, ct -> named_struct("
+            "'dist', aggregate(zip_with(v, ct.c, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x),"
+            " 'cid', ct.cid))).cid"
+        ).alias("cid"),
     )
 
 
@@ -484,8 +481,16 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     assigned = None
-    for _ in range(_KM_ITERS):
-        assigned = _km_assign(e, cents).localCheckpoint(eager=True)
+    # Intermediate rounds materialize only the K-row centroid table:
+    # assignment is a shuffle-free projection over the checkpointed
+    # vector table (see _km_assign). The final round's assignment is
+    # checkpointed BEFORE its centroid update so the argmin projection
+    # runs once per round — update and rollup read the checkpoint
+    # (round 14).
+    for it in range(_KM_ITERS):
+        assigned = _km_assign(e, cents)
+        if it == _KM_ITERS - 1:
+            assigned = assigned.localCheckpoint(eager=True)
         sums = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -751,8 +756,18 @@ def _sd_fit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     assigned = None
-    for _ in range(_SD_ITERS):
-        assigned = _km_assign(corpus, cents).localCheckpoint(eager=True)
+    # Per-round the ONLY payload-sized materialization is gone:
+    # assignment is a shuffle-free projection over the (caller-
+    # checkpointed) corpus (see _km_assign), so intermediate rounds
+    # materialize just the K-row centroid table. The FINAL round's
+    # assignment IS checkpointed — before its centroid update, so the
+    # update and every fit consumer (pair generator, keep policy, gate
+    # index) all read the one materialization and the O(K*d) argmin
+    # projection runs exactly once per round, never twice (round 14).
+    for it in range(_SD_ITERS):
+        assigned = _km_assign(corpus, cents)
+        if it == _SD_ITERS - 1:
+            assigned = assigned.localCheckpoint(eager=True)
         sums = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -795,10 +810,16 @@ def _sd_sub(
     Scale: the distance attach is a broadcast join against the K-row
     centroid table; the per-cluster rank is NOT a partition-by-cid
     window (a mega-cluster would drag through one task) but the
-    two-phase distributed prefix scan (operators/prefix.py) over the
-    narrow (cid, d2, vec_id) projection, with per-cluster start
-    offsets (K rows, broadcast) subtracted to turn the global running
-    count into a within-cluster rank; vectors rejoin by vec_id."""
+    two-phase distributed prefix scan (operators/prefix.py) keyed on
+    (cid, d2, vec_id), with per-cluster start offsets (K rows,
+    broadcast) subtracted to turn the global running count into a
+    within-cluster rank. The vector column RIDES THROUGH the scan's
+    one range exchange instead of rejoining by vec_id afterwards
+    (round 14): the rank decision needs only the narrow key, but the
+    output needs v anyway, and re-attaching it costs a full hash
+    shuffle of the heavy side PLUS one of the rank side — moving the
+    payload once through the range exchange is strictly fewer bytes
+    (guide §8's move-heavy-rows-once rule applied in the small)."""
     from docker_based_real_time_etl_project_spark.operators.prefix import (
         ordered_prefix_sum,
     )
@@ -819,20 +840,22 @@ def _sd_sub(
         ).alias("nn"),
     )
     cum = ordered_prefix_sum(
-        da.select("cid", "d2", "vec_id", F.lit(1).cast("bigint").alias("_one")),
+        da.withColumn("_one", F.lit(1).cast("bigint")),
         ["cid", "d2", "vec_id"],
         "_one",
         out_col="_cum",
     )
     starts = cum.groupBy("cid").agg(F.min("_cum").alias("_start"))  # K rows
-    sb = (
+    return (
         cum.join(F.broadcast(starts), "cid")
         .select(
-            "vec_id",
+            "cid",
             F.expr(f"(_cum - _start) div {_SD_CAP}").alias("sb"),
+            "vec_id",
+            "v",
+            "nn",
         )
     )
-    return da.join(sb, "vec_id").select("cid", "sb", "vec_id", "v", "nn")
 
 
 def _sd_pairs(
@@ -1048,8 +1071,14 @@ def _sem_gate_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             F.col("vec_id").alias("cid"), F.col("v").alias("c")
         )
         assigned = None
-        for _ in range(_SD_ITERS):
-            assigned = _km_assign(known, cents).localCheckpoint(eager=True)
+        # same discipline as _sd_fit: intermediate rounds materialize
+        # only the K-row centroids; the final assignment checkpoints
+        # once, feeding both the last update and the members write
+        # (round 14)
+        for it in range(_SD_ITERS):
+            assigned = _km_assign(known, cents)
+            if it == _SD_ITERS - 1:
+                assigned = assigned.localCheckpoint(eager=True)
             sums = (
                 assigned.select("cid", F.posexplode("v").alias("d", "x"))
                 .groupBy("cid", "d")
