@@ -159,6 +159,7 @@ def pagerank(
     scale: int = 10**9,
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method, INTEGER-EXACT so a SQL
     oracle can restate it bit-for-bit: ranks live in ``scale`` units
@@ -201,7 +202,13 @@ def pagerank(
     # caller lineage (a join+distinct building the edge list) would
     # otherwise recompute per round — measured 3x on the purchase-graph
     # fixture. The checkpoint is the Pregel "load the graph" step.
-    edges = edges.localCheckpoint(eager=True)
+    # ``edges_materialized=True`` says the caller already checkpointed
+    # the edge list (so it could derive the node set from the SAME
+    # materialization instead of re-running the edge build — round 14);
+    # re-checkpointing a checkpoint would copy every partition for
+    # nothing.
+    if not edges_materialized:
+        edges = edges.localCheckpoint(eager=True)
     if weight_col is None:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         contrib_expr = "rank DIV deg"

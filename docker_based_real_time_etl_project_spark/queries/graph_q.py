@@ -388,6 +388,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # checkpoint the edge build ONCE and derive the node set from the
+    # materialization — nodes previously re-ran the join+distinct
+    # lineage a second time (round 14)
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -395,6 +398,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -402,7 +406,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     r = pagerank(
-        nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+        nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+        edges_materialized=True,
     )
     top = r.orderBy(F.col("rank").desc(), "node").limit(100)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
@@ -494,6 +499,7 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # one checkpointed edge build feeds nodes AND the operator (r14)
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
@@ -501,6 +507,7 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -509,7 +516,7 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = pagerank(
         nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
-        weight_col="w",
+        weight_col="w", edges_materialized=True,
     )
     top = r.orderBy(F.col("rank").desc(), "node").limit(100)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
@@ -610,6 +617,7 @@ def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # one checkpointed edge build feeds nodes AND the operator (r14)
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -617,6 +625,7 @@ def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -626,7 +635,7 @@ def q_pagerank_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.filter(F.expr(_PPR_SEED))
     r = pagerank(
         nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
-        seeds=seeds,
+        seeds=seeds, edges_materialized=True,
     )
     top = r.orderBy(F.col("rank").desc(), "node").limit(100)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
@@ -803,9 +812,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
             .localCheckpoint(eager=True, storageLevel=_graph_ckpt_level(big))
         )
+        # node set from the CHECKPOINTED bidirectional edges (src
+        # covers both sides) — deriving it from e0 re-ran the whole
+        # join+distinct edge build a second time (round 14)
         lbl = (
-            e0.select(F.col("a").alias("node"))
-            .union(e0.select(F.col("b").alias("node")))
+            e.select(F.col("src").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("lbl"))
             .localCheckpoint(eager=True)
@@ -926,9 +937,11 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
             .localCheckpoint(eager=True, storageLevel=_graph_ckpt_level(big))
         )
+        # node set from the CHECKPOINTED bidirectional edges (src
+        # covers both sides) — deriving it from e0 re-ran the whole
+        # join+distinct edge build a second time (round 14)
         d = (
-            e0.select(F.col("a").alias("node"))
-            .union(e0.select(F.col("b").alias("node")))
+            e.select(F.col("src").alias("node"))
             .distinct()
             .select(
                 "node",
@@ -1067,6 +1080,7 @@ def q_pagerank_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # one checkpointed edge build feeds nodes AND the operator (r14)
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
@@ -1074,6 +1088,7 @@ def q_pagerank_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1083,7 +1098,7 @@ def q_pagerank_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.filter(F.expr(_PPR_SEED))
     r = pagerank(
         nodes, e, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
-        seeds=seeds, weight_col="w",
+        seeds=seeds, weight_col="w", edges_materialized=True,
     )
     top = r.orderBy(F.col("rank").desc(), "node").limit(100)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
