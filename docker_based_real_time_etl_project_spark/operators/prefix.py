@@ -34,7 +34,8 @@ def ordered_prefix_sum(
     out_col: str = "cum",
     num_partitions: int | None = None,
     storage_level: StorageLevel | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
     ``order_cols`` order, computed with the two-phase distributed scan
     above. ``value_col`` must be integral (exact associative adds);
@@ -47,7 +48,14 @@ def ordered_prefix_sum(
     (order_cols + value_col) projection — the unavoidable cost of an
     exact global scan over a sampled range partitioning; pass e.g.
     ``StorageLevel.DISK_ONLY`` when the projection at full scale
-    outsizes executor memory."""
+    outsizes executor memory.
+
+    ``return_total=True`` returns ``(df, grand_total)``: the driver's
+    exclusive scan ends exactly at sum(value_col), so a caller that
+    needs the total (shard sizing, budget cuts) gets it for FREE
+    instead of paying a second full pass over its input lineage for a
+    1-row aggregate (round 14 — at 100 TB that second pass is a full
+    corpus re-scan)."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
@@ -75,7 +83,7 @@ def ordered_prefix_sum(
     w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
+    out = (
         with_pid.join(F.broadcast(off_df), "_pid")
         .withColumn(
             out_col,
@@ -85,3 +93,6 @@ def ordered_prefix_sum(
         )
         .drop("_pid", "_off")
     )
+    if return_total:
+        return out, acc
+    return out

@@ -1773,7 +1773,12 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _keep_cc_survivors(surv: DataFrame, pairs: DataFrame) -> DataFrame:
         """Restrict the full-corpus pair artifact to current survivors,
         run components, keep each component's min id (isolated nodes
-        keep themselves)."""
+        keep themselves). The keeper-ID set is checkpointed: it is the
+        one narrow output every downstream stage re-reads (the next
+        dedup stage touches survivors 4x — edge restriction twice,
+        component nodes, final semi-join), and without the checkpoint
+        each of those re-ran this stage's whole component fixpoint
+        lineage (round 14)."""
         e = (
             pairs.select("id_a", "id_b")
             .join(surv.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
@@ -1783,11 +1788,12 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv.select(F.col("doc_id").alias("id")), e,
             a_col="id_a", b_col="id_b",
         )
-        return surv.join(
+        keep = (
             comp.filter(F.col("id") == F.col("rep"))
-            .select(F.col("id").alias("doc_id")),
-            "doc_id", "left_semi",
+            .select(F.col("id").alias("doc_id"))
+            .localCheckpoint(eager=True)
         )
+        return surv.join(keep, "doc_id", "left_semi")
 
     # 3. MinHash near-dup survivorship (persisted pair artifact)
     s2 = _keep_cc_survivors(s1, minhash_pairs_artifact(spark, sf_dir))
@@ -1880,15 +1886,18 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ticket", "n_toks")
     )
 
-    # 8. token-balanced shard manifest (two-phase distributed scan)
+    # 8. token-balanced shard manifest (two-phase distributed scan).
+    # The shard total falls out of the scan's driver offset pass — the
+    # old 1-row crossJoin aggregate re-ran the whole stage-5/6/7
+    # lineage a second time just to size the shards (round 14).
     t8 = s6.filter(F.col("n_toks") >= 1)
-    total = t8.agg(F.sum("n_toks").cast("bigint").alias("total"))
-    c8 = ordered_prefix_sum(t8, ["ticket", "doc_id"], "n_toks", out_col="cum")
+    c8, total = ordered_prefix_sum(
+        t8, ["ticket", "doc_id"], "n_toks", out_col="cum", return_total=True
+    )
     return (
-        c8.crossJoin(F.broadcast(total))
-        .select(
+        c8.select(
             "doc_id", "n_toks",
-            F.expr(f"((cum - n_toks) * {_SHARD_N}) div total")
+            F.expr(f"((cum - n_toks) * {_SHARD_N}) div {max(total, 1)}")
             .cast("bigint").alias("shard_id"),
         )
         .groupBy("shard_id")

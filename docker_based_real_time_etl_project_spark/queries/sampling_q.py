@@ -408,14 +408,16 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_toks"),
     )
-    # Integer division (`div`) keeps the budget exact past 2^53 total
-    # tokens, matching the oracle's hugeint `SUM // 2`; float division
-    # + floor would round once totals leave the double-exact range.
-    budget = t.agg(F.expr("sum(n_toks) div 2").cast("bigint").alias("budget"))
-    c = ordered_prefix_sum(t, ["ticket", "doc_id"], "n_toks", out_col="cum_tokens")
+    # The corpus total falls out of the prefix scan's driver offset
+    # pass (exact Python ints — no 2^53 concern), so the budget is a
+    # literal: the old 1-row aggregate re-ran the scan+tokenize
+    # lineage a second time just to halve a number (round 14).
+    c, total = ordered_prefix_sum(
+        t, ["ticket", "doc_id"], "n_toks", out_col="cum_tokens",
+        return_total=True,
+    )
     return (
-        c.crossJoin(F.broadcast(budget))
-        .filter(F.col("cum_tokens") - F.col("n_toks") < F.col("budget"))
+        c.filter(F.col("cum_tokens") - F.col("n_toks") < F.lit(total // 2))
         .select("doc_id", "n_toks", "cum_tokens")
     )
 
@@ -786,14 +788,17 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_toks"),
     ).filter(F.col("n_toks") >= 1)
-    total = t.agg(F.sum("n_toks").cast("bigint").alias("total"))
-    c = ordered_prefix_sum(t, ["ticket", "doc_id"], "n_toks", out_col="cum")
+    # the grand total falls out of the prefix scan's driver offset
+    # pass — the old 1-row crossJoin aggregate re-ran the whole corpus
+    # scan+tokenize lineage a second time just to size the shards (r14)
+    c, total = ordered_prefix_sum(
+        t, ["ticket", "doc_id"], "n_toks", out_col="cum", return_total=True
+    )
     return (
-        c.crossJoin(F.broadcast(total))
-        .select(
+        c.select(
             "doc_id",
             "n_toks",
-            F.expr(f"((cum - n_toks) * {_SHARD_N}) div total")
+            F.expr(f"((cum - n_toks) * {_SHARD_N}) div {max(total, 1)}")
             .cast("bigint")
             .alias("shard_id"),
         )

@@ -639,9 +639,10 @@ def test_token_budget_no_global_window(spark, sf_dir):
     p = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
     assert "hashpartitioning(_pid" in p
-    # the only SinglePartition exchange is the budget aggregate's
-    # 32-partial-row merge; the corpus-bearing exchange is the pid hash
-    assert p.count("SinglePartition") == 1
+    # round 14: the budget is a literal from the scan's driver offset
+    # pass — NO SinglePartition exchange remains anywhere in the plan
+    # (the old 1-row budget aggregate re-scanned the corpus lineage)
+    assert p.count("SinglePartition") == 0
 
 
 def test_bucketed_join_query_plan(spark, sf_dir):
@@ -999,7 +1000,9 @@ def test_corpus_shard_no_global_window(spark, sf_dir):
     p = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
     assert "hashpartitioning(_pid" in p
-    assert p.count("SinglePartition") == 1
+    # round 14: the shard total is a literal from the scan's driver
+    # offset pass — no SinglePartition total aggregate remains
+    assert p.count("SinglePartition") == 0
 
 
 def test_bpe_unseen_apply_is_bounded(spark, sf_dir):
@@ -1028,9 +1031,10 @@ def test_corpus_pipeline_full_plan_shape(spark, sf_dir):
     df = _q("q_corpus_pipeline_full", spark, sf_dir)
     js = join_strategies(df)
     assert js.get("CartesianProduct", 0) == 0
-    # exactly one BNLJ: the shard stage's 1-row total-token broadcast
-    # crossJoin (the q_corpus_shard pattern) — bounded by construction
-    assert js.get("BroadcastNestedLoopJoin", 0) <= 1, js
+    # round 14: the shard total is a literal from the prefix scan's
+    # driver offset pass, so NO BNLJ remains — the plan is entirely
+    # equi-joins, windows, and hash aggregates
+    assert js.get("BroadcastNestedLoopJoin", 0) == 0, js
 
 
 def test_corpus_pipeline_full_shares_pair_artifacts(spark, sf_dir):
