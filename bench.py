@@ -158,6 +158,12 @@ def _plan_fingerprint(df) -> str:
     p = re.sub(r"plan_id=\d+", "plan_id=x", p)
     p = re.sub(r"Location: [^\n]*", "Location: x", p)
     p = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", p)
+    # localCheckpoint scans print session-unique RDD ids
+    # (MapPartitionsRDD[65] at localCheckpoint...) — without this every
+    # checkpoint-bearing plan got a fresh fingerprint each run and the
+    # round-over-round diff was blind exactly where it matters most
+    # (measurement fix, round 14; ~31 queries flapped r13 -> r14)
+    p = re.sub(r"RDD\[\d+\]", "RDD[x]", p)
     return hashlib.sha256(p.encode()).hexdigest()[:12]
 
 
