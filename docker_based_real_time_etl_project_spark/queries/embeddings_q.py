@@ -862,39 +862,47 @@ def _sd_pairs(
     corpus: DataFrame,
     fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Within-(cluster, sub-bucket)-only near-dup pairs (id_a, id_b):
-    a (cid, sb) equi-self-join over _sd_sub's bucketed universe with
-    the exact int64 cosine predicate as residual — candidates are
-    bucket co-occupancy, NEVER corpus x corpus."""
+    """Within-(cluster, sub-bucket)-only near-dup pairs (id_a, id_b)
+    with the exact int64 cosine predicate — candidates are bucket
+    co-occupancy, NEVER corpus x corpus.
+
+    Round 14 (guide §2.3, shuffle fewer bytes): the pair join used to
+    be a (cid, sb) equi-SELF-join, which shuffled the bucketed
+    universe — vectors included — TWICE (once per join side) and
+    re-evaluated the sub-split lineage per side. Now ONE exchange
+    groups each bucket's members into an array (bounded at _SD_CAP=64
+    rows ≈ 34 KB by the sub-split's construction, so no group can
+    blow up a task) and the j>i pair expansion + dot-product
+    predicate run in-expression over that array. The payload crosses
+    the wire once; the emitted (least, greatest) id pair set is
+    identical under ANY collect_list order, so the output — pinned by
+    the same hash oracles — is deterministic even though the list
+    order is not. Same-session A/B at sf0.1: old 2.29–2.83 s, new
+    1.80–2.43 s per pairs+noop pass, pair sets equal."""
     sub = _sd_sub(corpus, fitted)
-    a = sub.select(
-        "cid", "sb",
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nn").alias("na"),
-    )
-    b = sub.select(
-        "cid", "sb",
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nn").alias("nb"),
+    grp = sub.groupBy("cid", "sb").agg(
+        F.collect_list(F.struct("vec_id", "v", "nn")).alias("ms")
     )
     return (
-        a.join(b, ["cid", "sb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                " 0L, (acc, x) -> acc + x)"
-            ),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (m1, i) -> "
+                    "filter(transform(ms, (m2, j) -> IF(j > i, "
+                    "named_struct("
+                    "'d', aggregate(zip_with(m1.v, m2.v, (x, y) -> x * y),"
+                    " 0L, (acc, x) -> acc + x),"
+                    "'nn2', m1.nn * m2.nn,"
+                    "'id_a', least(m1.vec_id, m2.vec_id),"
+                    "'id_b', greatest(m1.vec_id, m2.vec_id)), "
+                    "CAST(NULL AS"
+                    " struct<d:bigint,nn2:bigint,id_a:bigint,id_b:bigint>))),"
+                    " p -> p IS NOT NULL AND p.d > 0"
+                    " AND 400 * p.d * p.d >= 361 * p.nn2)))"
+                )
+            ).alias("p")
         )
-        .filter(
-            (F.col("dot") > 0)
-            & (400 * F.col("dot") * F.col("dot")
-               >= 361 * F.col("na") * F.col("nb"))
-        )
-        .select("id_a", "id_b")
+        .select("p.id_a", "p.id_b")
     )
 
 
