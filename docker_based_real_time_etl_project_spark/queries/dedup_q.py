@@ -932,7 +932,17 @@ def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
       v3  a WRONG maintenance batch: MoR tombstones of the %10==3
           docs' rows (delete files only);
       v4  RESTORE to v2 — zero data I/O, full corpus back.
-    The registered query searches latest (= restored v2)."""
+    The registered query searches latest (= restored v2).
+
+    Build cost (round 15, guide §6 compute-once): the three version
+    payloads used to each run _lsh_band_rows from the raw documents —
+    three shingle+MinHash passes over overlapping corpus slices
+    (90% + 10% + 10% = 110% of the corpus hashed, the signature
+    aggregation paid three times). Now the band rows are computed ONCE
+    over the full corpus and checkpointed (narrow rows: 4 int64-ish
+    columns, 16/doc), and each version's payload is a doc_id filter
+    over that one materialization — identical rows per slice, so the
+    committed history and every serve hash are unchanged."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
         snap_init,
         snap_merge,
@@ -945,9 +955,10 @@ def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
         out = tempfile.mkdtemp(prefix="sg_lsh_index_")
         nb = _lsh_nb(sf_dir)
         d = table(spark, sf_dir, "documents")
+        rows = _lsh_band_rows(d, nb).localCheckpoint(eager=True)
         assert snap_init(
             spark,
-            _lsh_band_rows(d.filter("doc_id % 10 != 7"), nb),
+            rows.filter("doc_id % 10 != 7"),
             out,
             "bkt",
             sort_by=("band_hash", "doc_id"),
@@ -955,11 +966,11 @@ def _lsh_index_snap(spark: SparkSession, sf_dir: str) -> str:
         assert snap_merge(
             spark,
             out,
-            _lsh_band_rows(d.filter("doc_id % 10 = 7"), nb),
+            rows.filter("doc_id % 10 = 7"),
             key_cols=("doc_id", "band_idx"),
             mode="mor",
         ) == 2
-        wrong = _lsh_band_rows(d.filter("doc_id % 10 = 3"), nb).withColumn(
+        wrong = rows.filter("doc_id % 10 = 3").withColumn(
             "_del", F.lit(True)
         )
         assert snap_merge(

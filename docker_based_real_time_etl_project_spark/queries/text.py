@@ -475,21 +475,6 @@ def _bm25_postings(docs: DataFrame, nb: int = _BM25_NB) -> DataFrame:
     )
 
 
-def _bm25_corpus_stats(docs: DataFrame) -> dict:
-    """The two manifest-resident scalars BM25 needs beyond postings:
-    document count (ALL docs, token-free ones included — matching
-    _bm25_scores' COUNT(*) over documents) and total token count (the
-    avgdl numerator), both exact integers so every reader derives the
-    identical IEEE avgdl."""
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
-        ).alias("t"),
-    ).head()
-    return {"bm25_n_docs": int(row["n"]), "bm25_tot_dl": int(row["t"] or 0)}
-
-
 def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
     """The BM25 inverted index PERSISTED as a versioned snapshot lake
     table (the q_ann_ivf_persisted discipline applied to retrieval):
@@ -509,7 +494,21 @@ def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
           (including the corpus stats) back with it.
     The registered query searches latest (= restored v2): hash-parity
     against the from-scratch oracle proves both the append merge and
-    the restore."""
+    the restore.
+
+    Build cost (round 15, guide §6 compute-once): the three version
+    payloads used to each run _bm25_postings from the raw documents
+    (three tokenize + tf/dl aggregation passes over overlapping corpus
+    slices) and each version's meta paid its own _bm25_corpus_stats
+    scan (three more). Now the full-corpus postings are computed ONCE
+    and checkpointed, a narrow per-doc (doc_id, dl) table — which,
+    unlike the postings, keeps a row for token-free docs, matching the
+    stats' COUNT(*) contract — is computed ONCE, and every version
+    payload / meta overlay is a doc_id filter or a two-scalar
+    aggregate over those materializations. Postings are per-doc
+    independent (tf, dl, bucket are functions of the doc's own text
+    and the word), so a slice of the full-corpus postings equals the
+    postings of the slice — versions and serve hashes unchanged."""
     from docker_based_real_time_etl_project_spark.lakesnap import (
         snap_init,
         snap_merge,
@@ -526,25 +525,40 @@ def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
         out = tempfile.mkdtemp(prefix="sg_bm25_index_")
         nb = _bm25_nb(sf_dir)
         d = table(spark, sf_dir, "documents")
-        base = d.filter("doc_id % 10 != 7")
-        held = d.filter("doc_id % 10 = 7")
+        post = _bm25_postings(d, nb).localCheckpoint(eager=True)
+        dls = d.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+            .cast("bigint").alias("dl"),
+        ).localCheckpoint(eager=True)
+
+        def stats(pred: str | None) -> dict:
+            sl = dls.filter(pred) if pred else dls
+            row = sl.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+            ).head()
+            return {
+                "bm25_n_docs": int(row["n"]),
+                "bm25_tot_dl": int(row["t"] or 0),
+            }
+
         assert snap_init(
             spark,
-            _bm25_postings(base, nb),
+            post.filter("doc_id % 10 != 7"),
             out,
             "bucket",
             sort_by=("word", "doc_id"),
-            meta={**_bm25_corpus_stats(base), "bm25_nb": nb},
+            meta={**stats("doc_id % 10 != 7"), "bm25_nb": nb},
         ) == 1
         assert snap_merge(
             spark,
             out,
-            _bm25_postings(held, nb),
+            post.filter("doc_id % 10 = 7"),
             key_cols=("word", "doc_id"),
             mode="mor",
-            meta={**_bm25_corpus_stats(d), "bm25_nb": nb},
+            meta={**stats(None), "bm25_nb": nb},
         ) == 2
-        wrong = _bm25_postings(d.filter("doc_id % 10 = 3"), nb).withColumn(
+        wrong = post.filter("doc_id % 10 = 3").withColumn(
             "_del", F.lit(True)
         )
         assert snap_merge(
@@ -554,8 +568,7 @@ def _bm25_index_snap(spark: SparkSession, sf_dir: str) -> str:
             key_cols=("word", "doc_id"),
             delete_col="_del",
             mode="mor",
-            meta={**_bm25_corpus_stats(d.filter("doc_id % 10 != 3")),
-                  "bm25_nb": nb},
+            meta={**stats("doc_id % 10 != 3"), "bm25_nb": nb},
         ) == 3
         assert snap_restore(spark, out, 2) == 4
         return out
