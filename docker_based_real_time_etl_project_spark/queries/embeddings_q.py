@@ -744,14 +744,39 @@ def _sd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionByName(dup_a).unionByName(dup_b)
 
 
-def _sd_fit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _sd_n_rows(sf_dir: str) -> int:
+    """The twin-augmented SemDeDup corpus size WITHOUT a corpus scan:
+    base row count from parquet footers (materialize.table_rows), twin
+    counts from the planted-duplicate arithmetic — vec_ids are
+    0..n-1, so ``vec_id % 7 == 0`` matches ceil(n/7) rows and
+    ``% 21 == 0`` matches ceil(n/21). Must equal
+    ``_sd_corpus(...).count()`` by construction; pinned at every
+    shipped fixture by tests/test_scale_ops.py."""
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        table_rows,
+    )
+
+    n = table_rows(sf_dir, "embeddings")
+    return n + (n + 6) // 7 + (n + 20) // 21
+
+
+def _sd_fit(
+    corpus: DataFrame, n_rows: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """The SemDeDup clustering: _SD_ITERS integer Lloyd's rounds over
     ``corpus`` (vec_id, v), seeds = the _SD_K smallest ids. Returns
     (assigned(vec_id, v, cid), cents(cid, c)) — the fitted model the
     pair generator, the keep-policy query, and the streaming gate
     index all consume. ``corpus`` should be checkpointed by the
-    caller (it anchors every round)."""
-    k = _sd_k_for(corpus.count())
+    caller (it anchors every round).
+
+    ``n_rows`` is the corpus size for the derived K. Every registered
+    caller passes it from parquet-footer arithmetic (_sd_n_rows /
+    table_rows — round-14 verdict #4: the ``corpus.count()`` fallback
+    is a full corpus scan at 100 TB for one scalar that the footers
+    already know; a pin test proves derived == counted at every
+    shipped fixture)."""
+    k = _sd_k_for(corpus.count() if n_rows is None else n_rows)
     cents = corpus.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
@@ -788,6 +813,7 @@ def _sd_fit(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
 def _sd_sub(
     corpus: DataFrame,
     fitted: tuple[DataFrame, DataFrame] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cluster + sub-split: the fitted (assigned, cents) pair (or a
     fresh _sd_fit), then the mega-cluster guard. Returns
@@ -825,7 +851,7 @@ def _sd_sub(
     )
 
     if fitted is None:
-        fitted = _sd_fit(corpus)
+        fitted = _sd_fit(corpus, n_rows)
     assigned, cents = fitted
     da = assigned.join(F.broadcast(cents), "cid").select(
         "cid",
@@ -861,6 +887,7 @@ def _sd_sub(
 def _sd_pairs(
     corpus: DataFrame,
     fitted: tuple[DataFrame, DataFrame] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Within-(cluster, sub-bucket)-only near-dup pairs (id_a, id_b)
     with the exact int64 cosine predicate — candidates are bucket
@@ -879,7 +906,7 @@ def _sd_pairs(
     the same hash oracles — is deterministic even though the list
     order is not. Same-session A/B at sf0.1: old 2.29–2.83 s, new
     1.80–2.43 s per pairs+noop pass, pair sets equal."""
-    sub = _sd_sub(corpus, fitted)
+    sub = _sd_sub(corpus, fitted, n_rows)
     grp = sub.groupBy("cid", "sb").agg(
         F.collect_list(F.struct("vec_id", "v", "nn")).alias("ms")
     )
@@ -935,7 +962,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _sd_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    pairs = _sd_pairs(corpus)
+    pairs = _sd_pairs(corpus, n_rows=_sd_n_rows(sf_dir))
     comp = connected_components(
         corpus.select(F.col("vec_id").alias("id")),
         pairs,
@@ -1212,12 +1239,17 @@ def sd_text_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = tempfile.mkdtemp(prefix="sg_sd_text_pairs_")
         corpus = _sd_text_corpus(spark, sf_dir).localCheckpoint(eager=True)
-        _sd_pairs(corpus).write.mode("overwrite").parquet(out)
+        # one row per document, no twins: K derives straight from the
+        # documents footer count (round-14 verdict #4)
+        _sd_pairs(
+            corpus, n_rows=table_rows(sf_dir, "documents")
+        ).write.mode("overwrite").parquet(out)
         return out
 
     from docker_based_real_time_etl_project_spark.queries.materialize import (
         materialize_once,
         table_fingerprint,
+        table_rows,
     )
 
     key = ("sd_text_pairs", sf_dir, _FH_DIM, _SD_ITERS, _SD_CAP,
@@ -1357,7 +1389,7 @@ def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _sd_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    assigned, cents = _sd_fit(corpus)
+    assigned, cents = _sd_fit(corpus, n_rows=_sd_n_rows(sf_dir))
     pairs = _sd_pairs(corpus, (assigned, cents))
     comp = connected_components(
         corpus.select(F.col("vec_id").alias("id")),

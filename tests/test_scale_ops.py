@@ -735,6 +735,22 @@ def test_derived_scale_params_floor_at_shipped_sfs(spark, sf_dir):
     ).count()
 
 
+def test_sd_n_rows_matches_corpus_count(spark):
+    """Round-15 (r14 verdict #4): _sd_fit's K now derives from
+    _sd_n_rows — parquet-footer base count + planted-twin ceilings —
+    instead of a full corpus.count() action per fit. The closed form
+    must equal the materialized corpus's actual cardinality at every
+    shipped fixture, or the derived K could silently diverge from the
+    oracle's in-plan COUNT(*) derivation."""
+    from docker_based_real_time_etl_project_spark.queries.embeddings_q import (
+        _sd_corpus, _sd_n_rows,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        assert _sd_n_rows(sf) == _sd_corpus(spark, sf).count(), sf
+
+
 def test_bm25_index_manifest_records_its_bucket_count(spark, sf_dir):
     """The persisted BM25 index is self-describing: the bucket count
     the build derived is in the manifest meta, and the serve path
