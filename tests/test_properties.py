@@ -369,6 +369,51 @@ def test_connected_components_deep_chain(spark):
     assert got == want
 
 
+def test_connected_components_sorted_id_chain(spark):
+    """Round-15 ADVICE fix: a chain whose ids INCREASE MONOTONICALLY
+    along it is the adversarial layout for min-hook contraction —
+    every round's supernode map is 'shift by 2', so one composition
+    per round needs Θ(d/2) rounds and a 100-node sorted chain
+    (plausible: sequential crawl doc_ids) blew past max_iter=20 and
+    silently returned a single component split into many reps. The
+    stall detector now doubles the per-round squaring depth, so this
+    converges well inside the default budget — and the new latch
+    raises instead of returning wrong labels if it ever cannot."""
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.rep
+        for r in connected_components(nodes, e).select("id", "rep").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_unconverged_raises(spark):
+    """The convergence latch (round-15 ADVICE minimum): when max_iter
+    is too small for the graph, the operator must raise — never
+    return labels that silently split one component."""
+    import pytest
+
+    from docker_based_real_time_etl_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, e, max_iter=2).collect()
+
+
 def test_keep_best_policy_overrides_min_id(spark, tmp_path):
     """q_dedup_keep_best must keep the QUALITY winner, not the min id:
     a cluster whose smallest-id member is junk (short, punct-heavy)
@@ -635,6 +680,10 @@ def test_train_gram_artifact_shared(spark, sf_dir):
     REGISTRY["q_contamination_span"].fn(spark, sf_dir).count()
     REGISTRY["q_stream_contamination"].fn(spark, sf_dir).count()
     assert BUILD_COUNTS[key] == 1
+    # round 15: the probe side is an artifact too — one eval-slice
+    # explode shared by q_contamination, the bloom variant, and the
+    # capstone's stage-5 screen
+    assert BUILD_COUNTS[("eval_grams", sf_dir, 5, 9000, fp)] == 1
 
 
 @given(
