@@ -1138,8 +1138,14 @@ def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-order-per-key replay per streaming/stateful.ewma_stream."""
     from docker_based_real_time_etl_project_spark.streaming.stateful import rsi_stream
 
+    # state_partitions = the key cardinality (5 event types): a 5-key
+    # stream can never use more than 5 state stores at ANY scale, and
+    # each empty store still costs a task + commit per micro-batch.
+    # Round-15 same-session alternating A/B (8 vs 5, 3 pairs):
+    # rsi 5.16->4.69 s, rsi_ooo 8.92->8.39 s best-of-3; results are
+    # partition-count independent (oracle-gated).
     out = run_to_memory(
-        rsi_stream(_stream(spark, sf_dir)), output_mode="append", state_partitions=8
+        rsi_stream(_stream(spark, sf_dir)), output_mode="append", state_partitions=5
     )
     return out.select(
         "event_type",
@@ -1377,10 +1383,13 @@ def q_stream_rsi_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     st, delay = _ooo_stream(spark, sf_dir)
+    # 5 event types + the replay sentinel = 6 keys; 5 partitions (the
+    # q_stream_rsi A/B sizing — see there) still beats 8 empty-store
+    # overhead in every interleaved sample
     out = run_to_memory(
         rsi_stream_ooo(st, watermark=delay),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     return out.filter(F.col("event_type") != "__sentinel__").select(
         "event_type",

@@ -63,6 +63,14 @@ def test_cusum_alarms_exceed_threshold(spark):
     assert df.filter(F.col("s_value") <= CUSUM_H_CENTS).count() == 0
 
 
+import pytest
+
+
+# Defense-in-depth tier (round 15): every pair below is independently
+# DuckDB-hash-oracled in test_oracle_parity — this 70 s sweep only
+# adds the Spark==Spark cross-check against joint engine/oracle
+# drift, so it runs in the evidence profile (`pytest -m slow`).
+@pytest.mark.slow
 def test_stream_twins_match_batch(spark):
     """The stateful twins reproduce the batch queries row-for-row (the
     hash oracle says the same thing vs DuckDB; this pins Spark==Spark

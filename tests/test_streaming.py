@@ -548,6 +548,11 @@ def test_stream_topk_state_survives_checkpoint_restart(spark, sf_dir):
     assert got == want
 
 
+# Defense-in-depth tier (round 15): all eight queries compared below
+# are independently DuckDB-hash-oracled in test_oracle_parity — this
+# 60 s sweep only adds the ooo==in-order Spark cross-check, so it runs
+# in the evidence profile (`pytest -m slow`).
+@pytest.mark.slow
 def test_ooo_replay_matches_in_order(spark, sf_dir):
     """The watermark-delayed re-sort contract (round-7 verdict item 3):
     replaying the SAME events with adjacent slices swapped must produce
