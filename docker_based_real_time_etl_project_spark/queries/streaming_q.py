@@ -1225,7 +1225,7 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         bollinger_stream(_stream(spark, sf_dir)),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     return out.select(
         "event_type",
@@ -1428,7 +1428,7 @@ def q_stream_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emitted = run_to_memory(
         macd_stream(_stream(spark, sf_dir)), output_mode="update",
-        state_partitions=8,
+        state_partitions=5,
     )
     return emitted.groupBy("event_type").agg(
         F.max("n_days").cast("bigint").alias("n_days"),
@@ -1465,7 +1465,7 @@ def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         bollinger_stream_ooo(st, watermark=delay),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     return out.filter(F.col("event_type") != "__sentinel__").select(
         "event_type",
@@ -1497,7 +1497,7 @@ def q_stream_macd_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted = run_to_memory(
         macd_stream_ooo(st, watermark=delay),
         output_mode="update",
-        state_partitions=8,
+        state_partitions=5,
     )
     return (
         emitted.filter(F.col("event_type") != "__sentinel__")
@@ -1555,7 +1555,7 @@ def q_stream_tick_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = run_to_memory(
-        tick_imbalance_stream(st), output_mode="append", state_partitions=8
+        tick_imbalance_stream(st), output_mode="append", state_partitions=5
     )
     return out.groupBy("event_type", "hour").agg(
         F.sum("buy_vol").cast("bigint").alias("buy_vol"),
@@ -1613,7 +1613,7 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stream(spark, sf_dir), targets, CUSUM_K_CENTS, CUSUM_H_CENTS
         ),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     return out.select(
         "event_type",
@@ -1653,7 +1653,7 @@ def q_stream_tick_imbalance_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         tick_imbalance_stream_ooo(st, watermark=delay),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     ).filter(F.col("event_type") != "__sentinel__")
     return out.groupBy("event_type", "hour").agg(
         F.sum("buy_vol").cast("bigint").alias("buy_vol"),
@@ -1700,7 +1700,7 @@ def q_stream_cusum_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         cusum_stream_ooo(st, targets, CUSUM_K_CENTS, CUSUM_H_CENTS, delay),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     ).filter(F.col("event_type") != "__sentinel__")
     return out.select(
         "event_type",
@@ -1749,7 +1749,7 @@ def q_stream_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         volume_bars_stream(st, BAR_VOLUME),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     o_struct = F.struct("o_ts", "o_eid", "o_c")
     c_struct = F.struct("c_ts", "c_eid", "c_c")
@@ -1798,7 +1798,7 @@ def q_stream_volume_bars_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         volume_bars_stream_ooo(st, BAR_VOLUME, watermark=delay),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     ).filter(F.col("event_type") != "__sentinel__")
     o_struct = F.struct("o_ts", "o_eid", "o_c")
     c_struct = F.struct("c_ts", "c_eid", "c_c")
@@ -1852,7 +1852,7 @@ def q_stream_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
     )
     out = run_to_memory(
-        kyle_stream(st), output_mode="append", state_partitions=8
+        kyle_stream(st), output_mode="append", state_partitions=5
     )
     dec = "decimal(38,0)"
     g = out.groupBy("event_type").agg(
@@ -1904,7 +1904,7 @@ def q_stream_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
     )
     out = run_to_memory(
-        roll_stream(st), output_mode="append", state_partitions=8
+        roll_stream(st), output_mode="append", state_partitions=5
     )
     g = out.groupBy("event_type", "day").agg(
         F.sum("n_pairs").alias("n"),
@@ -1957,7 +1957,7 @@ def q_stream_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
     out = run_to_memory(
-        acf_stream(st), output_mode="append", state_partitions=8
+        acf_stream(st), output_mode="append", state_partitions=5
     )
     dec = "decimal(38,0)"
     aggs = [
@@ -2014,7 +2014,7 @@ def q_stream_autocorr_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark=delay,
         ),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     out = out.filter(F.col("event_type") != "__sentinel__")
     dec = "decimal(38,0)"
@@ -2075,7 +2075,7 @@ def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
     out = run_to_memory(
-        mdd_stream(st), output_mode="append", state_partitions=8
+        mdd_stream(st), output_mode="append", state_partitions=5
     )
     return out.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n_obs"),
@@ -2109,7 +2109,7 @@ def q_stream_max_drawdown_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark=delay,
         ),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     out = out.filter(F.col("event_type") != "__sentinel__")
     return out.groupBy("event_type").agg(
@@ -2196,7 +2196,7 @@ def q_stream_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     st = _stream(spark, sf_dir).select("event_type", "ts", "event_id", "value")
-    out = run_to_memory(rv_stream(st), output_mode="append", state_partitions=8)
+    out = run_to_memory(rv_stream(st), output_mode="append", state_partitions=5)
     return _rv_finalize(out)
 
 
@@ -2225,7 +2225,7 @@ def q_stream_realized_vol_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark=delay,
         ),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     return _rv_finalize(out.filter(F.col("event_type") != "__sentinel__"))
 
@@ -2260,7 +2260,7 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = st.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
     )
-    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    out = run_to_memory(agg, output_mode="complete", state_partitions=5)
     exact = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -2318,7 +2318,7 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("c", F.lit(0.5), F.lit(10000)).alias("a50"),
         F.percentile_approx("c", F.lit(0.9), F.lit(10000)).alias("a90"),
     )
-    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    out = run_to_memory(agg, output_mode="complete", state_partitions=5)
     w = Window.partitionBy("event_type").orderBy("c")
     ranked = (
         table(spark, sf_dir, "events")
@@ -2401,7 +2401,7 @@ def q_stream_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame
     out = run_to_memory(
         interval_concurrency_stream_ooo(st, delay),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=5,
     )
     return out.filter(F.col("event_type") != "__sentinel__")
 

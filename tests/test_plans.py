@@ -213,15 +213,20 @@ def test_quiet_customers_scalar_broadcast_and_anti(spark, sf_dir):
 
 
 def test_llmprep_shuffle_inventory(spark, sf_dir):
-    """Hygiene pack plan budget: contamination is ONE exchange (the
-    per-doc count aggregate) since round 15 — both gram sides are
-    pruned artifact reads (train_gram_hashes / eval_gram_hashes) and
-    the overlap mark is a broadcast join, so no shuffle carries gram
-    rows at all; repetition is 2 (bigram count, per-doc max) with no
-    join; the PII audit is scan + one summary exchange; ntile windows
-    cost exactly their partition exchange."""
+    """Hygiene pack plan budget: contamination since round 15 reads
+    both gram sides from pruned 8-byte-hash artifacts
+    (train_gram_hashes / eval_gram_hashes) — no text scan, no explode,
+    no in-plan xxhash64 — and its ONE semantic exchange carries
+    per-doc count partials into the final aggregate (the r14 plan
+    instead repartitioned raw document text into a per-query explode;
+    that exchange was repartition-origin, so the count was 0, but it
+    moved text where this moves 24-byte partials and re-ran the gram
+    hashing per query). Repetition is 2 exchanges (bigram count,
+    per-doc max) with no join; the PII audit is scan + one summary
+    exchange; ntile windows cost exactly their partition exchange."""
     cont = _q("q_contamination", spark, sf_dir)
     assert count_exchanges(cont) <= 1
+    assert count_exchanges(cont, include_repartition=True) <= 1
     assert join_strategies(cont).get("CartesianProduct", 0) == 0
     rep = _q("q_repetition_ratio", spark, sf_dir)
     assert count_exchanges(rep) == 2 and join_strategies(rep) == {}
