@@ -245,14 +245,15 @@ def nearest_centroids(vec_col: Column, centroids: list[list[float]], n: int = 1)
     """Indexes of the n nearest centroids (ascending distance, index
     tiebreak): array of (dist, idx) structs -> array_sort (struct
     ordering is field-wise) -> slice -> idx projection. Pure expression,
-    centroids folded into the plan as literals."""
-    scored = F.array(
-        *[
-            F.struct(
-                l2_sq(vec_col, _lit_vec(c)).alias("d"), F.lit(i).alias("i")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    centroids folded into the plan as ONE literal array-of-arrays and
+    scored by a single transform lambda — k centroids cost one l2_sq
+    sub-tree in the plan, not k unrolled copies (a 16x16-code PQ encode
+    otherwise carries 256 aggregate() trees and pays tens of seconds of
+    analysis/codegen before the first row moves)."""
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(l2_sq(vec_col, c).alias("d"), i.alias("i")),
     )
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["i"])
 
@@ -467,11 +468,13 @@ def pq_topk(
     # tiny and broadcast, so compute the m x n_codes table as an
     # expression ON the query row (aggregate over the sub-slice).
     def table_for(s: int) -> Column:
-        return F.array(
-            *[
-                l2_sq(F.slice(F.col(query_vec_col), s * sub + 1, sub), _lit_vec(c))
-                for c in books[s]
-            ]
+        # one lambda over the literal codebook, not n_codes unrolled
+        # l2_sq trees (see nearest_centroids): identical values, ~16x
+        # smaller plan per subspace.
+        cents = F.array(*[_lit_vec(c) for c in books[s]])
+        return F.transform(
+            cents,
+            lambda c: l2_sq(F.slice(F.col(query_vec_col), s * sub + 1, sub), c),
         )
 
     q = query_df.select(
