@@ -1383,7 +1383,15 @@ def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the distance attach is a broadcast join against the K-row
     centroid table; the argmax is max(struct(d2, -id)) inside the
-    same hash aggregate as the rollup — no window over the corpus."""
+    same hash aggregate as the rollup — no window over the corpus.
+
+    Round 15 (§2.1 shuffle fewer bytes): d2 is computed BEFORE the
+    components join, map-side over the checkpointed assignment (the
+    broadcast-cents attach is a projection, never a shuffle), so the
+    id-equi-join with comp moves 16-byte (id, d2) rows — the vector
+    payload never crosses that join's exchange/broadcast. Inner-join
+    reorder over a key that matches exactly one cents row per member:
+    row-set identical, pinned by the unchanged hash oracle."""
     from docker_based_real_time_etl_project_spark.operators.dedup import (
         connected_components,
     )
@@ -1397,20 +1405,14 @@ def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_col="id_a",
         b_col="id_b",
     )
-    md = (
-        comp.join(
-            assigned.select(F.col("vec_id").alias("id"), "v", "cid"), "id"
-        )
-        .join(F.broadcast(cents), "cid")
-        .select(
-            "rep",
-            "id",
-            F.expr(
-                "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("d2"),
-        )
+    d2tab = assigned.join(F.broadcast(cents), "cid").select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("d2"),
     )
+    md = comp.join(d2tab, "id").select("rep", "id", "d2")
     return (
         md.groupBy("rep")
         .agg(
