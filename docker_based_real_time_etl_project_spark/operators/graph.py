@@ -209,6 +209,17 @@ def pagerank(
     # nothing.
     if not edges_materialized:
         edges = edges.localCheckpoint(eager=True)
+    else:
+        # The flag is a CONTRACT, not a hint: a lazy DataFrame passed
+        # with it set would silently re-evaluate the full edge-build
+        # lineage for deg, edeg, and every per-iteration dangling
+        # anti-join. Fail fast (driver-only plan-class check, no job).
+        kind = edges._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        assert kind == "LogicalRDD", (
+            f"edges_materialized=True requires the checkpointed edge "
+            f"DataFrame itself (localCheckpoint result), got plan root "
+            f"{kind}"
+        )
     if weight_col is None:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         contrib_expr = "rank DIV deg"

@@ -96,3 +96,30 @@ def test_round_exhaustion_raises(spark):
             fallback_parent_expr="cur DIV 8 + cur % 7",
             max_rounds=1,
         )
+
+
+def test_pagerank_materialized_flag_rejects_lazy_edges(spark):
+    """``edges_materialized=True`` is a contract, not a hint: a LAZY
+    edge DataFrame passed with the flag set would silently re-evaluate
+    its build lineage in deg/edeg and every per-iteration dangling
+    anti-join. The operator must fail fast instead (ADVICE r14)."""
+    from pyspark.sql import functions as F
+
+    from docker_based_real_time_etl_project_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.range(10).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 10).alias("dst")
+    )
+    nodes = spark.range(10).select(F.col("id").alias("node"))
+    with pytest.raises(AssertionError, match="edges_materialized"):
+        pagerank(nodes, edges, iters=1, edges_materialized=True)
+    # the checkpointed form passes the gate and converges
+    out = pagerank(
+        nodes,
+        edges.localCheckpoint(eager=True),
+        iters=1,
+        edges_materialized=True,
+    )
+    assert out.count() == 10
