@@ -164,6 +164,17 @@ def _plan_fingerprint(df) -> str:
     # round-over-round diff was blind exactly where it matters most
     # (measurement fix, round 14; ~31 queries flapped r13 -> r14)
     p = re.sub(r"RDD\[\d+\]", "RDD[x]", p)
+    # Data-derived scalar literals (corpus totals, derived K, bucket
+    # counts — e.g. sampling_q embeds total//2 in the plan) are VALUES,
+    # not shape: without this a fixture-size change reads as a plan
+    # regression (measurement fix, round 15, ADVICE r14 low). 5+ digit
+    # integers are always such scalars here; real shape constants
+    # (partition counts, window sizes, agg arities) are all smaller.
+    p = re.sub(r"\b\d{5,}\b", "NNN", p)
+    # Lambda-variable numbering (x_1, x_3, ...) is allocated from a
+    # session-global counter, so the SAME plan prints different
+    # variable names depending on what ran earlier in the session.
+    p = re.sub(r"\bx_\d+", "x_n", p)
     return hashlib.sha256(p.encode()).hexdigest()[:12]
 
 
